@@ -1,0 +1,310 @@
+"""Epoch-level training driver.
+
+The TPU-native equivalent of the reference train() entry
+(/root/reference/main_train.py:157-720): dataset construction per aug flags,
+dual-optimizer setup, ratio-mixed epochs, per-step loss logging, per-epoch
+validation with add-loss-specific scoring, dev-loss model selection,
+per-epoch + best checkpoints, optional eval-set EER, early stopping.
+
+Differences by design (TPU-first):
+- one fused jitted step; batches are sharded over the data mesh
+- full-size static batches (ragged tails fold into the stream wraparound)
+- checkpoints are structured pytrees (Orbax), not pickled modules
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import time
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from asvspoof2021_air_tpu.data.datasets import (
+    ASVspoof2019FeatureDataset,
+    AugmentedFeatureDataset,
+)
+from asvspoof2021_air_tpu.data.pipeline import RatioMixIterator, SequentialIterator
+from asvspoof2021_air_tpu.losses import build_loss
+from asvspoof2021_air_tpu.metrics import compute_eer
+from asvspoof2021_air_tpu.models import ChannelClassifier, build_model
+from asvspoof2021_air_tpu.parallel import make_mesh, shard_batch
+from asvspoof2021_air_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from asvspoof2021_air_tpu.train.state import (
+    create_train_state,
+    make_backbone_optimizer,
+    make_loss_optimizer,
+    step_decay_schedule,
+)
+from asvspoof2021_air_tpu.train.steps import StepConfig, make_eval_step, make_train_step
+from asvspoof2021_air_tpu.utils import setup_seed
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Flag-for-flag coverage of the reference training CLI
+    (/root/reference/main_train.py:24-95)."""
+
+    out_fold: str = "./models/try"
+    seed: int = 688
+    access_type: str = "LA"
+    path_to_database: str = ""
+    path_to_features: str = ""
+    path_to_aug_features: str = ""
+    ratio: float = 0.5
+    feat: str = "LFCC"
+    feat_len: int = 750
+    feat_dim: int = 60
+    pad_chop: bool = True
+    padding: str = "repeat"
+    enc_dim: int = 256
+    model: str = "lcnn"
+    num_epochs: int = 200
+    batch_size: int = 64
+    lr: float = 5e-4
+    lr_decay: float = 0.5
+    interval: int = 30
+    beta_1: float = 0.9
+    beta_2: float = 0.999
+    eps: float = 1e-8
+    base_loss: str = "ce"
+    add_loss: Optional[str] = None
+    weight_loss: float = 1.0
+    r_real: float = 0.9
+    r_fake: float = 0.2
+    alpha: float = 20.0
+    num_centers: int = 3
+    test_only: bool = False
+    continue_training: bool = False
+    ADV_AUG: bool = False
+    LA_aug: bool = False
+    DF_aug: bool = False
+    LAPA_aug: bool = False
+    DFPA_aug: bool = False
+    lambda_: float = 0.05
+    lr_d: float = 1e-4
+    test_on_eval: bool = False
+    visualize: bool = False
+    early_stop_patience: int = 500
+    nclasses: int = 2
+
+
+def _prepare_out_fold(config: TrainConfig) -> None:
+    """(/root/reference/main_train.py:106-136)"""
+    if config.test_only or config.continue_training:
+        return
+    for d in (config.out_fold, os.path.join(config.out_fold, "checkpoint")):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.makedirs(d)
+    with open(os.path.join(config.out_fold, "args.json"), "w") as f:
+        json.dump(dataclasses.asdict(config), f, indent=2, sort_keys=True)
+    for name in ("train_loss.log", "dev_loss.log", "test_loss.log"):
+        with open(os.path.join(config.out_fold, name), "w") as f:
+            f.write(f"Start recording {name.split('_')[0]} loss ...\n")
+
+
+def build_datasets(config: TrainConfig):
+    """Dataset selection per aug flags (/root/reference/main_train.py:178-209)."""
+    if config.LA_aug or config.DF_aug or config.LAPA_aug or config.DFPA_aug:
+        variant = "LA" if (config.LA_aug or config.LAPA_aug) else "DF"
+        with_device = config.LAPA_aug or config.DFPA_aug
+        train_set = AugmentedFeatureDataset(
+            config.path_to_features, config.path_to_aug_features, "train",
+            config.feat, variant, with_device,
+        )
+        dev_set = AugmentedFeatureDataset(
+            config.path_to_features, config.path_to_aug_features, "dev",
+            config.feat, variant, with_device,
+        )
+    else:
+        train_set = ASVspoof2019FeatureDataset(
+            config.access_type, config.path_to_features, "train", config.feat
+        )
+        dev_set = ASVspoof2019FeatureDataset(
+            config.access_type, config.path_to_features, "dev", config.feat
+        )
+    return train_set, dev_set
+
+
+def setup_training(config: TrainConfig, steps_per_epoch: int):
+    """Build model, loss, optimizers, state, and jitted steps."""
+    model = build_model(
+        config.model, enc_dim=config.enc_dim,
+        nclasses=1 if config.base_loss == "bce" else config.nclasses,
+        feat_dim=config.feat_dim, feat_len=config.feat_len,
+    )
+    loss_mod = build_loss(
+        config.add_loss, enc_dim=config.enc_dim, r_real=config.r_real,
+        r_fake=config.r_fake, alpha=config.alpha, nclasses=config.nclasses,
+    )
+    sched = step_decay_schedule(config.lr, config.lr_decay, config.interval,
+                                steps_per_epoch)
+    sched_d = step_decay_schedule(config.lr_d, config.lr_decay, config.interval,
+                                  steps_per_epoch)
+    btx = make_backbone_optimizer(sched, config.beta_1, config.beta_2, config.eps)
+    ltx = make_loss_optimizer(sched) if loss_mod is not None else None
+
+    classifier = classifier2 = ctx = None
+    dual = False
+    if config.ADV_AUG:
+        if not (config.LA_aug or config.DF_aug or config.LAPA_aug or config.DFPA_aug):
+            raise ValueError("ADV_AUG requires an augmentation flag")
+        from asvspoof2021_air_tpu.data import protocol as proto
+
+        dual = config.LAPA_aug or config.DFPA_aug
+        n_channels = len(
+            proto.LA_CHANNELS if (config.LA_aug or config.LAPA_aug)
+            else proto.DF_CHANNELS
+        )
+        classifier = ChannelClassifier(config.enc_dim, n_channels, config.lambda_)
+        ctx = make_backbone_optimizer(sched_d, config.beta_1, config.beta_2,
+                                      config.eps)
+        if dual:
+            classifier2 = ChannelClassifier(
+                config.enc_dim, len(proto.DEVICES), config.lambda_
+            )
+
+    rng = jax.random.PRNGKey(config.seed)
+    example = jnp.zeros((config.batch_size, config.feat_len, config.feat_dim),
+                        jnp.float32)
+    state = create_train_state(
+        rng, model, example,
+        loss_module=loss_mod,
+        example_feat=jnp.zeros((config.batch_size, config.enc_dim)),
+        example_labels=jnp.zeros((config.batch_size,), jnp.int32),
+        backbone_tx=btx, loss_tx=ltx,
+        classifier=classifier, classifier_tx=ctx, classifier2=classifier2,
+    )
+
+    step_cfg = StepConfig(
+        add_loss=config.add_loss, base_loss=config.base_loss,
+        weight_loss=config.weight_loss, adv_aug=config.ADV_AUG,
+        dual_classifier=dual,
+    )
+    train_step = jax.jit(make_train_step(
+        model, loss_mod, btx, ltx, step_cfg,
+        classifier=classifier, classifier_tx=ctx, classifier2=classifier2,
+    ))
+    eval_step = jax.jit(make_eval_step(model, loss_mod, step_cfg))
+    return model, loss_mod, state, train_step, eval_step
+
+
+def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
+          mesh=None) -> Dict[str, Any]:
+    """Run the full training loop; returns a summary dict."""
+    setup_seed(config.seed)
+    _prepare_out_fold(config)
+
+    if train_set is None or dev_set is None:
+        train_set, dev_set = build_datasets(config)
+
+    mesh = mesh or make_mesh()
+    monitor = config.add_loss or "base_loss"
+
+    train_iter = RatioMixIterator(
+        train_set, config.batch_size, config.ratio,
+        feat_len=config.feat_len, padding=config.padding, seed=config.seed,
+    )
+    dev_iter = RatioMixIterator(
+        dev_set, config.batch_size, config.ratio,
+        feat_len=config.feat_len, padding=config.padding, seed=config.seed + 1,
+    )
+
+    model, loss_mod, state, train_step, eval_step = setup_training(
+        config, train_iter.steps_per_epoch
+    )
+    if config.continue_training:
+        state = restore_checkpoint(os.path.join(config.out_fold, "best"), state)
+
+    rng = jax.random.PRNGKey(config.seed ^ 0x5EED)
+    prev_loss = 1e8
+    early_stop = 0
+    summary: Dict[str, Any] = {"epochs": 0}
+
+    for epoch in range(config.num_epochs):
+        adv_gate = 1.0 if (config.ADV_AUG and epoch > 0) else 0.0
+        t0 = time.time()
+        train_log = defaultdict(list)
+        for i, batch in enumerate(train_iter.epoch()):
+            device_batch = shard_batch(
+                {k: v for k, v in batch.items() if k != "fname"}, mesh
+            )
+            state, metrics = train_step(
+                state, device_batch, jax.random.fold_in(rng, int(state.step)),
+                adv_gate,
+            )
+            for k, v in metrics.items():
+                train_log[k].append(float(v))
+            with open(os.path.join(config.out_fold, "train_loss.log"), "a") as f:
+                f.write(f"{epoch}\t{i}\t{train_log[monitor][-1]}\n")
+
+        # ---- validation (/root/reference/main_train.py:489-601) ----
+        dev_log = defaultdict(list)
+        scores, labels = [], []
+        for batch in dev_iter.epoch():
+            device_batch = shard_batch(
+                {k: v for k, v in batch.items() if k != "fname"}, mesh
+            )
+            metrics, score, _feats = eval_step(state, device_batch)
+            for k, v in metrics.items():
+                dev_log[k].append(float(v))
+            scores.append(np.asarray(score))
+            labels.append(batch["label"])
+        scores = np.concatenate(scores)
+        labels = np.concatenate(labels)
+        eer = min(
+            compute_eer(scores[labels == 0], scores[labels == 1])[0],
+            compute_eer(-scores[labels == 0], -scores[labels == 1])[0],
+        )
+        val_loss = float(np.nanmean(dev_log[monitor]))
+        with open(os.path.join(config.out_fold, "dev_loss.log"), "a") as f:
+            f.write(f"{epoch}\t{val_loss}\t{eer}\n")
+
+        # ---- optional eval-set EER (main_train.py:616-668) ----
+        if config.test_on_eval and eval_set is not None:
+            e_scores, e_labels = [], []
+            for batch in SequentialIterator(eval_set, config.batch_size,
+                                            config.feat_len, config.padding):
+                device_batch = shard_batch(
+                    {k: v for k, v in batch.items() if k not in ("fname", "valid")},
+                    mesh,
+                )
+                _m, score, _f = eval_step(state, device_batch)
+                valid = batch["valid"]
+                e_scores.append(np.asarray(score)[valid])
+                e_labels.append(batch["label"][valid])
+            es, el = np.concatenate(e_scores), np.concatenate(e_labels)
+            test_eer = min(
+                compute_eer(es[el == 0], es[el == 1])[0],
+                compute_eer(-es[el == 0], -es[el == 1])[0],
+            )
+            with open(os.path.join(config.out_fold, "test_loss.log"), "a") as f:
+                f.write(f"{epoch}\t{test_eer}\n")
+
+        # ---- checkpoints + model selection (main_train.py:674-714) ----
+        save_checkpoint(
+            os.path.join(config.out_fold, "checkpoint", str(epoch + 1)), state
+        )
+        if val_loss < prev_loss:
+            save_checkpoint(os.path.join(config.out_fold, "best"), state)
+            prev_loss = val_loss
+            early_stop = 0
+        else:
+            early_stop += 1
+        summary.update(
+            epochs=epoch + 1, dev_loss=val_loss, dev_eer=eer,
+            epoch_seconds=time.time() - t0,
+        )
+        if early_stop == config.early_stop_patience:
+            break
+
+    summary["best_dev_loss"] = prev_loss
+    return summary

@@ -1,0 +1,83 @@
+"""End-to-end training-driver smoke test on synthetic features."""
+
+import os
+
+import numpy as np
+import pytest
+
+from asvspoof2021_air_tpu.train.loop import TrainConfig, train
+
+D = 60
+
+
+class SyntheticDataset:
+    """Separable two-class features with reference item layout
+    (feat, fname, tag, label, channel)."""
+
+    def __init__(self, n=24, t=120, seed=0):
+        self.n = n
+        self.t = t
+        self.g = np.random.default_rng(seed)
+        self.labels = (np.arange(n) % 2).astype(np.int32)
+        self.feats = [
+            (self.g.standard_normal((1, t, D)) + 1.5 * l).astype(np.float32)
+            for l in self.labels
+        ]
+        self.num_original = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.feats[i], f"SYN_{i:04d}", 0, int(self.labels[i]), 0
+
+
+@pytest.mark.parametrize("add_loss", ["ang_iso"])
+def test_train_loop_end_to_end(tmp_path, add_loss):
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "out"),
+        model="lcnn",
+        add_loss=add_loss,
+        num_epochs=2,
+        batch_size=8,
+        feat_len=112,
+        feat_dim=D,
+        ratio=1.0,
+        enc_dim=32,
+    )
+    train_set = SyntheticDataset(seed=0)
+    dev_set = SyntheticDataset(seed=1)
+    summary = train(cfg, train_set=train_set, dev_set=dev_set)
+
+    assert summary["epochs"] == 2
+    assert np.isfinite(summary["dev_loss"])
+    assert 0.0 <= summary["dev_eer"] <= 0.5
+    out = cfg.out_fold
+    assert os.path.exists(os.path.join(out, "args.json"))
+    assert os.path.getsize(os.path.join(out, "train_loss.log")) > 0
+    assert os.path.getsize(os.path.join(out, "dev_loss.log")) > 0
+    # per-epoch + best checkpoints
+    assert any(os.scandir(os.path.join(out, "checkpoint")))
+    assert os.path.exists(os.path.join(out, "best")) or any(
+        f.startswith("best") for f in os.listdir(out)
+    )
+
+
+def test_train_loop_resume(tmp_path):
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "out"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=1,
+        batch_size=8,
+        feat_len=112,
+        feat_dim=D,
+        ratio=1.0,
+        enc_dim=32,
+    )
+    train_set = SyntheticDataset(seed=0)
+    dev_set = SyntheticDataset(seed=1)
+    s1 = train(cfg, train_set=train_set, dev_set=dev_set)
+    cfg2 = TrainConfig(**{**cfg.__dict__, "continue_training": True, "num_epochs": 1})
+    s2 = train(cfg2, train_set=train_set, dev_set=dev_set)
+    assert s2["epochs"] == 1
