@@ -1,0 +1,116 @@
+"""Benchmark: flagship-pipeline throughput on the attached accelerator.
+
+Measures utterances/sec/chip for the full on-device scoring pipeline of the
+reference's primary paper system — batched waveforms -> fused LFCC front-end
+-> ECAPA-TDNN-512 -> OC-Softmax score — at the reference configuration
+(7.49 s audio = 750 LFCC frames, cf. /root/reference/main_train.py:43), plus
+the full training-step throughput (forward+backward+dual optimizer update).
+
+Baseline: the reference scores utterances serially at batch_size=1
+(/root/reference/generate_score.py:73) on a CPU-bound pipeline. The recorded
+baseline (10.31 utt/s) is this repo's own pipeline run the same way —
+batch 1, single host CPU core, XLA CPU backend — measured on this machine
+(2026-08-16); it is an upper bound on the torch reference's per-utterance
+scoring rate here (the reference additionally pays torch.load feature IO per
+utterance with num_workers=0, /root/reference/main_train.py:63).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CPU_UTT_PER_SEC = 10.31  # see module docstring
+
+B = 64
+WAVE_LEN = 119840  # 750 LFCC frames at 16 kHz (7.49 s)
+
+
+def main():
+    from asvspoof2021_air_tpu.losses import build_loss
+    from asvspoof2021_air_tpu.models import ECAPA_TDNN
+    from asvspoof2021_air_tpu.ops.lfcc import LFCC
+    from asvspoof2021_air_tpu.train.state import (
+        create_train_state,
+        make_backbone_optimizer,
+        make_loss_optimizer,
+        step_decay_schedule,
+    )
+    from asvspoof2021_air_tpu.train.steps import StepConfig, make_train_step
+
+    lfcc = LFCC()
+    model = ECAPA_TDNN(C=512, model_scale=8, n_out=2, n_feat=60)
+    ocs = build_loss("ang_iso", enc_dim=256)
+
+    rng = jax.random.PRNGKey(688)
+    g = np.random.default_rng(0)
+    wave = jnp.asarray(g.standard_normal((B, WAVE_LEN)), jnp.float32)
+    labels = jnp.asarray((np.arange(B) % 2).astype(np.int32))
+
+    variables = jax.jit(lambda w: model.init({"params": rng}, lfcc(w)[:2], False))(wave)
+    loss_vars = ocs.init(rng, jnp.zeros((B, 256)), labels)
+
+    # ---------------- inference ----------------
+    @jax.jit
+    def infer(w):
+        emb, logits = model.apply(variables, lfcc(w), False)
+        _loss, scores = ocs.apply(loss_vars, emb, labels)
+        return scores
+
+    jax.block_until_ready(infer(wave))  # compile
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = infer(wave)
+    jax.block_until_ready(out)
+    infer_dt = (time.perf_counter() - t0) / n_iter
+    infer_utt_s = B / infer_dt
+
+    # ---------------- training step ----------------
+    sched = step_decay_schedule(5e-4, 0.5, 30, steps_per_epoch=100)
+    btx = make_backbone_optimizer(sched)
+    ltx = make_loss_optimizer(sched)
+    state = create_train_state(
+        rng, model, lfcc(wave[:2]),
+        loss_module=ocs,
+        example_feat=jnp.zeros((B, 256)),
+        example_labels=labels,
+        backbone_tx=btx, loss_tx=ltx,
+    )
+    train_step = jax.jit(make_train_step(
+        model, ocs, btx, ltx, StepConfig(add_loss="ang_iso"), frontend=lfcc,
+    ))
+    batch = {"wave": wave, "label": labels}
+    step_rng = jax.random.PRNGKey(1)
+    state, m = train_step(state, batch, step_rng, 0.0)
+    jax.block_until_ready(m["total_loss"])  # compile
+    n_train = 10
+    t0 = time.perf_counter()
+    for i in range(n_train):
+        state, m = train_step(state, batch, jax.random.fold_in(step_rng, i), 0.0)
+    jax.block_until_ready(m["total_loss"])
+    train_dt = (time.perf_counter() - t0) / n_train
+    train_utt_s = B / train_dt
+
+    result = {
+        "metric": "utterances/sec/chip, LFCC+ECAPA-512+OCSoftmax inference "
+                  "(B=64, 7.49s audio, on-device front-end)",
+        "value": round(infer_utt_s, 1),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(infer_utt_s / BASELINE_CPU_UTT_PER_SEC, 1),
+        "train_utt_s_per_chip": round(train_utt_s, 1),
+        "inference_ms_per_batch": round(infer_dt * 1000, 2),
+        "train_ms_per_step": round(train_dt * 1000, 2),
+        "batch_size": B,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
