@@ -1,0 +1,165 @@
+"""Fused Pallas LFCC front-end kernel.
+
+One kernel fuses the whole per-frame chain of the LFCC recipe
+(/root/reference/feature_extraction.py:93-138 semantics): frame extraction ->
+windowed DFT (as two MXU matmuls, window + centering phase folded into the
+matrices) -> power -> linear filterbank -> log10 -> ortho DCT-II. The frame
+stream never round-trips HBM and no overlapped copy of the waveform is ever
+materialized:
+
+- the padded signal is viewed as hop-sample rows (free reshape);
+- frame i spans rows i and i+1 (win == 2*hop in the canonical config), so
+  instead of building the (tile, win) frame matrix, the DFT matrices are
+  split at the hop boundary: frames @ M == rows[:t] @ M_top + rows[1:] @ M_bot;
+- the one-row overlap between consecutive tiles is resolved by passing the
+  SAME rows array through a second BlockSpec whose index map points at the
+  next tile, and patching the rolled last row with a where().
+
+Deltas are appended outside the kernel (cheap elementwise work XLA fuses
+into consumers); pre-emphasis and length masking also run outside (O(L) VPU
+work).
+
+HBM traffic per utterance: read L samples (+ one extra tile row) + write
+T * n_filters floats — the (T, 257) power/filterbank intermediates of the
+unfused chain never exist.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from asvspoof2021_air_tpu.ops import dsp
+from asvspoof2021_air_tpu.ops.lfcc import LFCCConfig
+
+_INV_LN10 = np.float32(1.0 / np.log(10.0))
+
+
+def _lfcc_kernel(rows_ref, next_ref, c_ref, s_ref, fb_ref, dct_ref, out_ref,
+                 *, tile_t, hop):
+    C, S, FB, DCT = c_ref[...], s_ref[...], fb_ref[...], dct_ref[...]
+    s1 = rows_ref[0]           # (tile_t, hop): rows t*tile_t .. +tile_t
+    boundary = next_ref[0, :1, :]  # first row of the NEXT tile
+
+    # s2 = rows shifted by one: roll wraps row 0 into the last slot; patch
+    # that slot with the next tile's first row.
+    rolled = pltpu.roll(s1, shift=tile_t - 1, axis=0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_t, hop), 0)
+    s2 = jnp.where(row_ids == tile_t - 1, boundary, rolled)
+
+    re = (
+        jnp.dot(s1, C[:hop], preferred_element_type=jnp.float32)
+        + jnp.dot(s2, C[hop:], preferred_element_type=jnp.float32)
+    )
+    im = (
+        jnp.dot(s1, S[:hop], preferred_element_type=jnp.float32)
+        + jnp.dot(s2, S[hop:], preferred_element_type=jnp.float32)
+    )
+    power = re * re + im * im
+    fb = jnp.log(
+        jnp.dot(power, FB, preferred_element_type=jnp.float32) + dsp.FLOAT32_EPS
+    ) * _INV_LN10
+    out_ref[0, :, :] = jnp.dot(fb, DCT, preferred_element_type=jnp.float32)
+
+
+class PallasLFCC:
+    """Drop-in fused variant of :class:`~asvspoof2021_air_tpu.ops.lfcc.LFCC`.
+
+    Requires win_length == 2 * hop_length (true for the canonical
+    LFCC(320,160,512,16k,20)) and with_energy=False (energy needs the raw
+    power spectrum; use the jnp LFCC for that path).
+    """
+
+    TILE_T = 256
+
+    def __init__(self, config: LFCCConfig = LFCCConfig(), interpret: bool = False):
+        if config.win_length != 2 * config.hop_length:
+            raise ValueError("PallasLFCC requires win_length == 2*hop_length")
+        if config.with_energy:
+            raise ValueError("with_energy unsupported in the fused kernel; "
+                             "use the jnp LFCC")
+        self.config = config
+        self.interpret = interpret
+        C, S = dsp.windowed_dft_matrices(config.win_length, config.n_fft)
+        fb = dsp.linear_filterbank(config.n_fft, config.sample_rate,
+                                   config.n_filters)
+        dct = dsp.dct_matrix(config.n_filters, "dct", norm="ortho")
+        self._C = jnp.asarray(C)
+        self._S = jnp.asarray(S)
+        self._FB = jnp.asarray(fb)
+        self._DCT = jnp.asarray(dct)
+
+    def __call__(self, waveforms: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.config
+        hop, win = cfg.hop_length, cfg.win_length
+        B, L = waveforms.shape
+        T = dsp.num_frames(L, hop)
+
+        x = waveforms.astype(jnp.float32)
+        if cfg.with_emphasis:
+            x = dsp.preemphasis(x, cfg.preemph_coef)
+            if lengths is not None:
+                mask = (
+                    jnp.arange(L, dtype=jnp.int32)[None, :]
+                    < lengths.astype(jnp.int32)[:, None]
+                )
+                x = jnp.where(mask, x, 0.0)
+
+        tile_t = min(self.TILE_T, T)
+        n_tiles = -(-T // tile_t)
+        t_padded = n_tiles * tile_t
+        # Frame t starts at t*hop - hop in signal coordinates (centered
+        # STFT, window centered in the n_fft frame; see dsp.frame_signal).
+        # Shift by +hop via left padding; pad the right with one EXTRA tile
+        # so the next-tile BlockSpec stays in bounds at the last tile.
+        lpad = hop
+        total = (n_tiles + 1) * tile_t * hop
+        rpad = total - L - lpad
+        xp = jnp.pad(x, ((0, 0), (lpad, max(rpad, 0))))
+        rows = xp[:, :total].reshape(B, (n_tiles + 1) * tile_t, hop)
+
+        n_bins = cfg.n_fft // 2 + 1
+
+        def const_spec(shape):
+            return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            functools.partial(_lfcc_kernel, tile_t=tile_t, hop=hop),
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, tile_t, hop), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_t, hop), lambda b, t: (b, t + 1, 0),
+                             memory_space=pltpu.VMEM),
+                const_spec((win, n_bins)),
+                const_spec((win, n_bins)),
+                const_spec((n_bins, cfg.n_filters)),
+                const_spec((cfg.n_filters, cfg.n_filters)),
+            ],
+            out_specs=pl.BlockSpec((1, tile_t, cfg.n_filters),
+                                   lambda b, t: (b, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, t_padded, cfg.n_filters),
+                                           jnp.float32),
+            interpret=self.interpret,
+        )(rows, rows, self._C, self._S, self._FB, self._DCT)
+        lfcc = out[:, :T, :]
+
+        if cfg.with_delta:
+            flen = None if lengths is None else (1 + lengths // hop)
+            d1 = dsp.delta(lfcc, flen)
+            d2 = dsp.delta(d1, flen)
+            lfcc = jnp.concatenate([lfcc, d1, d2], axis=-1)
+        return lfcc
+
+    def frame_lengths(self, lengths: jnp.ndarray) -> jnp.ndarray:
+        return 1 + lengths // self.config.hop_length

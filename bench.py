@@ -35,6 +35,7 @@ def main():
     from asvspoof2021_air_tpu.losses import build_loss
     from asvspoof2021_air_tpu.models import ECAPA_TDNN
     from asvspoof2021_air_tpu.ops.lfcc import LFCC
+    from asvspoof2021_air_tpu.ops.lfcc_pallas import PallasLFCC
     from asvspoof2021_air_tpu.train.state import (
         create_train_state,
         make_backbone_optimizer,
@@ -43,7 +44,13 @@ def main():
     )
     from asvspoof2021_air_tpu.train.steps import StepConfig, make_train_step
 
-    lfcc = LFCC()
+    # Fused Pallas front-end on TPU; jnp fallback elsewhere.
+    try:
+        lfcc = PallasLFCC()
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            lfcc = LFCC()
+    except Exception:
+        lfcc = LFCC()
     model = ECAPA_TDNN(C=512, model_scale=8, n_out=2, n_feat=60)
     ocs = build_loss("ang_iso", enc_dim=256)
 
