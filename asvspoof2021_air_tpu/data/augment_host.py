@@ -1,0 +1,111 @@
+"""ctypes binding to the native augmentation library (native/libaugment.so).
+
+Builds the library on first use (g++ via the Makefile) and exposes the codec
+/ DSP primitives over numpy float32 buffers. This is the bit-exact host tier
+of the channel-simulation capability; the on-device jittable tier lives in
+ops/augment.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB: Optional[ctypes.CDLL] = None
+
+_FloatPtr = ctypes.POINTER(ctypes.c_float)
+
+
+def _build() -> str:
+    so = os.path.join(_NATIVE_DIR, "libaugment.so")
+    if not os.path.exists(so):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    return so
+
+
+def get_lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(_build())
+        lib.g711_ulaw_roundtrip.argtypes = [_FloatPtr, _FloatPtr, ctypes.c_size_t]
+        lib.g711_alaw_roundtrip.argtypes = [_FloatPtr, _FloatPtr, ctypes.c_size_t]
+        lib.g726_roundtrip.argtypes = [_FloatPtr, _FloatPtr, ctypes.c_size_t,
+                                       ctypes.c_int]
+        lib.resample_sinc.argtypes = [_FloatPtr, ctypes.c_size_t, _FloatPtr,
+                                      ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.resample_sinc.restype = ctypes.c_size_t
+        lib.fft_convolve.argtypes = [_FloatPtr, ctypes.c_size_t, _FloatPtr,
+                                     ctypes.c_size_t, _FloatPtr]
+        lib.rms_normalize.argtypes = [_FloatPtr, _FloatPtr, ctypes.c_size_t,
+                                      ctypes.c_float]
+        lib.telephony_channel.argtypes = [_FloatPtr, _FloatPtr, ctypes.c_size_t,
+                                          ctypes.c_int, ctypes.c_int]
+        _LIB = lib
+    return _LIB
+
+
+def _as_f32(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+
+
+def _ptr(x: np.ndarray):
+    return x.ctypes.data_as(_FloatPtr)
+
+
+def g711_roundtrip(wave, law: str = "u") -> np.ndarray:
+    x = _as_f32(wave)
+    out = np.empty_like(x)
+    fn = (get_lib().g711_ulaw_roundtrip if law == "u"
+          else get_lib().g711_alaw_roundtrip)
+    fn(_ptr(x), _ptr(out), x.size)
+    return out
+
+
+def g726_roundtrip(wave, bits_per_sample: int = 4) -> np.ndarray:
+    x = _as_f32(wave)
+    out = np.empty_like(x)
+    get_lib().g726_roundtrip(_ptr(x), _ptr(out), x.size, bits_per_sample)
+    return out
+
+
+def resample(wave, in_rate: int, out_rate: int, taps: int = 33) -> np.ndarray:
+    x = _as_f32(wave)
+    n_out = int(np.ceil(x.size * out_rate / in_rate)) + taps
+    out = np.zeros(n_out, np.float32)
+    written = get_lib().resample_sinc(_ptr(x), x.size, _ptr(out),
+                                      in_rate, out_rate, taps)
+    return out[:written]
+
+
+def fft_convolve(wave, ir) -> np.ndarray:
+    x = _as_f32(wave)
+    h = _as_f32(ir)
+    out = np.empty_like(x)
+    get_lib().fft_convolve(_ptr(x), x.size, _ptr(h), h.size, _ptr(out))
+    return out
+
+
+def rms_normalize(wave, target_dbfs: float) -> np.ndarray:
+    x = _as_f32(wave)
+    out = np.empty_like(x)
+    get_lib().rms_normalize(_ptr(x), _ptr(out), x.size, float(target_dbfs))
+    return out
+
+
+CODEC_IDS = {"g711u": 0, "g711a": 1, "g726_16k": 2, "g726_24k": 3,
+             "g726_32k": 4, "g726_40k": 5}
+
+
+def telephony_channel(wave, codec: str = "g711u", sample_rate: int = 16000) -> np.ndarray:
+    """Full landline hop: resample to 8 kHz, codec round trip, resample back."""
+    x = _as_f32(wave)
+    out = np.empty_like(x)
+    get_lib().telephony_channel(_ptr(x), _ptr(out), x.size, sample_rate,
+                                CODEC_IDS[codec])
+    return out

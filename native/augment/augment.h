@@ -1,0 +1,55 @@
+/* Native augmentation library: codecs, resampling, IR convolution, leveling.
+ *
+ * Host-side C++ tier of the channel-simulation capability
+ * (/root/reference/channel_simulation/): where the reference shells out to an
+ * external acoustic-simulator per (file, codec), this library provides the
+ * codec and filtering primitives in-process behind a C API (ctypes-friendly).
+ *
+ * All audio buffers are mono float32 in [-1, 1].
+ */
+
+#ifndef ASVSPOOF_AUGMENT_H_
+#define ASVSPOOF_AUGMENT_H_
+
+#include <cstddef>
+#include <cstdint>
+
+extern "C" {
+
+/* ---- G.711 (bit-exact ITU companding) ---- */
+/* encode float [-1,1] -> 8-bit code; decode back. Round trip applies the
+ * exact 8-bit companded quantization of a G.711 landline hop. */
+void g711_ulaw_roundtrip(const float* in, float* out, size_t n);
+void g711_alaw_roundtrip(const float* in, float* out, size_t n);
+uint8_t g711_ulaw_encode_sample(int16_t pcm);
+int16_t g711_ulaw_decode_sample(uint8_t code);
+uint8_t g711_alaw_encode_sample(int16_t pcm);
+int16_t g711_alaw_decode_sample(uint8_t code);
+
+/* ---- G.726 ADPCM (adaptive quantizer + 2-pole/6-zero adaptive predictor).
+ * bits_per_sample in {2,3,4,5} => 16/24/32/40 kbps at 8 kHz. Round trip
+ * encodes then decodes in one pass (faithful algorithmic implementation of
+ * the ADPCM structure; not validated against ITU bit-exact test vectors). */
+void g726_roundtrip(const float* in, float* out, size_t n, int bits_per_sample);
+
+/* ---- Windowed-sinc rational resampler (e.g. 16000 <-> 8000). Returns the
+ * number of output samples written (caller sizes out as
+ * ceil(n * out_rate / in_rate) + taps). */
+size_t resample_sinc(const float* in, size_t n, float* out,
+                     int in_rate, int out_rate, int taps);
+
+/* ---- FFT-based IR convolution: y[0..n) = (x * ir)[0..n). */
+void fft_convolve(const float* x, size_t n, const float* ir, size_t k,
+                  float* out);
+
+/* ---- RMS level normalization to target dBFS. */
+void rms_normalize(const float* in, float* out, size_t n, float target_dbfs);
+
+/* ---- Full telephony channel: resample to 8k, codec, resample back to
+ * in_rate. codec: 0=g711u, 1=g711a, 2..5=g726 with 2..5 bits. */
+void telephony_channel(const float* in, float* out, size_t n, int in_rate,
+                       int codec);
+
+}  /* extern "C" */
+
+#endif  /* ASVSPOOF_AUGMENT_H_ */
