@@ -1,0 +1,200 @@
+"""Offline corpus degradation CLI
+(capability of /root/reference/channel_simulation/simulated_*.py).
+
+Walks a wav directory and writes degraded copies with the reference naming
+convention ``<stem>_<channel>.wav`` (codec/compression) or
+``<stem><ir-stem>.wav`` (device IRs), using the native C++ codec tier plus
+on-device (or numpy) IR convolution. 'parallel' mode samples multiple
+channels per utterance like the reference
+(simulated_channel.py:48: 7 landline + 6 voip + 6 cellular + 2 common).
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import os
+import random
+from typing import List
+
+import numpy as np
+
+from asvspoof2021_air_tpu.data import augment_host as ah
+from asvspoof2021_air_tpu.data.audio_io import read_wav, write_wav
+
+# Codec vocabulary of the reference channel pipeline
+# (/root/reference/channel_simulation/simulated_channel.py:19-38); each name
+# maps to the closest native codec chain available in-process.
+LANDLINE = ["g711[law=u]", "g711[law=a]", "g726[law=u,br=16k]",
+            "g726[law=u,br=24k]", "g726[law=u,br=32k]", "g726[law=u,40k]",
+            "g726[law=a,br=16k]", "g726[law=a,br=24k]", "g726[law=a,br=32k]",
+            "g726[law=a,br=40k]"]
+VOIP = ["silk[br=5k]", "silk[br=10k]", "silk[br=15k]", "silk[br=20k]",
+        "silk[br=5k,loss=5]", "silk[br=10k,loss=5]", "silk[br=15k,loss=5]",
+        "silk[br=20k,loss=5]", "silk[br=5k,loss=10]", "silk[br=10k,loss=10]",
+        "silk[br=15k,loss=10]", "silk[br=20k,loss=10]", "silkwb[br=10k]",
+        "silkwb[br=20k]", "silkwb[br=30k]", "silkwb[br=10k,loss=5]",
+        "silkwb[br=20k,loss=5]", "silkwb[br=30k,loss=5]",
+        "silkwb[br=10k,loss=10]", "silkwb[br=20k,loss=10]",
+        "silkwb[br=30k,loss=10]"]
+CELLULAR = ["amr[br=4k75]", "amr[br=5k15]", "amr[br=5k9]", "amr[br=6k7]",
+            "amr[br=7k4]", "amr[br=7k95]", "amr[br=10k2]", "amr[br=12k2]",
+            "amr[br=4k75,nodtx]", "amr[br=5k9,nodtx]", "amr[br=6k7,nodtx]",
+            "amr[br=7k4,nodtx]", "amr[br=7k95,nodtx]", "amr[br=10k2,nodtx]",
+            "amrwb[br=6k6]", "amrwb[br=12k65]", "amrwb[br=15k85]",
+            "amrwb[br=23k05]", "amrwb[br=6k6,nodtx]", "amrwb[br=12k65,nodtx]",
+            "amrwb[br=15k85,nodtx]", "amrwb[br=23k05,nodtx]"]
+COMMON = ["g722[br=64k]", "g722[br=56k]", "g722[br=48k]", "g729a", "g728",
+          "gsmfr"]
+
+COMPRESSION = ["mp3[8k]", "mp3[16k]", "mp3[32k]",
+               "aac[8k]", "aac[16k]", "aac[32k]"]
+RMS_LEVELS = [-26, -29, -32, -35]
+
+
+def load_filelist(path: str, pattern: str = "*.wav") -> List[str]:
+    """(/root/reference/channel_simulation/simulated_channel.py:4-11)"""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for fn in fnmatch.filter(files, pattern):
+            out.append(os.path.join(root, fn))
+    return sorted(out)
+
+
+def _codec_bits(name: str) -> int:
+    for key, bits in (("16k", 2), ("24k", 3), ("32k", 4), ("40k", 5)):
+        if key in name:
+            return bits
+    return 4
+
+
+def apply_codec(wave: np.ndarray, name: str, sr: int = 16000) -> np.ndarray:
+    """Map a reference codec name to the native chain that realizes its
+    dominant effects: exact G.711/G.726 where implemented; other codec
+    families approximated by the matching band-limited ADPCM chain at a
+    bitrate-equivalent bits/sample."""
+    if name.startswith("g711"):
+        codec = "g711a" if "law=a" in name else "g711u"
+        return ah.telephony_channel(wave, codec, sr)
+    if name.startswith("g726"):
+        bits = _codec_bits(name)
+        return ah.telephony_channel(wave, f"g726_{8 * bits}k", sr)
+    wideband = name.startswith(("silkwb", "amrwb", "g722"))
+    if wideband:
+        # wideband codecs keep the 16 kHz band; ADPCM at 4-5 bits at 16 kHz
+        return ah.g726_roundtrip(wave, 5 if "g722" in name else 4)
+    # narrowband lossy (amr/silk/gsm/g728/g729): 8 kHz round trip + low-rate
+    # ADPCM; lower bitrates get fewer bits
+    low = any(k in name for k in ("4k75", "5k15", "5k9", "5k", "6k7"))
+    return ah.telephony_channel(wave, "g726_16k" if low else "g726_24k", sr)
+
+
+def channel_degrade(input_path: str, output_path: str, target_sr: int = 16000,
+                    mode: str = "parallel", seed: int = 0) -> int:
+    """(/root/reference/channel_simulation/simulated_channel.py:13-56)"""
+    rng = random.Random(seed)
+    files = load_filelist(input_path)
+    os.makedirs(output_path, exist_ok=True)
+    n = 0
+    for f in files:
+        wave, sr = read_wav(f, target_sr)
+        stem = os.path.basename(f).split(".")[0]
+        if mode == "random":
+            codecs = [rng.choice(LANDLINE + VOIP + CELLULAR + COMMON)]
+        else:
+            codecs = (rng.sample(LANDLINE, 7) + rng.sample(VOIP, 6)
+                      + rng.sample(CELLULAR, 6) + rng.sample(COMMON, 2))
+        for codec in codecs:
+            out = apply_codec(wave, codec, target_sr)
+            write_wav(os.path.join(output_path, f"{stem}_{codec}.wav"),
+                      out, target_sr)
+            n += 1
+    return n
+
+
+def compression_degrade(input_path: str, output_path: str,
+                        target_sr: int = 16000, mode: str = "parallel",
+                        seed: int = 0) -> int:
+    """(/root/reference/channel_simulation/simulated_compression.py:6-34):
+    RMS normalization to a random level then lossy compression (approximated
+    by bitrate-matched ADPCM at full band)."""
+    rng = random.Random(seed)
+    files = load_filelist(input_path)
+    os.makedirs(output_path, exist_ok=True)
+    n = 0
+    for f in files:
+        wave, sr = read_wav(f, target_sr)
+        stem = os.path.basename(f).split(".")[0]
+        opts = COMPRESSION if mode == "parallel" else [rng.choice(COMPRESSION)]
+        for opt in opts:
+            level = rng.choice(RMS_LEVELS)
+            out = ah.rms_normalize(wave, level)
+            rate = opt.split("[")[1].rstrip("]")
+            bits = {"8k": 2, "16k": 3, "32k": 4}[rate]
+            out = ah.g726_roundtrip(out, bits)
+            write_wav(os.path.join(output_path, f"{stem}_{opt}.wav"),
+                      out, target_sr)
+            n += 1
+    return n
+
+
+def device_degrade(input_path: str, output_path: str, ir_dir: str,
+                   target_sr: int = 16000, mode: str = "parallel",
+                   n_device: int = 27, n_space: int = 3, seed: int = 0) -> int:
+    """(/root/reference/channel_simulation/simulated_device.py:20-61):
+    convolve with recorded device/space IRs (wav or .npy files in ir_dir)."""
+    rng = random.Random(seed)
+    files = load_filelist(input_path)
+    irs = sorted(
+        load_filelist(ir_dir, "*.wav") + load_filelist(ir_dir, "*.npy")
+    )
+    if not irs:
+        raise ValueError(f"no IR files in {ir_dir}")
+    os.makedirs(output_path, exist_ok=True)
+    n = 0
+    for f in files:
+        wave, sr = read_wav(f, target_sr)
+        stem = os.path.basename(f).split(".")[0]
+        k = min(n_device, len(irs)) if mode == "parallel" else 1
+        for ir_path in rng.sample(irs, k):
+            if ir_path.endswith(".npy"):
+                ir = np.load(ir_path).astype(np.float32).ravel()
+            else:
+                ir, _ = read_wav(ir_path, target_sr)
+            out = ah.fft_convolve(wave, ir)
+            peak = np.abs(out).max()
+            if peak > 1.0:
+                out = out / peak
+            ir_stem = os.path.splitext(os.path.basename(ir_path))[0]
+            write_wav(os.path.join(output_path, f"{stem}{ir_stem}.wav"),
+                      out, target_sr)
+            n += 1
+    return n
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("offline corpus degradation")
+    p.add_argument("mode", choices=["channel", "compression", "device"])
+    p.add_argument("-i", "--input", type=str, required=True)
+    p.add_argument("-o", "--output", type=str, required=True)
+    p.add_argument("-r", "--sample_rate", type=int, default=16000)
+    p.add_argument("--sampling", type=str, default="parallel",
+                   choices=["random", "parallel"])
+    p.add_argument("--ir_dir", type=str, default="")
+    p.add_argument("--seed", type=int, default=688)
+    args = p.parse_args(argv)
+
+    if args.mode == "channel":
+        n = channel_degrade(args.input, args.output, args.sample_rate,
+                            args.sampling, args.seed)
+    elif args.mode == "compression":
+        n = compression_degrade(args.input, args.output, args.sample_rate,
+                                args.sampling, args.seed)
+    else:
+        n = device_degrade(args.input, args.output, args.ir_dir,
+                           args.sample_rate, args.sampling, seed=args.seed)
+    print(f"wrote {n} degraded files to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

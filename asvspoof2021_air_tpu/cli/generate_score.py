@@ -1,0 +1,77 @@
+"""Scoring CLI — capability of the reference scoring entry
+(/root/reference/generate_score.py:10-36), batched on device.
+
+The reference pickles whole torch modules; here systems are rebuilt from the
+out_fold's args.json + the structured 'best' checkpoint (which also fixes
+the reference's checkpoint-naming mismatch, generate_score.py:135 vs
+main_train.py:694)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from asvspoof2021_air_tpu.losses import build_loss
+from asvspoof2021_air_tpu.models import build_model
+from asvspoof2021_air_tpu.scoring import TASKS, test_on_asvspoof2021
+from asvspoof2021_air_tpu.train.checkpoint import restore_checkpoint
+from asvspoof2021_air_tpu.train.loop import TrainConfig, setup_training
+
+
+def load_system(model_dir: str, checkpoint: str = "best"):
+    """Rebuild (model, variables, loss_mod, loss_vars, config) from a
+    training out_fold."""
+    with open(os.path.join(model_dir, "args.json")) as f:
+        cfg_dict = json.load(f)
+    fields = set(TrainConfig.__dataclass_fields__)
+    config = TrainConfig(**{k: v for k, v in cfg_dict.items() if k in fields})
+
+    model, loss_mod, state, _ts, _es = setup_training(config, steps_per_epoch=1)
+    state = restore_checkpoint(os.path.join(model_dir, checkpoint), state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    loss_vars = (
+        {"params": state.loss_params} if state.loss_params is not None else None
+    )
+    return model, variables, loss_mod, loss_vars, config
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("generate model scores")
+    p.add_argument("--model_folder", type=str, default="./models")
+    p.add_argument("-n", "--model_name", type=str, required=True)
+    p.add_argument("-s", "--score_dir", type=str, default="./scores")
+    p.add_argument("-t", "--task", type=str, required=True, choices=TASKS)
+    p.add_argument("-l", "--loss", default=None,
+                   choices=[None, "ocsoftmax", "amsoftmax", "p2sgrad"])
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--ori_features", type=str, default="")
+    p.add_argument("--aug_features", type=str, default="")
+    p.add_argument("--la_eval", type=str, default="")
+    p.add_argument("--df_eval", type=str, default="")
+    args = p.parse_args(argv)
+
+    out_dir = "./scores" if "19" in args.task else args.score_dir
+
+    model_dir = os.path.join(args.model_folder, args.model_name)
+    model, variables, loss_mod, loss_vars, _cfg = load_system(model_dir)
+
+    paths = {
+        "ori_features": args.ori_features,
+        "aug_features": args.aug_features,
+        "la_eval": args.la_eval,
+        "df_eval": args.df_eval,
+    }
+    out = test_on_asvspoof2021(
+        args.task, model, variables, paths, out_dir, args.model_name,
+        add_loss=args.loss, loss_module=loss_mod, loss_vars=loss_vars,
+        batch_size=args.batch_size,
+    )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
