@@ -240,3 +240,139 @@ class RawAudioDataset:
         path = os.path.join(self.audio_dir, e.filename + self.audio_ext)
         wav, _sr = load_audio(path, self.sample_rate)
         return wav, e.filename, self.tag[e.tag], self.label[e.label]
+
+
+class AugmentedRawAudioDataset:
+    """Raw augmented wav trees with channel (and device) parsed from the
+    filename suffix — capability of the reference's raw augmented datasets
+    (ASVspoof2019LARaw_withTransmission at /root/reference/raw_dataset.py:149,
+    ...TransmissionAndDevice at :187, ASVspoof2019DFRaw_withCompression at
+    :226, ...CompressionAndDevice at :264). Labels come from the CM protocol;
+    items are (waveform, filename, tag, label, channel[, device])."""
+
+    def __init__(
+        self,
+        path_to_database: str,
+        path_to_protocol: str,
+        part: str = "train",
+        with_device: bool = False,
+        sample_rate: int = 16000,
+    ):
+        self.with_device = with_device
+        self.sample_rate = sample_rate
+        self.audio_dir = os.path.join(path_to_database, part)
+        self.files = []
+        for dirpath, _d, filenames in os.walk(self.audio_dir):
+            for fn in filenames:
+                if fn.endswith(".wav"):
+                    self.files.append(os.path.join(dirpath, fn))
+        self.files.sort()
+        ppath = os.path.join(
+            path_to_protocol, f"ASVspoof2019.LA.cm.{part}.trl.txt"
+        )
+        self.info = {e.filename: e for e in proto.parse_protocol(ppath)}
+        # train/dev attack vocabulary (+A07 like the reference,
+        # raw_dataset.py:160)
+        self.tag = dict(proto.LA_TRAIN_TAGS, A07=7)
+        self.label = proto.LABELS
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        path = self.files[idx]
+        base = os.path.basename(path)[:-4]
+        parts = base.split("_")
+        n_suffix = 2 if self.with_device else 1
+        filename = "_".join(parts[:-n_suffix])
+        wav, _sr = load_audio(path, self.sample_rate)
+        entry = self.info[filename]
+        tag = self.tag[entry.tag]
+        label = self.label[entry.label]
+        if self.with_device:
+            return wav, filename, tag, label, parts[-2], parts[-1]
+        return wav, filename, tag, label, parts[-1]
+
+
+class ASVspoof2015RawDataset:
+    """ASVspoof2015 protocol-driven raw dataset (capability of
+    /root/reference/raw_dataset.py:103-128): per-speaker wav subdirs, tags
+    human/S1..S10, labels human=0/spoof=1."""
+
+    def __init__(self, path_to_database: str, path_to_protocol: str,
+                 part: str = "train", sample_rate: int = 16000):
+        self.sample_rate = sample_rate
+        self.path_to_audio = os.path.join(path_to_database, part)
+        pro = {"train": "cm_train.trn", "dev": "cm_develop.ndx",
+               "eval": "cm_evaluation.ndx"}[part]
+        self.tag = proto.ASVSPOOF2015_TAGS
+        self.label = {"spoof": 1, "human": 0}
+        with open(os.path.join(path_to_protocol, pro)) as f:
+            self.all_info = [line.strip().split() for line in f if line.strip()]
+
+    def __len__(self) -> int:
+        return len(self.all_info)
+
+    def __getitem__(self, idx: int):
+        speaker, filename, tag, label = self.all_info[idx]
+        path = os.path.join(self.path_to_audio, speaker, filename + ".wav")
+        wav, _sr = load_audio(path, self.sample_rate)
+        return wav, filename.replace("_", "-"), self.tag[tag], self.label[label]
+
+
+class VCC2020RawDataset:
+    """VCC2020 bonafide/spoof raw dataset (capability of
+    /root/reference/raw_dataset.py:70-100): bona fide from the database tree,
+    spoof from the listening-test tree (tag = conversion system dir)."""
+
+    def __init__(self, path_to_spoof: str, path_to_bonafide: str,
+                 sample_rate: int = 16000):
+        self.sample_rate = sample_rate
+
+        def find_wavs(root):
+            out = []
+            for dirpath, _d, files in os.walk(root):
+                out.extend(os.path.join(dirpath, f) for f in files
+                           if f.endswith(".wav"))
+            return sorted(out)
+
+        self.all_spoof = find_wavs(path_to_spoof)
+        self.all_bonafide = find_wavs(path_to_bonafide)
+
+    def __len__(self) -> int:
+        return len(self.all_spoof) + len(self.all_bonafide)
+
+    def __getitem__(self, idx: int):
+        if idx < len(self.all_bonafide):
+            path = self.all_bonafide[idx]
+            label, tag = "bonafide", "-"
+            filename = "_".join(path.split(os.sep)[-3:])[:-4]
+        else:
+            path = self.all_spoof[idx - len(self.all_bonafide)]
+            label = "spoof"
+            tag = path.split(os.sep)[-3]
+            filename = os.path.basename(path)[:-4]
+        wav, _sr = load_audio(path, self.sample_rate)
+        return wav, filename, tag, label
+
+
+class ASVspoof2021EvalRawDataset:
+    """Unlabeled ASVspoof2021 eval raw audio (capability of
+    /root/reference/raw_dataset.py:131-146); items (waveform, filename)."""
+
+    def __init__(self, path_to_database: str, sample_rate: int = 16000,
+                 ext: str = ".wav"):
+        self.sample_rate = sample_rate
+        self.files = []
+        for dirpath, _d, files in os.walk(path_to_database):
+            self.files.extend(os.path.join(dirpath, f) for f in files
+                              if f.endswith((".wav", ".flac")))
+        self.files.sort()
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        path = self.files[idx]
+        wav, _sr = load_audio(path, self.sample_rate)
+        return wav, os.path.splitext(os.path.basename(path))[0]
