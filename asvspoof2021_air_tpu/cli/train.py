@@ -68,7 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args: argparse.Namespace) -> TrainConfig:
-    assert 0 < args.ratio <= 1
+    if not (0 < args.ratio <= 1):
+        raise SystemExit(
+            f"--ratio must be in (0, 1], got {args.ratio} "
+            "(fraction of original data per batch; the rest is augmented)"
+        )
     fields = {f for f in TrainConfig.__dataclass_fields__}
     kwargs = {k: v for k, v in vars(args).items() if k in fields}
     return TrainConfig(**kwargs)

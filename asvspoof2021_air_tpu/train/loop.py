@@ -205,6 +205,13 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
 
     if train_set is None or dev_set is None:
         train_set, dev_set = build_datasets(config)
+    if len(train_set) == 0 or len(dev_set) == 0:
+        raise FileNotFoundError(
+            f"no feature files found under '{config.path_to_features}' "
+            f"(train: {len(train_set)}, dev: {len(dev_set)}); expected "
+            f"<path>/{{train,dev}}/{config.feat}/*.npy — "
+            "run asvspoof2021_air_tpu.cli.preprocess first"
+        )
 
     mesh = mesh or make_mesh()
     monitor = config.add_loss or "base_loss"
