@@ -91,21 +91,23 @@ class SEModule1D(nn.Module):
 
     channels: int
     bottleneck: int = 128
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         y = jnp.mean(x, axis=1)
-        y = nn.Dense(self.bottleneck)(y)
+        y = nn.Dense(self.bottleneck, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=self.dtype,
         )(y)
-        y = nn.Dense(self.channels)(y)
+        y = nn.Dense(self.channels, dtype=self.dtype)(y)
         y = jax.nn.sigmoid(y)
         return x * y[:, None, :]
 
 
-def batch_norm(train: bool, **kwargs) -> nn.BatchNorm:
+def batch_norm(train: bool, dtype=None, **kwargs) -> nn.BatchNorm:
     """BatchNorm with torch-default hyperparameters.
 
     Under jit+GSPMD sharding the batch statistics are computed over the
@@ -113,7 +115,8 @@ def batch_norm(train: bool, **kwargs) -> nn.BatchNorm:
     without an axis_name.
     """
     return nn.BatchNorm(
-        use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, **kwargs
+        use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+        dtype=dtype, **kwargs
     )
 
 

@@ -16,7 +16,7 @@ XLA lowers to MXU matmuls.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,15 +31,16 @@ class Bottle2neck(nn.Module):
     kernel_size: int = 3
     dilation: int = 1
     scale: int = 8
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(math.floor(self.planes / self.scale))
         residual = x
 
-        out = nn.Conv(width * self.scale, (1,))(x)
+        out = nn.Conv(width * self.scale, (1,), dtype=self.dtype)(x)
         out = nn.relu(out)
-        out = batch_norm(train)(out)
+        out = batch_norm(train, self.dtype)(out)
 
         groups = jnp.split(out, self.scale, axis=-1)
         pad = (self.kernel_size // 2) * self.dilation
@@ -49,18 +50,18 @@ class Bottle2neck(nn.Module):
             sp = groups[i] if i == 0 else sp + groups[i]
             sp = nn.Conv(
                 width, (self.kernel_size,), kernel_dilation=(self.dilation,),
-                padding=((pad, pad),),
+                padding=((pad, pad),), dtype=self.dtype,
             )(sp)
             sp = nn.relu(sp)
-            sp = batch_norm(train)(sp)
+            sp = batch_norm(train, self.dtype)(sp)
             outs.append(sp)
         outs.append(groups[-1])
         out = jnp.concatenate(outs, axis=-1)
 
-        out = nn.Conv(self.planes, (1,))(out)
+        out = nn.Conv(self.planes, (1,), dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = batch_norm(train)(out)
-        out = SEModule1D(self.planes)(out, train)
+        out = batch_norm(train, self.dtype)(out)
+        out = SEModule1D(self.planes, dtype=self.dtype)(out, train)
         return out + residual
 
 
@@ -80,24 +81,30 @@ class ECAPA_TDNN(nn.Module):
     summed: bool = False
     encoder_type: str = "ECA"
     out_bn: bool = True
+    dtype: Optional[Any] = None   # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # x: (B, T, F)
-        x = nn.Conv(self.C, (5,), padding=((2, 2),))(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Conv(self.C, (5,), padding=((2, 2),), dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = batch_norm(train)(x)
+        x = batch_norm(train, self.dtype)(x)
 
+        blk = lambda d: Bottle2neck(self.C, 3, d, self.model_scale,
+                                    dtype=self.dtype)
         if self.summed:
-            x1 = Bottle2neck(self.C, 3, 2, self.model_scale)(x, train)
-            x2 = Bottle2neck(self.C, 3, 3, self.model_scale)(x + x1, train)
-            x3 = Bottle2neck(self.C, 3, 4, self.model_scale)(x + x1 + x2, train)
+            x1 = blk(2)(x, train)
+            x2 = blk(3)(x + x1, train)
+            x3 = blk(4)(x + x1 + x2, train)
         else:
-            x1 = Bottle2neck(self.C, 3, 2, self.model_scale)(x, train)
-            x2 = Bottle2neck(self.C, 3, 3, self.model_scale)(x1, train)
-            x3 = Bottle2neck(self.C, 3, 4, self.model_scale)(x2, train)
+            x1 = blk(2)(x, train)
+            x2 = blk(3)(x1, train)
+            x3 = blk(4)(x2, train)
 
-        x = nn.Conv(1536, (1,))(jnp.concatenate([x1, x2, x3], axis=-1))
+        x = nn.Conv(1536, (1,), dtype=self.dtype)(
+            jnp.concatenate([x1, x2, x3], axis=-1))
         x = nn.relu(x)
 
         T = x.shape[1]
@@ -112,19 +119,25 @@ class ECAPA_TDNN(nn.Module):
             global_x = x
 
         attn_output = 1536 if self.encoder_type == "ECA" else 1
-        w = nn.Conv(128, (1,))(global_x)
+        w = nn.Conv(128, (1,), dtype=self.dtype)(global_x)
         w = nn.relu(w)
-        w = batch_norm(train)(w)
-        w = nn.Conv(attn_output, (1,))(w)
-        w = nn.softmax(w, axis=1)  # softmax over time
+        w = batch_norm(train, self.dtype)(w)
+        w = nn.Conv(attn_output, (1,), dtype=self.dtype)(w)
+        w = nn.softmax(w.astype(jnp.float32), axis=1).astype(w.dtype)
 
-        mu = jnp.sum(x * w, axis=1)
-        sg = jnp.sqrt(jnp.clip(jnp.sum((x ** 2) * w, axis=1) - mu ** 2, 1e-4))
+        # attentive statistics accumulate in f32 (sums over T frames)
+        xf = x.astype(jnp.float32)
+        wf = w.astype(jnp.float32)
+        mu = jnp.sum(xf * wf, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum((xf ** 2) * wf, axis=1) - mu ** 2, 1e-4))
 
         x = jnp.concatenate([mu, sg], axis=1)  # (B, 3072)
-        x = batch_norm(train)(x)
-        feat = nn.Dense(self.enc_dim)(x)
-        out = nn.Dense(self.n_out)(feat)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = batch_norm(train, self.dtype)(x)
+        feat = nn.Dense(self.enc_dim, dtype=self.dtype)(x)
+        out = nn.Dense(self.n_out, dtype=self.dtype)(feat)
         if self.out_bn:
-            out = batch_norm(train)(out)
-        return feat, out
+            out = batch_norm(train, self.dtype)(out)
+        # embedding/logits leave the model in f32 (score math, losses)
+        return feat.astype(jnp.float32), out.astype(jnp.float32)

@@ -29,9 +29,10 @@ def _build_lcnn(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
                 feat_len=feat_len)
 
 
-def _build_ecapa(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60, **kw):
+def _build_ecapa(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
+                 dtype=None, **kw):
     return ECAPA_TDNN(C=512, model_scale=8, n_out=nclasses, n_feat=feat_dim,
-                      enc_dim=enc_dim)
+                      enc_dim=enc_dim, dtype=dtype)
 
 
 def _build_res2net(nclasses: int = 2, **kw):

@@ -94,6 +94,7 @@ class TrainConfig:
     visualize: bool = False
     early_stop_patience: int = 500
     nclasses: int = 2
+    compute_dtype: str = "float32"   # "bfloat16": MXU-native compute, f32 params
 
 
 def _prepare_out_fold(config: TrainConfig) -> None:
@@ -136,10 +137,11 @@ def build_datasets(config: TrainConfig):
 
 def setup_training(config: TrainConfig, steps_per_epoch: int):
     """Build model, loss, optimizers, state, and jitted steps."""
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
     model = build_model(
         config.model, enc_dim=config.enc_dim,
         nclasses=1 if config.base_loss == "bce" else config.nclasses,
-        feat_dim=config.feat_dim, feat_len=config.feat_len,
+        feat_dim=config.feat_dim, feat_len=config.feat_len, dtype=dtype,
     )
     loss_mod = build_loss(
         config.add_loss, enc_dim=config.enc_dim, r_real=config.r_real,

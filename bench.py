@@ -45,13 +45,15 @@ def main():
     from asvspoof2021_air_tpu.train.steps import StepConfig, make_train_step
 
     # Fused Pallas front-end on TPU; jnp fallback elsewhere.
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     try:
-        lfcc = PallasLFCC()
-        if jax.devices()[0].platform not in ("tpu", "axon"):
-            lfcc = LFCC()
+        lfcc = PallasLFCC() if on_tpu else LFCC()
     except Exception:
         lfcc = LFCC()
-    model = ECAPA_TDNN(C=512, model_scale=8, n_out=2, n_feat=60)
+    # bf16 compute (f32 params) is the serving/training configuration on
+    # TPU: MXU-native, ~1.4-1.5x over f32 at >0.999 embedding cosine.
+    dtype = jnp.bfloat16 if on_tpu else None
+    model = ECAPA_TDNN(C=512, model_scale=8, n_out=2, n_feat=60, dtype=dtype)
     ocs = build_loss("ang_iso", enc_dim=256)
 
     rng = jax.random.PRNGKey(688)
@@ -106,7 +108,7 @@ def main():
 
     result = {
         "metric": "utterances/sec/chip, LFCC+ECAPA-512+OCSoftmax inference "
-                  "(B=64, 7.49s audio, on-device front-end)",
+                  "(B=64, 7.49s audio, fused front-end, bf16 compute)",
         "value": round(infer_utt_s, 1),
         "unit": "utt/s/chip",
         "vs_baseline": round(infer_utt_s / BASELINE_CPU_UTT_PER_SEC, 1),

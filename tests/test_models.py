@@ -138,3 +138,20 @@ def test_train_mode_updates_batch_stats(feats):
     assert any(
         not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
     )
+
+
+def test_ecapa_bf16_compute(feats):
+    """bf16 compute dtype keeps f32 params and returns f32 outputs close to
+    the f32 path."""
+    m32 = ECAPA_TDNN(C=64, model_scale=4, n_out=2, n_feat=F)
+    m16 = ECAPA_TDNN(C=64, model_scale=4, n_out=2, n_feat=F,
+                     dtype=jnp.bfloat16)
+    variables = m32.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(variables["params"]))
+    f32_out = m32.apply(variables, feats, False)
+    f16_out = m16.apply(variables, feats, False)
+    assert f16_out[0].dtype == jnp.float32
+    a, b = np.asarray(f32_out[0]), np.asarray(f16_out[0])
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.99, cos.min()
