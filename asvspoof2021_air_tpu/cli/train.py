@@ -67,6 +67,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params always float32)")
+    p.add_argument("--on_the_fly", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="train straight from raw audio: augmentation + LFCC "
+                        "fused into the jitted step (needs -d database path)")
+    p.add_argument("--on_device_aug", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="per-utterance random channel simulation each step "
+                        "(on_the_fly mode)")
+    p.add_argument("--apply_ir", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="also convolve a random impulse response (on_the_fly)")
     return p
 
 

@@ -4,15 +4,26 @@ level normalization — the jittable tier of the channel-simulation capability
 
 The reference shells out per (file, codec) to an external tool
 (simulated_channel.py:52-56 etc.), materializing augmented corpora offline.
-Here the linear and companding parts of that chain run on device, batched,
-inside the training step: every utterance in a batch can draw a random
-channel each step (a strictly richer augmentation distribution than the
-reference's fixed offline copies). True lossy codecs (AMR/SILK/mp3/aac) are
-approximated on device by their dominant linear effects (band-limit, 8k
-resample round-trip, companding quantization, bitrate-shaped noise); the
-bit-exact host-side C++ codec tier (native/) covers exact G.711/G.726.
+Here the channel chain runs on device, batched, inside the training step:
+every utterance in a batch draws a random channel each step (a strictly
+richer augmentation distribution than the reference's fixed offline copies).
 
-All functions are jit-safe with static shapes.
+TPU-native formulation: ALL linear channel effects — telephony band-limiting
+and device/room impulse responses — are assembled as one SMALL per-utterance
+time-domain kernel (family FIR prototype (*) random IR, combined with a tiny
+FFT) and applied with one big rFFT/irFFT pair; wide (B, n_fft/2+1) spectra
+only ever appear as FFT products, which the TPU FFT path handles in
+microseconds. Time-domain long convolutions are deliberately avoided
+(single-channel convs neither hit the MXU nor compile quickly), and so are
+integer/bool intermediates and small closed-over constants near matmuls
+(both trigger a ~30 ms slow-dispatch path on the axon TPU backend — see
+ChannelAugmenter's docstring for the pass-tables-as-arguments rule).
+Non-linear effects (companded 8-bit quantization, bitrate-shaped noise) are
+elementwise VPU work selected per utterance by float arithmetic masks.
+
+True lossy codecs (AMR/SILK/mp3/aac) are approximated by their dominant
+effects; the bit-exact host-side C++ codec tier (native/) covers exact
+G.711/G.726.
 """
 
 from __future__ import annotations
@@ -28,9 +39,48 @@ import jax.numpy as jnp
 from asvspoof2021_air_tpu.ops import dsp
 
 
+def _next_pow2(n: int) -> int:
+    return int(2 ** np.ceil(np.log2(max(n, 2))))
+
+
 # ---------------------------------------------------------------------------
-# Impulse-response convolution (device/space simulation, C3 equivalent)
+# FIR prototypes (numpy, used only to derive frequency responses)
 # ---------------------------------------------------------------------------
+
+def lowpass_fir(cutoff: float, sr: int, taps: int = 127) -> np.ndarray:
+    """Hamming-windowed-sinc low-pass FIR prototype."""
+    t = np.arange(taps) - (taps - 1) / 2.0
+    h = 2.0 * cutoff / sr * np.sinc(2.0 * cutoff / sr * t)
+    h *= np.hamming(taps)
+    return (h / h.sum()).astype(np.float32)
+
+
+def bandpass_fir(low: float, high: float, sr: int, taps: int = 127) -> np.ndarray:
+    """Band-pass FIR: low-pass(high) minus low-pass(low)."""
+    lp_hi = lowpass_fir(high, sr, taps)
+    lp_lo = lowpass_fir(low, sr, taps)
+    return (lp_hi - lp_lo).astype(np.float32)
+
+
+def fir_response(fir: np.ndarray, n_fft: int) -> np.ndarray:
+    """Zero-phase magnitude-preserving frequency response of an FIR (the
+    linear-phase delay is discarded so augmentation doesn't shift audio)."""
+    H = np.fft.rfft(fir, n=n_fft)
+    return np.abs(H).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-domain linear channel application
+# ---------------------------------------------------------------------------
+
+def apply_response(waves: jnp.ndarray, H: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """y = irfft(rfft(x) * H)[:L] — batched linear filtering; H (B, NF) or
+    (NF,)."""
+    L = waves.shape[-1]
+    X = jnp.fft.rfft(waves, n=n_fft, axis=-1)
+    Y = X * H
+    return jnp.fft.irfft(Y, n=n_fft, axis=-1)[..., :L].astype(waves.dtype)
+
 
 def ir_convolve(waves: jnp.ndarray, irs: jnp.ndarray,
                 ir_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -42,15 +92,32 @@ def ir_convolve(waves: jnp.ndarray, irs: jnp.ndarray,
     """
     B, L = waves.shape
     K = irs.shape[-1]
-    if ir_idx is not None:
-        sel = irs[ir_idx]  # (B, K)
-    else:
-        sel = jnp.broadcast_to(irs[:1], (B, K))
-    n = int(2 ** np.ceil(np.log2(L + K - 1)))
-    W = jnp.fft.rfft(waves, n=n, axis=-1)
+    sel = irs[ir_idx] if ir_idx is not None else jnp.broadcast_to(irs[:1], (B, K))
+    n = _next_pow2(L + K - 1)
     H = jnp.fft.rfft(sel, n=n, axis=-1)
-    out = jnp.fft.irfft(W * H, n=n, axis=-1)[:, :L]
-    return out.astype(waves.dtype)
+    return apply_response(waves, H, n)
+
+
+def fir_filter(waves: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Delay-compensated FIR filtering, frequency-domain (TPU-friendly)."""
+    L = waves.shape[-1]
+    n = _next_pow2(L + len(kernel))
+    # keep true (complex) response but undo the linear-phase delay
+    H = np.fft.rfft(np.asarray(kernel, np.float64), n=n)
+    delay = (len(kernel) - 1) / 2.0
+    k = np.arange(H.shape[0])
+    H = H * np.exp(2j * np.pi * k * delay / n)
+    return apply_response(waves, jnp.asarray(H.astype(np.complex64)), n)
+
+
+def telephony_bandlimit(waves: jnp.ndarray, wideband: bool = False) -> jnp.ndarray:
+    """300-3400 Hz (narrowband) or 50-7000 Hz (wideband) band-limiting, the
+    dominant linear effect of the G.7xx/AMR/SILK telephony chains."""
+    if wideband:
+        fir = lowpass_fir(7000.0, 16000)
+    else:
+        fir = bandpass_fir(300.0, 3400.0, 16000)
+    return fir_filter(waves, fir)
 
 
 # ---------------------------------------------------------------------------
@@ -78,77 +145,49 @@ def rms_normalize(waves: jnp.ndarray, target_dbfs: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Sample-rate round trip (narrowband telephony path)
+# Companding quantization (G.711 on-device simulation, elementwise)
 # ---------------------------------------------------------------------------
 
-def _lowpass_kernel(cutoff: float, sr: int, taps: int = 127) -> np.ndarray:
-    """Hamming-windowed-sinc low-pass FIR."""
-    t = np.arange(taps) - (taps - 1) / 2.0
-    h = 2.0 * cutoff / sr * np.sinc(2.0 * cutoff / sr * t)
-    h *= np.hamming(taps)
-    return (h / h.sum()).astype(np.float32)
+def mulaw_quantize(x: jnp.ndarray) -> jnp.ndarray:
+    """8-bit mu-law companded quantization round trip (no band-limit; combine
+    with telephony_bandlimit / ChannelAugmenter's response stage).
 
-
-_NB_LP = _lowpass_kernel(3400.0, 16000)   # narrowband anti-alias (300-3400 band)
-_WB_LP = _lowpass_kernel(7000.0, 16000)   # wideband codecs (50-7000)
-_HP_300 = None  # built lazily
-
-
-def _highpass_300() -> np.ndarray:
-    global _HP_300
-    if _HP_300 is None:
-        lp = _lowpass_kernel(300.0, 16000)
-        hp = -lp
-        hp[(len(lp) - 1) // 2] += 1.0
-        _HP_300 = hp.astype(np.float32)
-    return _HP_300
-
-
-def fir_filter(waves: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """Same-length FIR filtering via conv (delay-compensated)."""
-    k = jnp.asarray(kernel)[::-1]
-    pad = (len(kernel) - 1) // 2
-    x = jnp.pad(waves, ((0, 0), (pad, len(kernel) - 1 - pad)))
-    return jax.lax.conv_general_dilated(
-        x[:, None, :], k[None, None, :], window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )[:, 0, :]
-
-
-def telephony_bandlimit(waves: jnp.ndarray, wideband: bool = False) -> jnp.ndarray:
-    """300-3400 Hz (narrowband) or 50-7000 Hz (wideband) band-limiting, the
-    dominant linear effect of the G.7xx/AMR/SILK telephony chains."""
-    lp = _WB_LP if wideband else _NB_LP
-    out = fir_filter(waves, lp)
-    if not wideband:
-        out = fir_filter(out, _highpass_300())
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Companding quantization (G.711 on-device simulation)
-# ---------------------------------------------------------------------------
-
-def g711_sim(waves: jnp.ndarray, law: str = "u") -> jnp.ndarray:
-    """G.711 u-law/A-law round trip: band-limit + 8-bit companded
-    quantization (on-device approximation; the native tier is bit-exact)."""
-    x = telephony_bandlimit(waves)
+    Float-only formulation (floor-based rounding instead of an int cast) so
+    augmentation programs stay integer-free."""
     x = jnp.clip(x, -1.0, 1.0)
-    if law == "u":
-        enc = dsp.mulaw_encode(x, 256, scale_to_int=True)
-        return dsp.mulaw_decode(enc, 256, input_int=True)
+    mu = 255.0
+    x_mu = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / jnp.log1p(mu)
+    code = jnp.floor((x_mu + 1.0) / 2.0 * mu + 0.5)  # same as int cast
+    x_back = (code / mu) * 2.0 - 1.0
+    return jnp.sign(x_back) * (jnp.exp(jnp.abs(x_back) * jnp.log1p(mu)) - 1.0) / mu
+
+
+def alaw_quantize(x: jnp.ndarray) -> jnp.ndarray:
+    """8-bit A-law companded quantization round trip."""
+    x = jnp.clip(x, -1.0, 1.0)
     comp = dsp.alaw_encode(x)
     q = jnp.round(comp * 127.0) / 127.0
     return dsp.alaw_decode(q)
 
 
+def g711_sim(waves: jnp.ndarray, law: str = "u") -> jnp.ndarray:
+    """G.711 u-law/A-law landline hop: band-limit + 8-bit companded
+    quantization (on-device approximation; the native tier is bit-exact)."""
+    x = telephony_bandlimit(waves)
+    return mulaw_quantize(x) if law == "u" else alaw_quantize(x)
+
+
 def bitrate_noise(waves: jnp.ndarray, rng: jax.Array, snr_db: jnp.ndarray) -> jnp.ndarray:
     """Quantization-noise proxy for lossy codecs: additive noise at a
-    bitrate-dependent SNR, shaped by the signal envelope."""
+    bitrate-dependent SNR. snr_db of +inf adds nothing."""
     noise = jax.random.normal(rng, waves.shape, waves.dtype)
     sig_pow = jnp.mean(waves ** 2, axis=-1, keepdims=True) + 1e-12
-    snr = 10.0 ** (jnp.asarray(snr_db, waves.dtype)[:, None] / 10.0)
-    scale = jnp.sqrt(sig_pow / snr)
+    snr_db = jnp.asarray(snr_db, waves.dtype)[:, None]
+    scale = jnp.where(
+        jnp.isfinite(snr_db),
+        jnp.sqrt(sig_pow / (10.0 ** (snr_db / 10.0))),
+        0.0,
+    )
     return waves + noise * scale
 
 
@@ -180,54 +219,144 @@ CHANNEL_FAMILIES: Tuple[ChannelFamily, ...] = (
     ChannelFamily("gsmfr", False, None, 20.0),
 )
 
+_LAW_NONE, _LAW_MU, _LAW_A = 0, 1, 2
+
+
+def _arith_onehot(idx_f: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Exact {0,1} one-hot from integer-VALUED float indices using pure float
+    arithmetic (max(0, 1-|i-k|)). Keeps programs free of integer/bool
+    intermediates, which (together with small inlined constants) trigger a
+    ~30 ms slow-dispatch path on the axon TPU backend."""
+    k = jnp.arange(n, dtype=jnp.float32)
+    return jnp.maximum(1.0 - jnp.abs(idx_f[:, None] - k[None, :]), 0.0)
+
 
 class ChannelAugmenter:
     """Applies a per-utterance random channel transform inside jit.
 
-    Built from a family table and an optional IR bank; one lax.switch per
-    family keeps the compiled program static while every utterance draws its
-    own channel. Returns (augmented_waves, family_idx, ir_idx).
+    TPU-native structure: per utterance, a SMALL time-domain channel kernel
+    is assembled (family FIR prototype, optionally convolved with a random
+    impulse response via a tiny FFT), and applied to the batch with one big
+    rFFT/irFFT pair — wide (B, n_fft/2+1) spectra only ever appear as FFT
+    products, which the TPU FFT path handles in microseconds. Family/IR
+    selection is a float arithmetic one-hot times the (few-row) tables.
+    Companding law and noise SNR are per-utterance gathered scalars driving
+    elementwise selects.
+
+    IMPORTANT (axon backend): the tables must be passed INTO the jitted
+    program as arguments — closing over small device-array constants sends
+    the whole program down a ~30 ms slow-dispatch path. Use ``.tables`` and
+    pass them through, e.g.::
+
+        tables = aug.tables
+        fn = jax.jit(lambda w, k, tb: aug(w, k, apply_ir=True, tables=tb))
+        fn(wave, key, tables)
+
+    Calling without ``tables`` closes over them (fine on CPU / in tests).
+
+    Returns (augmented_waves, family_idx_f32, ir_idx_f32).
     """
 
+    N_FFT = 131072  # covers 7.5 s utterances + IR tails
+    TAPS = 128      # family FIR prototype length
+
     def __init__(self, families: Sequence[ChannelFamily] = CHANNEL_FAMILIES,
-                 ir_bank: Optional[np.ndarray] = None):
+                 ir_bank: Optional[np.ndarray] = None,
+                 n_fft: Optional[int] = None):
         self.families = tuple(families)
-        self.ir_bank = None if ir_bank is None else jnp.asarray(ir_bank)
+        self.n_fft = n_fft or self.N_FFT
+
+        firs, laws, snrs = [], [], []
+        for fam in self.families:
+            if fam.name == "clean":
+                fir = np.zeros(self.TAPS, np.float32)
+                fir[self.TAPS // 2] = 1.0  # pure delay (compensated below)
+            elif fam.wideband:
+                fir = np.zeros(self.TAPS, np.float32)
+                proto = lowpass_fir(7000.0, 16000, self.TAPS - 1)
+                fir[: self.TAPS - 1] = proto
+            else:
+                fir = np.zeros(self.TAPS, np.float32)
+                proto = bandpass_fir(300.0, 3400.0, 16000, self.TAPS - 1)
+                fir[: self.TAPS - 1] = proto
+            firs.append(fir)
+            laws.append({None: _LAW_NONE, "u": _LAW_MU, "a": _LAW_A}[fam.law])
+            # inf encoded as a large sentinel (pure-float programs)
+            snrs.append(200.0 if not np.isfinite(fam.snr_db) else fam.snr_db)
+
+        if ir_bank is None:
+            ir_np = np.zeros((1, self.TAPS), np.float32)
+            ir_np[0, 0] = 1.0
+            self._has_ir = False
+        else:
+            ir_np = np.asarray(ir_bank, np.float32)
+            self._has_ir = True
+        self.ir_bank = jnp.asarray(ir_np)
+
+        self.tables = {
+            "fam_fir": jnp.asarray(np.stack(firs)),          # (F, TAPS)
+            "laws": jnp.asarray(np.array(laws, np.float32)),  # (F,)
+            "snrs": jnp.asarray(np.array(snrs, np.float32)),  # (F,)
+            "irs": self.ir_bank,                              # (N, K)
+        }
 
     def __call__(self, waves: jnp.ndarray, rng: jax.Array,
-                 apply_ir: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        B = waves.shape[0]
+                 apply_ir: bool = False,
+                 tables=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        tb = self.tables if tables is None else tables
+        B, L = waves.shape
+        n_fam = tb["fam_fir"].shape[0]
+        n_ir = tb["irs"].shape[0]
         k_fam, k_noise, k_ir = jax.random.split(rng, 3)
-        fam_idx = jax.random.randint(k_fam, (B,), 0, len(self.families))
 
-        def apply_family(i, fam):
-            out = waves
-            if fam.name != "clean":
-                out = telephony_bandlimit(out, wideband=fam.wideband)
-            if fam.law is not None:
-                out = g711_sim(out, fam.law)
-            if np.isfinite(fam.snr_db):
-                out = bitrate_noise(out, jax.random.fold_in(k_noise, i),
-                                    jnp.full((B,), fam.snr_db, waves.dtype))
-            return out
+        # float-only channel draw: floor(uniform * n)
+        fam_f = jnp.floor(
+            jax.random.uniform(k_fam, (B,), jnp.float32) * n_fam
+        )
+        fam_oh = _arith_onehot(fam_f, n_fam)                 # (B, F)
+        fir = fam_oh @ tb["fam_fir"]                         # (B, TAPS)
 
-        branches = [
-            (lambda fam=fam, i=i: apply_family(i, fam))
-            for i, fam in enumerate(self.families)
-        ]
-        # Per-family computation, then per-utterance select: with ~10
-        # families this trades FLOPs for a branch-free program (the XLA-
-        # friendly formulation; a scalar switch would serialize the batch).
-        stacked = jnp.stack([b() for b in branches])  # (F, B, L)
-        out = jnp.take_along_axis(
-            stacked, fam_idx[None, :, None], axis=0
-        )[0]
+        ir_f = jnp.zeros((B,), jnp.float32)
+        kernel = fir
+        k_len = self.TAPS
+        if apply_ir and self._has_ir:
+            ir_f = jnp.floor(
+                jax.random.uniform(k_ir, (B,), jnp.float32) * n_ir
+            )
+            irs = _arith_onehot(ir_f, n_ir) @ tb["irs"]      # (B, K)
+            # combine FIR and IR with a small FFT convolution
+            m = _next_pow2(self.TAPS + tb["irs"].shape[1])
+            K1 = jnp.fft.rfft(fir, n=m, axis=-1)
+            K2 = jnp.fft.rfft(irs, n=m, axis=-1)
+            kernel = jnp.fft.irfft(K1 * K2, n=m, axis=-1)
+            k_len = m
+        if L + k_len > self.n_fft:
+            raise ValueError(
+                f"utterance length {L} too long for augmenter n_fft {self.n_fft}"
+            )
 
-        ir_idx = jnp.zeros((B,), jnp.int32)
-        if apply_ir and self.ir_bank is not None:
-            ir_idx = jax.random.randint(k_ir, (B,), 0, self.ir_bank.shape[0])
-            out = ir_convolve(out, self.ir_bank, ir_idx)
-        return out, fam_idx, ir_idx
+        # apply the per-utterance kernel with one big FFT pair; compensate
+        # the TAPS/2 prototype delay by rolling the kernel's phase
+        H = jnp.fft.rfft(kernel, n=self.n_fft, axis=-1)
+        X = jnp.fft.rfft(waves, n=self.n_fft, axis=-1)
+        y = jnp.fft.irfft(X * H, n=self.n_fft, axis=-1)
+        delay = self.TAPS // 2
+        out = y[:, delay:delay + L].astype(waves.dtype)
+
+        # companding law per utterance (arith masks, no bools)
+        law = (fam_oh @ tb["laws"])[:, None]                 # (B, 1)
+        mu_m = jnp.maximum(1.0 - jnp.abs(law - _LAW_MU), 0.0)
+        a_m = jnp.maximum(1.0 - jnp.abs(law - _LAW_A), 0.0)
+        out = (1.0 - mu_m - a_m) * out + mu_m * mulaw_quantize(out) \
+            + a_m * alaw_quantize(out)
+
+        # bitrate-shaped noise; snr 200 dB sentinel => negligible
+        snr = (fam_oh @ tb["snrs"])
+        noise = jax.random.normal(k_noise, out.shape, out.dtype)
+        sig_pow = jnp.mean(out ** 2, axis=-1, keepdims=True) + 1e-12
+        scale = jnp.sqrt(sig_pow / (10.0 ** (snr[:, None] / 10.0)))
+        out = out + noise * scale
+        return out, fam_f, ir_f
 
 
 def synthetic_ir_bank(n_irs: int = 13, length: int = 512, seed: int = 0,

@@ -1,0 +1,105 @@
+"""On-device training front-end: augmentation + LFCC + padding policy fused
+into the jitted train step.
+
+This is the architectural replacement for the reference's offline
+feature-cache hot loop (per-item torch.load at
+/root/reference/main_train.py:311-321 + dataset.py:56-85): waveforms enter
+the step as fixed (B, L_max) buffers with lengths, every utterance optionally
+draws a fresh random channel (ops/augment.ChannelAugmenter), LFCC runs as
+the fused Pallas kernel (or jnp fallback), and the reference's pad policies
+are applied in feature space on device:
+
+- 'repeat': frame t of a short utterance reads frame t mod T_valid
+  (dataset.py:520-523 semantics)
+- 'zero':   frames beyond T_valid are zeroed (dataset.py:514-518)
+- 'silence': frames beyond T_valid keep their natural LFCC-of-zero-padding
+  values (the reference PREPENDS silence frames, dataset.py:525-528; here
+  silence trails — same content, different position)
+
+Long utterances are random-cropped host-side when the batch buffer is
+filled (WaveformIterator), matching the reference's per-epoch random crop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from asvspoof2021_air_tpu.ops.augment import ChannelAugmenter
+from asvspoof2021_air_tpu.ops.lfcc import LFCC, LFCCConfig
+
+
+class OnDeviceFrontend:
+    """fn(batch_dict, rng) -> (B, feat_len, D) features, jit-safe."""
+
+    def __init__(
+        self,
+        feat_len: int = 750,
+        padding: str = "repeat",
+        config: LFCCConfig = LFCCConfig(),
+        augmenter: Optional[ChannelAugmenter] = None,
+        apply_ir: bool = False,
+        use_pallas: bool = True,
+    ):
+        self.feat_len = feat_len
+        self.padding = padding
+        self.augmenter = augmenter
+        self.apply_ir = apply_ir
+        self.extractor = None
+        if use_pallas:
+            try:
+                from asvspoof2021_air_tpu.ops.lfcc_pallas import PallasLFCC
+
+                if jax.devices()[0].platform in ("tpu", "axon"):
+                    self.extractor = PallasLFCC(config)
+            except Exception:
+                self.extractor = None
+        if self.extractor is None:
+            self.extractor = LFCC(config)
+        self.hop = config.hop_length
+
+    def min_samples(self) -> int:
+        """Waveform buffer length that yields >= feat_len frames."""
+        return (self.feat_len - 1) * self.hop
+
+    @property
+    def params(self):
+        """Pytree of augmentation tables; pass through the jitted step as an
+        argument (small closed-over constants trigger the axon backend's
+        slow-dispatch path)."""
+        return None if self.augmenter is None else self.augmenter.tables
+
+    def __call__(self, batch, rng, params=None) -> jnp.ndarray:
+        wave = batch["wave"]
+        lengths = batch.get("length")
+        if lengths is None:
+            lengths = jnp.full((wave.shape[0],), wave.shape[1], jnp.int32)
+
+        if self.augmenter is not None:
+            wave, _fam, _ir = self.augmenter(wave, rng, apply_ir=self.apply_ir,
+                                             tables=params)
+
+        feats = self.extractor(wave, lengths)  # (B, T_max, D)
+        B, T_max, D = feats.shape
+        t_valid = jnp.maximum(1 + lengths // self.hop, 1)  # (B,)
+
+        if T_max < self.feat_len:
+            feats = jnp.pad(feats, ((0, 0), (0, self.feat_len - T_max), (0, 0)))
+            T_max = self.feat_len
+        t = jnp.arange(self.feat_len, dtype=jnp.int32)
+
+        if self.padding == "repeat":
+            idx = t[None, :] % t_valid[:, None]           # (B, feat_len)
+            gather = jax.vmap(lambda f, i: f[i])
+            out = gather(feats, idx)
+        elif self.padding == "zero":
+            out = feats[:, : self.feat_len, :]
+            mask = (t[None, :] < t_valid[:, None]).astype(out.dtype)
+            out = out * mask[..., None]
+        elif self.padding == "silence":
+            out = feats[:, : self.feat_len, :]
+        else:
+            raise ValueError("padding should be zero, repeat, or silence")
+        return out

@@ -95,6 +95,11 @@ class TrainConfig:
     early_stop_patience: int = 500
     nclasses: int = 2
     compute_dtype: str = "float32"   # "bfloat16": MXU-native compute, f32 params
+    # On-the-fly mode: raw waveforms in, augmentation + LFCC fused into the
+    # jitted step (no feature cache at all) — the TPU-native fast path.
+    on_the_fly: bool = False
+    on_device_aug: bool = False      # per-utterance random channel each step
+    apply_ir: bool = False           # + random impulse response from the bank
 
 
 def _prepare_out_fold(config: TrainConfig) -> None:
@@ -114,6 +119,14 @@ def _prepare_out_fold(config: TrainConfig) -> None:
 
 def build_datasets(config: TrainConfig):
     """Dataset selection per aug flags (/root/reference/main_train.py:178-209)."""
+    if config.on_the_fly:
+        from asvspoof2021_air_tpu.data.datasets import RawAudioDataset
+
+        train_set = RawAudioDataset(
+            config.access_type, config.path_to_database, "train"
+        )
+        dev_set = RawAudioDataset(config.access_type, config.path_to_database, "dev")
+        return train_set, dev_set
     if config.LA_aug or config.DF_aug or config.LAPA_aug or config.DFPA_aug:
         variant = "LA" if (config.LA_aug or config.LAPA_aug) else "DF"
         with_device = config.LAPA_aug or config.DFPA_aug
@@ -135,7 +148,7 @@ def build_datasets(config: TrainConfig):
     return train_set, dev_set
 
 
-def setup_training(config: TrainConfig, steps_per_epoch: int):
+def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
     """Build model, loss, optimizers, state, and jitted steps."""
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
     model = build_model(
@@ -194,8 +207,10 @@ def setup_training(config: TrainConfig, steps_per_epoch: int):
     train_step = jax.jit(make_train_step(
         model, loss_mod, btx, ltx, step_cfg,
         classifier=classifier, classifier_tx=ctx, classifier2=classifier2,
+        frontend=frontend,
     ))
-    eval_step = jax.jit(make_eval_step(model, loss_mod, step_cfg))
+    eval_step = jax.jit(make_eval_step(model, loss_mod, step_cfg,
+                                       frontend=frontend))
     return model, loss_mod, state, train_step, eval_step
 
 
@@ -208,8 +223,10 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
     if train_set is None or dev_set is None:
         train_set, dev_set = build_datasets(config)
     if len(train_set) == 0 or len(dev_set) == 0:
+        source = (config.path_to_database if config.on_the_fly
+                  else config.path_to_features)
         raise FileNotFoundError(
-            f"no feature files found under '{config.path_to_features}' "
+            f"no data found under '{source}' "
             f"(train: {len(train_set)}, dev: {len(dev_set)}); expected "
             f"<path>/{{train,dev}}/{config.feat}/*.npy — "
             "run asvspoof2021_air_tpu.cli.preprocess first"
@@ -218,22 +235,51 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
     mesh = mesh or make_mesh()
     monitor = config.add_loss or "base_loss"
 
-    train_iter = RatioMixIterator(
-        train_set, config.batch_size, config.ratio,
-        feat_len=config.feat_len, padding=config.padding, seed=config.seed,
-    )
-    dev_iter = RatioMixIterator(
-        dev_set, config.batch_size, config.ratio,
-        feat_len=config.feat_len, padding=config.padding, seed=config.seed + 1,
-    )
+    frontend = None
+    if config.on_the_fly:
+        from asvspoof2021_air_tpu.data.pipeline import WaveformIterator
+        from asvspoof2021_air_tpu.ops.augment import (
+            ChannelAugmenter,
+            synthetic_ir_bank,
+        )
+        from asvspoof2021_air_tpu.train.frontend import OnDeviceFrontend
+
+        augmenter = None
+        if config.on_device_aug:
+            ir_bank = synthetic_ir_bank() if config.apply_ir else None
+            augmenter = ChannelAugmenter(ir_bank=ir_bank)
+        frontend = OnDeviceFrontend(
+            feat_len=config.feat_len, padding=config.padding,
+            augmenter=augmenter, apply_ir=config.apply_ir,
+        )
+        max_samples = frontend.min_samples()
+        train_iter = WaveformIterator(
+            train_set, config.batch_size, max_samples, config.ratio,
+            seed=config.seed,
+        )
+        dev_iter = WaveformIterator(
+            dev_set, config.batch_size, max_samples, config.ratio,
+            seed=config.seed + 1,
+        )
+    else:
+        train_iter = RatioMixIterator(
+            train_set, config.batch_size, config.ratio,
+            feat_len=config.feat_len, padding=config.padding, seed=config.seed,
+        )
+        dev_iter = RatioMixIterator(
+            dev_set, config.batch_size, config.ratio,
+            feat_len=config.feat_len, padding=config.padding,
+            seed=config.seed + 1,
+        )
 
     model, loss_mod, state, train_step, eval_step = setup_training(
-        config, train_iter.steps_per_epoch
+        config, train_iter.steps_per_epoch, frontend=frontend
     )
     if config.continue_training:
         state = restore_checkpoint(os.path.join(config.out_fold, "best"), state)
 
     rng = jax.random.PRNGKey(config.seed ^ 0x5EED)
+    frontend_params = frontend.params if frontend is not None else None
     prev_loss = 1e8
     early_stop = 0
     summary: Dict[str, Any] = {"epochs": 0}
@@ -248,7 +294,7 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
             )
             state, metrics = train_step(
                 state, device_batch, jax.random.fold_in(rng, int(state.step)),
-                adv_gate,
+                adv_gate, frontend_params,
             )
             for k, v in metrics.items():
                 train_log[k].append(float(v))
@@ -262,7 +308,8 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if k != "fname"}, mesh
             )
-            metrics, score, _feats = eval_step(state, device_batch)
+            metrics, score, _feats = eval_step(state, device_batch,
+                                               frontend_params)
             for k, v in metrics.items():
                 dev_log[k].append(float(v))
             scores.append(np.asarray(score))
@@ -286,7 +333,8 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                     {k: v for k, v in batch.items() if k not in ("fname", "valid")},
                     mesh,
                 )
-                _m, score, _f = eval_step(state, device_batch)
+                _m, score, _f = eval_step(state, device_batch,
+                                          frontend_params)
                 valid = batch["valid"]
                 e_scores.append(np.asarray(score)[valid])
                 e_labels.append(batch["label"][valid])

@@ -70,7 +70,9 @@ def make_train_step(
 
     batch: dict with either 'feat' (B, T, F) or 'wave' (B, L) + 'length',
     plus 'label' (B,) and optional 'channel' ((B,) or (B, 2)).
-    Returns (new_state, metrics).
+    `frontend` (for waveform batches) is any fn(batch_dict, rng) -> (B, T, F)
+    features — e.g. train.frontend.OnDeviceFrontend fusing augmentation +
+    LFCC + padding policy into the step. Returns (new_state, metrics).
     """
 
     def apply_model(params, batch_stats, x, rngs):
@@ -80,9 +82,10 @@ def make_train_step(
         )
         return feats, logits, mutated["batch_stats"]
 
-    def loss_fn(params, loss_params, state, batch, rngs, adv_gate):
+    def loss_fn(params, loss_params, state, batch, rngs, adv_gate,
+                frontend_params):
         x = batch["feat"] if "feat" in batch else frontend(
-            batch["wave"], batch.get("length")
+            batch, rngs["frontend"], frontend_params
         )
         labels = batch["label"]
         feats, logits, new_bs = apply_model(params, state.batch_stats, x, rngs)
@@ -129,19 +132,26 @@ def make_train_step(
 
         return total, (metrics, new_bs, feats)
 
-    def train_step(state: TrainState, batch: Dict[str, Any], rng, adv_gate=0.0):
-        rngs = {"dropout": rng, "noise": jax.random.fold_in(rng, 1)}
+    def train_step(state: TrainState, batch: Dict[str, Any], rng,
+                   adv_gate=0.0, frontend_params=None):
+        rngs = {
+            "dropout": rng,
+            "noise": jax.random.fold_in(rng, 1),
+            "frontend": jax.random.fold_in(rng, 2),
+        }
 
         if loss_module is None:
             grad_fn = jax.value_and_grad(
-                lambda p: loss_fn(p, None, state, batch, rngs, adv_gate),
+                lambda p: loss_fn(p, None, state, batch, rngs, adv_gate,
+                                  frontend_params),
                 has_aux=True,
             )
             (total, (metrics, new_bs, feats)), grads = grad_fn(state.params)
             loss_grads = None
         else:
             grad_fn = jax.value_and_grad(
-                lambda p, lp: loss_fn(p, lp, state, batch, rngs, adv_gate),
+                lambda p, lp: loss_fn(p, lp, state, batch, rngs, adv_gate,
+                                      frontend_params),
                 argnums=(0, 1),
                 has_aux=True,
             )
@@ -243,9 +253,10 @@ def make_eval_step(
     center for isolate, the loss module's score output for ang_iso/p2sgrad.
     """
 
-    def eval_step(state: TrainState, batch: Dict[str, Any]):
+    def eval_step(state: TrainState, batch: Dict[str, Any],
+                  frontend_params=None):
         x = batch["feat"] if "feat" in batch else frontend(
-            batch["wave"], batch.get("length")
+            batch, jax.random.PRNGKey(0), frontend_params
         )
         labels = batch["label"]
         variables = {"params": state.params, "batch_stats": state.batch_stats}

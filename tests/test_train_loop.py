@@ -81,3 +81,49 @@ def test_train_loop_resume(tmp_path):
     cfg2 = TrainConfig(**{**cfg.__dict__, "continue_training": True, "num_epochs": 1})
     s2 = train(cfg2, train_set=train_set, dev_set=dev_set)
     assert s2["epochs"] == 1
+
+
+class SyntheticRawDataset:
+    """Raw-audio items (wav, fname, tag, label) with separable classes."""
+
+    def __init__(self, n=16, seed=0, base_len=9000):
+        self.n = n
+        g = np.random.default_rng(seed)
+        self.items = []
+        for i in range(n):
+            label = i % 2
+            l = base_len + 321 * i
+            wav = 0.2 * g.standard_normal(l)
+            if label:
+                t = np.arange(l) / 16000.0
+                wav = 0.15 * np.sin(2 * np.pi * 700 * t) + 0.05 * g.standard_normal(l)
+            self.items.append((wav.astype(np.float32), f"R{i:04d}", 0, label))
+        self.num_original = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_train_loop_on_the_fly(tmp_path):
+    """Raw waveforms in, on-device augmentation + LFCC inside the step."""
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "otf"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=2,
+        batch_size=8,
+        feat_len=64,
+        feat_dim=D,
+        ratio=1.0,
+        enc_dim=32,
+        on_the_fly=True,
+        on_device_aug=True,
+    )
+    summary = train(cfg, train_set=SyntheticRawDataset(seed=0),
+                    dev_set=SyntheticRawDataset(seed=1))
+    assert summary["epochs"] == 2
+    assert np.isfinite(summary["dev_loss"])
+    assert summary["dev_eer"] <= 0.5
