@@ -208,7 +208,7 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
         model, loss_mod, btx, ltx, step_cfg,
         classifier=classifier, classifier_tx=ctx, classifier2=classifier2,
         frontend=frontend,
-    ))
+    ), donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(model, loss_mod, step_cfg,
                                        frontend=frontend))
     return model, loss_mod, state, train_step, eval_step

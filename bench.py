@@ -92,8 +92,9 @@ def main():
         backbone_tx=btx, loss_tx=ltx,
     )
     train_step = jax.jit(make_train_step(
-        model, ocs, btx, ltx, StepConfig(add_loss="ang_iso"), frontend=lfcc,
-    ))
+        model, ocs, btx, ltx, StepConfig(add_loss="ang_iso"),
+        frontend=lambda b, k, p=None: lfcc(b["wave"]),
+    ), donate_argnums=(0,))
     batch = {"wave": wave, "label": labels}
     step_rng = jax.random.PRNGKey(1)
     state, m = train_step(state, batch, step_rng, 0.0)
