@@ -303,17 +303,20 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
 
         # ---- validation (/root/reference/main_train.py:489-601) ----
         dev_log = defaultdict(list)
-        scores, labels = [], []
+        scores, labels, dev_feats, dev_tags = [], [], [], []
         for batch in dev_iter.epoch():
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if k != "fname"}, mesh
             )
-            metrics, score, _feats = eval_step(state, device_batch,
-                                               frontend_params)
+            metrics, score, feats = eval_step(state, device_batch,
+                                              frontend_params)
             for k, v in metrics.items():
                 dev_log[k].append(float(v))
             scores.append(np.asarray(score))
             labels.append(batch["label"])
+            if config.visualize:
+                dev_feats.append(np.asarray(feats))
+                dev_tags.append(batch.get("tag", batch["label"]))
         scores = np.concatenate(scores)
         labels = np.concatenate(labels)
         eer = min(
@@ -323,6 +326,21 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
         val_loss = float(np.nanmean(dev_log[monitor]))
         with open(os.path.join(config.out_fold, "dev_loss.log"), "a") as f:
             f.write(f"{epoch}\t{val_loss}\t{eer}\n")
+
+        # ---- embedding visualization (main_train.py:604-614, every 3rd
+        # epoch starting at epoch 0) ----
+        if config.visualize and (epoch + 1) % 3 == 1:
+            from asvspoof2021_air_tpu.visualize import visualize_dev_and_eval
+
+            feats_np = np.concatenate(dev_feats)
+            if config.add_loss in ("isolate", "iso_sq", "ang_iso"):
+                center = np.asarray(state.loss_params["center"])
+            else:
+                center = feats_np[labels == 0].mean(0, keepdims=True)
+            visualize_dev_and_eval(
+                feats_np, labels, feats_np, labels, center,
+                seed=config.seed, out_fold=config.out_fold, epoch=epoch + 1,
+            )
 
         # ---- optional eval-set EER (main_train.py:616-668) ----
         if config.test_on_eval and eval_set is not None:

@@ -127,3 +127,59 @@ def test_train_loop_on_the_fly(tmp_path):
     assert summary["epochs"] == 2
     assert np.isfinite(summary["dev_loss"])
     assert summary["dev_eer"] <= 0.5
+
+
+class SyntheticAugDataset(SyntheticDataset):
+    """Feature items with nonzero channel labels for the second half."""
+
+    def __init__(self, n=24, t=120, seed=0, n_channels=5):
+        super().__init__(n, t, seed)
+        self.num_original = n // 2
+        self.channels = (np.arange(n) % n_channels).astype(np.int32)
+        self.channel = [f"ch{i}" for i in range(n_channels)]
+
+    def __getitem__(self, i):
+        return (self.feats[i], f"SYN_{i:04d}", 0, int(self.labels[i]),
+                int(self.channels[i]))
+
+
+def test_train_loop_adv_aug(tmp_path):
+    """ADV_AUG end-to-end: ratio mixing + GRL channel classifier phases."""
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "adv"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=2,
+        batch_size=8,
+        feat_len=112,
+        feat_dim=D,
+        ratio=0.5,
+        enc_dim=32,
+        ADV_AUG=True,
+        LA_aug=True,
+    )
+    train_set = SyntheticAugDataset(seed=0)
+    dev_set = SyntheticAugDataset(seed=1)
+    summary = train(cfg, train_set=train_set, dev_set=dev_set)
+    assert summary["epochs"] == 2
+    assert np.isfinite(summary["dev_loss"])
+
+
+def test_train_loop_visualize(tmp_path):
+    pytest.importorskip("sklearn")
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "vis"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=1,
+        batch_size=8,
+        feat_len=112,
+        feat_dim=D,
+        ratio=1.0,
+        enc_dim=32,
+        visualize=True,
+    )
+    summary = train(cfg, train_set=SyntheticDataset(seed=0),
+                    dev_set=SyntheticDataset(seed=1))
+    import os
+    assert any(f.startswith("embedding_vis") for f in os.listdir(cfg.out_fold))
