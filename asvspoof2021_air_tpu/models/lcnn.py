@@ -8,7 +8,7 @@ Returns (embedding, logits).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -20,13 +20,13 @@ from asvspoof2021_air_tpu.models.common import (
 )
 
 
-def _mfm_conv(x, features, kernel, train, pool=False, norm=False):
-    x = nn.Conv(features, kernel, padding="SAME")(x)
+def _mfm_conv(x, features, kernel, train, pool=False, norm=False, dtype=None):
+    x = nn.Conv(features, kernel, padding="SAME", dtype=dtype)(x)
     x = MaxFeatureMap()(x)
     if pool:
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
     if norm:
-        x = batch_norm(train, use_bias=False, use_scale=False)(x)
+        x = batch_norm(train, dtype, use_bias=False, use_scale=False)(x)
     return x
 
 
@@ -40,22 +40,26 @@ class LCNN(nn.Module):
     nclasses: int = 2
     feat_len: int = 750
     dropout_rate: float = 0.7
+    dtype: Optional[Any] = None   # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = to_2d_input(x)  # (B, F, T, 1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
-        x = _mfm_conv(x, 64, (5, 5), train, pool=True)              # conv1
-        x = _mfm_conv(x, 64, (1, 1), train, norm=True)              # conv2
-        x = _mfm_conv(x, 96, (3, 3), train, pool=True, norm=True)   # conv3
-        x = _mfm_conv(x, 96, (1, 1), train, norm=True)              # conv4
-        x = _mfm_conv(x, 128, (3, 3), train, pool=True)             # conv5
-        x = _mfm_conv(x, 128, (1, 1), train, norm=True)             # conv6
-        x = _mfm_conv(x, 64, (3, 3), train, norm=True)              # conv7
-        x = _mfm_conv(x, 64, (1, 1), train, norm=True)              # conv8
-        x = _mfm_conv(x, 64, (3, 3), train, pool=True)              # conv9
+        dt = self.dtype
+        x = _mfm_conv(x, 64, (5, 5), train, pool=True, dtype=dt)            # conv1
+        x = _mfm_conv(x, 64, (1, 1), train, norm=True, dtype=dt)            # conv2
+        x = _mfm_conv(x, 96, (3, 3), train, pool=True, norm=True, dtype=dt) # conv3
+        x = _mfm_conv(x, 96, (1, 1), train, norm=True, dtype=dt)            # conv4
+        x = _mfm_conv(x, 128, (3, 3), train, pool=True, dtype=dt)           # conv5
+        x = _mfm_conv(x, 128, (1, 1), train, norm=True, dtype=dt)           # conv6
+        x = _mfm_conv(x, 64, (3, 3), train, norm=True, dtype=dt)            # conv7
+        x = _mfm_conv(x, 64, (1, 1), train, norm=True, dtype=dt)            # conv8
+        x = _mfm_conv(x, 64, (3, 3), train, pool=True, dtype=dt)            # conv9
 
-        feat = x.reshape((x.shape[0], -1))
+        feat = x.reshape((x.shape[0], -1)).astype(jnp.float32)
         feat = nn.Dropout(self.dropout_rate, deterministic=not train)(feat)
         feat = nn.Dense(160)(feat)
         feat = MaxFeatureMap()(feat)

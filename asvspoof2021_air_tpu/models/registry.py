@@ -15,18 +15,20 @@ from asvspoof2021_air_tpu.models.res2net import SERes2Net50
 from asvspoof2021_air_tpu.models.resnet import ResNet
 
 
-def _build_resnet(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60, **kw):
+def _build_resnet(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
+                  dtype=None, **kw):
     # num_nodes=3: residual frequency extent for 60-dim LFCC
     # (/root/reference/main_train.py:162-163).
     node_dict = {60: 3}
     return ResNet(num_nodes=node_dict.get(feat_dim, max(feat_dim // 20, 1)),
-                  enc_dim=enc_dim, resnet_type="18", nclasses=nclasses)
+                  enc_dim=enc_dim, resnet_type="18", nclasses=nclasses,
+                  dtype=dtype)
 
 
 def _build_lcnn(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
-                feat_len: int = 750, **kw):
+                feat_len: int = 750, dtype=None, **kw):
     return LCNN(num_nodes=feat_dim, enc_dim=enc_dim, nclasses=nclasses,
-                feat_len=feat_len)
+                feat_len=feat_len, dtype=dtype)
 
 
 def _build_ecapa(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,

@@ -11,7 +11,7 @@ NHWC layout throughout (XLA-native); H is the frequency axis.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Type
+from typing import Any, Optional, Sequence, Tuple, Type
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -30,30 +30,32 @@ class PreActBlock(nn.Module):
 
     planes: int
     stride: int = 1
+    dtype: Optional[Any] = None
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_planes = x.shape[-1]
-        out = nn.relu(batch_norm(train)(x))
+        out = nn.relu(batch_norm(train, self.dtype)(x))
         needs_proj = self.stride != 1 or in_planes != self.expansion * self.planes
         shortcut = (
             nn.Conv(
                 self.expansion * self.planes, (1, 1),
                 strides=(self.stride, self.stride), use_bias=False,
-                kernel_init=conv_kaiming_init,
+                kernel_init=conv_kaiming_init, dtype=self.dtype,
             )(out)
             if needs_proj
             else x
         )
         out = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)), use_bias=False, kernel_init=conv_kaiming_init,
+            padding=((1, 1), (1, 1)), use_bias=False,
+            kernel_init=conv_kaiming_init, dtype=self.dtype,
         )(out)
         out = nn.Conv(
             self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-            kernel_init=conv_kaiming_init,
-        )(nn.relu(batch_norm(train)(out)))
+            kernel_init=conv_kaiming_init, dtype=self.dtype,
+        )(nn.relu(batch_norm(train, self.dtype)(out)))
         return out + shortcut
 
 
@@ -62,30 +64,33 @@ class PreActBottleneck(nn.Module):
 
     planes: int
     stride: int = 1
+    dtype: Optional[Any] = None
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_planes = x.shape[-1]
-        out = nn.relu(batch_norm(train)(x))
+        out = nn.relu(batch_norm(train, self.dtype)(x))
         needs_proj = self.stride != 1 or in_planes != self.expansion * self.planes
         shortcut = (
             nn.Conv(
                 self.expansion * self.planes, (1, 1),
                 strides=(self.stride, self.stride), use_bias=False,
-                kernel_init=conv_kaiming_init,
+                kernel_init=conv_kaiming_init, dtype=self.dtype,
             )(out)
             if needs_proj
             else x
         )
         out = nn.Conv(self.planes, (1, 1), use_bias=False,
-                      kernel_init=conv_kaiming_init)(out)
+                      kernel_init=conv_kaiming_init, dtype=self.dtype)(out)
         out = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)), use_bias=False, kernel_init=conv_kaiming_init,
-        )(nn.relu(batch_norm(train)(out)))
+            padding=((1, 1), (1, 1)), use_bias=False,
+            kernel_init=conv_kaiming_init, dtype=self.dtype,
+        )(nn.relu(batch_norm(train, self.dtype)(out)))
         out = nn.Conv(self.expansion * self.planes, (1, 1), use_bias=False,
-                      kernel_init=conv_kaiming_init)(nn.relu(batch_norm(train)(out)))
+                      kernel_init=conv_kaiming_init,
+                      dtype=self.dtype)(nn.relu(batch_norm(train, self.dtype)(out)))
         return out + shortcut
 
 
@@ -111,29 +116,35 @@ class ResNet(nn.Module):
     enc_dim: int = 256
     resnet_type: str = "18"
     nclasses: int = 2
+    dtype: Optional[Any] = None   # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         layers, block = RESNET_CONFIGS[self.resnet_type]
         x = to_2d_input(x)  # (B, F, T, 1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         x = nn.Conv(16, (9, 3), strides=(3, 1), padding=((1, 1), (1, 1)),
-                    use_bias=False, kernel_init=conv_kaiming_init)(x)
-        x = nn.relu(batch_norm(train)(x))
+                    use_bias=False, kernel_init=conv_kaiming_init,
+                    dtype=self.dtype)(x)
+        x = nn.relu(batch_norm(train, self.dtype)(x))
 
         for planes, n_blocks, stride in zip(
             (64, 128, 256, 512), layers, (1, 2, 2, 2)
         ):
-            x = block(planes, stride)(x, train)
+            x = block(planes, stride, self.dtype)(x, train)
             for _ in range(1, n_blocks):
-                x = block(planes, 1)(x, train)
+                x = block(planes, 1, self.dtype)(x, train)
 
         x = nn.Conv(256, (self.num_nodes, 3), padding=((0, 0), (1, 1)),
-                    use_bias=False, kernel_init=conv_kaiming_init)(x)
-        x = nn.relu(batch_norm(train)(x))
+                    use_bias=False, kernel_init=conv_kaiming_init,
+                    dtype=self.dtype)(x)
+        x = nn.relu(batch_norm(train, self.dtype)(x))
         x = jnp.squeeze(x, axis=1)  # (B, T', 256)
 
-        stats = SelfAttentionPooling(256)(x)  # (B, 512)
+        # attentive stats pool in f32 (sums over time)
+        stats = SelfAttentionPooling(256)(x.astype(jnp.float32))  # (B, 512)
         feat = nn.Dense(self.enc_dim, kernel_init=linear_kaiming_init)(stats)
         out_dim = self.nclasses if self.nclasses >= 2 else 1
         mu = nn.Dense(out_dim, kernel_init=linear_kaiming_init)(feat)
