@@ -141,3 +141,59 @@ def test_on_asvspoof2021(
     score_fn = make_score_fn(model, variables, loss_module, loss_vars, add_loss)
     labeled = "19" in task
     return score_to_file(score_fn, dataset, out, labeled, batch_size)
+
+
+def score_raw_to_file(
+    model,
+    variables,
+    dataset,
+    output_path: str,
+    labeled: bool,
+    frontend,
+    loss_module=None,
+    loss_vars=None,
+    add_loss: Optional[str] = None,
+    batch_size: int = 64,
+) -> str:
+    """Cache-free scoring: raw-audio dataset -> on-device front-end -> model
+    -> score file. The deployment path with no feature materialization at
+    all (pairs with train.frontend.OnDeviceFrontend / --on_the_fly)."""
+    import jax.numpy as jnp
+
+    from asvspoof2021_air_tpu.data.pipeline import WaveformIterator
+
+    def score_fn(batch_dev, fe_params):
+        feats = frontend(batch_dev, jax.random.PRNGKey(0), fe_params)
+        emb, logits = model.apply(variables, feats, False)
+        score = -jax.nn.softmax(logits, axis=1)[:, 0]
+        if add_loss in ("ocsoftmax", "p2sgrad"):
+            labels0 = jnp.zeros((feats.shape[0],), jnp.int32)
+            _l, score = loss_module.apply(loss_vars, emb, labels0)
+        elif add_loss == "amsoftmax":
+            labels0 = jnp.zeros((feats.shape[0],), jnp.int32)
+            outputs, _m = loss_module.apply(loss_vars, emb, labels0)
+            score = jax.nn.softmax(outputs, axis=1)[:, 0]
+        return score
+
+    jitted = jax.jit(score_fn)
+    fe_params = getattr(frontend, "params", None)
+    n = len(dataset)
+    it = WaveformIterator(dataset, batch_size, frontend.min_samples(),
+                          ratio=1.0, seed=0, shuffle=False,
+                          steps_per_epoch=-(-n // batch_size))
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    written = 0
+    with open(output_path, "w") as f:
+        for batch in it.epoch():
+            dev = {k: v for k, v in batch.items() if k in ("wave", "length")}
+            scores = np.asarray(jitted(dev, fe_params))
+            for j in range(len(scores)):
+                if written >= n:
+                    break
+                if labeled:
+                    key = LABEL_NAMES[int(batch["label"][j])]
+                    f.write(f"{batch['fname'][j]} {-scores[j]} {key}\n")
+                else:
+                    f.write(f"{batch['fname'][j]} {-scores[j]}\n")
+                written += 1
+    return output_path
