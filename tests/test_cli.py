@@ -118,3 +118,30 @@ def test_tdcf_cli(tmp_path, capsys):
     tdcf_cli.main([str(p)])
     out = capsys.readouterr().out
     assert "eer" in out
+
+
+def test_preprocess_cli_stft_and_melspec(tmp_path):
+    """Preprocess driver writes STFT and Melspec feature trees too."""
+    import asvspoof2021_air_tpu.cli.preprocess as pp
+
+    db = tmp_path / "db"
+    (db / "LA" / "ASVspoof2019_LA_train" / "wav").mkdir(parents=True)
+    (db / "LA" / "ASVspoof2019_LA_cm_protocols").mkdir(parents=True)
+    g = np.random.default_rng(0)
+    lines = []
+    for i in range(3):
+        fname = f"LA_T_{9000+i}"
+        write_wav(str(db / "LA" / "ASVspoof2019_LA_train" / "wav" / f"{fname}.wav"),
+                  (0.2 * g.standard_normal(8000)).astype(np.float32))
+        lines.append(f"LA_0001 {fname} - - bonafide")
+    (db / "LA" / "ASVspoof2019_LA_cm_protocols" /
+     "ASVspoof2019.LA.cm.train.trl.txt").write_text("\n".join(lines))
+
+    for feature, dim_check in (("STFT", 257), ("LFCC", 60)):
+        out = tmp_path / f"feats_{feature}"
+        pp.main(["-d", str(db), "-o", str(out), "--part", "train",
+                 "--feature", feature, "--batch_size", "2"])
+        files = sorted((out / "train" / feature).glob("*.npy"))
+        assert len(files) == 3
+        arr = np.load(files[0])
+        assert arr.shape[-1] == dim_check

@@ -103,3 +103,32 @@ def test_tdcf_synthetic():
     tdcf, thr = compute_tDCF(bona, spoof, 0.01, 0.01, 0.95)
     assert tdcf.shape == thr.shape
     assert 0.0 <= float(np.min(tdcf)) < 0.2
+
+
+def test_compute_eer_and_tdcf_with_synthetic_asv(tmp_path):
+    """Full EER+min-tDCF path with a synthetic organizers' ASV score file
+    (the reference requires their real file; the algorithm is exercised
+    end-to-end here)."""
+    from asvspoof2021_air_tpu.metrics import compute_eer_and_tdcf
+
+    g = np.random.default_rng(9)
+    asv_lines = []
+    for i in range(300):
+        key = ("target", "nontarget", "spoof")[i % 3]
+        mean = {"target": 3.0, "nontarget": -2.0, "spoof": -1.0}[key]
+        asv_lines.append(f"SPK{i % 3} {key} {mean + g.standard_normal():.4f}")
+    asv_file = tmp_path / "asv.txt"
+    asv_file.write_text("\n".join(asv_lines))
+
+    cm_lines = []
+    for i in range(400):
+        key = "bonafide" if i % 2 == 0 else "spoof"
+        mean = 2.0 if key == "bonafide" else -2.0
+        cm_lines.append(f"LA_E_{i:06d} A01 {key} {mean + g.standard_normal():.4f}")
+    cm_file = tmp_path / "cm.txt"
+    cm_file.write_text("\n".join(cm_lines))
+
+    eer, min_tdcf = compute_eer_and_tdcf(str(cm_file),
+                                         asv_score_file=str(asv_file))
+    assert 0.0 <= eer < 0.2
+    assert min_tdcf is not None and 0.0 <= min_tdcf < 0.6
