@@ -56,6 +56,9 @@ class Bottle2neck(nn.Module):
             sp = batch_norm(train, self.dtype)(sp)
             outs.append(sp)
         outs.append(groups[-1])
+        # NOTE: splitting this 1x1 conv over the groups (avoiding the
+        # concat) was measured SLOWER — eight K=64 matmuls lose more MXU
+        # efficiency than the concat costs; XLA fuses this concat well.
         out = jnp.concatenate(outs, axis=-1)
 
         out = nn.Conv(self.planes, (1,), dtype=self.dtype)(out)
@@ -103,23 +106,47 @@ class ECAPA_TDNN(nn.Module):
             x2 = blk(3)(x1, train)
             x3 = blk(4)(x2, train)
 
-        x = nn.Conv(1536, (1,), dtype=self.dtype)(
-            jnp.concatenate([x1, x2, x3], axis=-1))
+        # MFA 1x1 conv over cat(x1,x2,x3), computed as a split matmul so the
+        # (B, T, 3C) concatenation never materializes in HBM:
+        # conv(cat(a,b,c), W) == a@W[:C] + b@W[C:2C] + c@W[2C:].
+        C = self.C
+        w4 = self.param(
+            "mfa_kernel", nn.initializers.lecun_normal(), (3 * C, 1536)
+        )
+        b4 = self.param("mfa_bias", nn.initializers.zeros, (1536,))
+        dt = self.dtype or x1.dtype
+        x = (
+            jnp.einsum("btc,cd->btd", x1, w4[:C].astype(dt))
+            + jnp.einsum("btc,cd->btd", x2, w4[C:2 * C].astype(dt))
+            + jnp.einsum("btc,cd->btd", x3, w4[2 * C:].astype(dt))
+            + b4.astype(dt)
+        )
         x = nn.relu(x)
 
         T = x.shape[1]
+        attn_output = 1536 if self.encoder_type == "ECA" else 1
+        wa = self.param(
+            "attn_kernel", nn.initializers.lecun_normal(),
+            ((3 * 1536) if self.context else 1536, 128),
+        )
+        ba = self.param("attn_bias", nn.initializers.zeros, (128,))
         if self.context:
-            mean = jnp.mean(x, axis=1, keepdims=True)
-            std = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, ddof=1, keepdims=True), 1e-4))
-            global_x = jnp.concatenate(
-                [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)],
-                axis=-1,
+            # context attention over cat(x, mean, std): the mean/std halves
+            # of the kernel act on time-constant rows, so the (B, T, 4608)
+            # concat + broadcast collapses to one matmul over x plus a tiny
+            # per-utterance bias term.
+            mean = jnp.mean(x, axis=1)                              # (B, 1536)
+            std = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, ddof=1), 1e-4))
+            const = (
+                mean.astype(dt) @ wa[1536:3072].astype(dt)
+                + std.astype(dt) @ wa[3072:].astype(dt)
+            )                                                       # (B, 128)
+            w = (
+                jnp.einsum("btc,cd->btd", x, wa[:1536].astype(dt))
+                + const[:, None, :] + ba.astype(dt)
             )
         else:
-            global_x = x
-
-        attn_output = 1536 if self.encoder_type == "ECA" else 1
-        w = nn.Conv(128, (1,), dtype=self.dtype)(global_x)
+            w = jnp.einsum("btc,cd->btd", x, wa.astype(dt)) + ba.astype(dt)
         w = nn.relu(w)
         w = batch_norm(train, self.dtype)(w)
         w = nn.Conv(attn_output, (1,), dtype=self.dtype)(w)
