@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("-l", "--loss", default=None,
                    choices=[None, "ocsoftmax", "amsoftmax", "p2sgrad"])
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--checkpoint", type=str, default="best",
+                   help="'best' or a checkpoint epoch path under "
+                        "<model>/checkpoint/<N>")
     p.add_argument("--ori_features", type=str, default="")
     p.add_argument("--aug_features", type=str, default="")
     p.add_argument("--la_eval", type=str, default="")
@@ -57,7 +60,10 @@ def main(argv=None):
     out_dir = "./scores" if "19" in args.task else args.score_dir
 
     model_dir = os.path.join(args.model_folder, args.model_name)
-    model, variables, loss_mod, loss_vars, _cfg = load_system(model_dir)
+    ckpt = args.checkpoint
+    if ckpt != "best" and not os.path.isabs(ckpt):
+        ckpt = os.path.join("checkpoint", ckpt)
+    model, variables, loss_mod, loss_vars, _cfg = load_system(model_dir, ckpt)
 
     paths = {
         "ori_features": args.ori_features,

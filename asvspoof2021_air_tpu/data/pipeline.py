@@ -63,8 +63,19 @@ def pad_or_crop(
 
 
 def collate(samples: Sequence[tuple], feat_len: int, padding: str,
-            rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
-    """Collate dataset items into a batch dict with (B, T, F) features."""
+            rng: Optional[np.random.Generator] = None,
+            pad_chop: bool = True) -> Dict[str, np.ndarray]:
+    """Collate dataset items into a batch dict with (B, T, F) features.
+
+    pad_chop=False reproduces the reference's variable-length collate
+    (/root/reference/dataset.py:87-102): repeat-pad every item to the batch
+    max length + 1 instead of the fixed feat_len. NOTE: variable batch
+    shapes trigger XLA recompiles per distinct length — the reference's own
+    operating mode, kept for parity; prefer pad_chop=True on TPU.
+    """
+    if not pad_chop:
+        feat_len = max(s[0].shape[1] for s in samples) + 1
+        padding = "repeat"
     feats = np.concatenate(
         [pad_or_crop(s[0], feat_len, padding, rng) for s in samples], axis=0
     )
@@ -132,6 +143,7 @@ class RatioMixIterator:
         padding: str = "repeat",
         seed: int = 688,
         steps_per_epoch: Optional[int] = None,
+        pad_chop: bool = True,
     ):
         if not (0 < ratio <= 1):
             raise ValueError("ratio must be in (0, 1]")
@@ -139,6 +151,7 @@ class RatioMixIterator:
         self.batch_size = batch_size
         self.feat_len = feat_len
         self.padding = padding
+        self.pad_chop = pad_chop
         n = len(dataset)
         if num_original is None:
             num_original = getattr(dataset, "num_original", n)
@@ -165,7 +178,8 @@ class RatioMixIterator:
             if self._aug is not None:
                 idx = np.concatenate([idx, self._aug.take(self.aug_bs)])
             samples = [self.dataset[int(i)] for i in idx]
-            yield collate(samples, self.feat_len, self.padding, self.rng)
+            yield collate(samples, self.feat_len, self.padding, self.rng,
+                          self.pad_chop)
 
 
 class SequentialIterator:

@@ -265,11 +265,12 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
         train_iter = RatioMixIterator(
             train_set, config.batch_size, config.ratio,
             feat_len=config.feat_len, padding=config.padding, seed=config.seed,
+            pad_chop=config.pad_chop,
         )
         dev_iter = RatioMixIterator(
             dev_set, config.batch_size, config.ratio,
             feat_len=config.feat_len, padding=config.padding,
-            seed=config.seed + 1,
+            seed=config.seed + 1, pad_chop=config.pad_chop,
         )
 
     model, loss_mod, state, train_step, eval_step = setup_training(

@@ -173,3 +173,15 @@ def test_protocol_parse(tmp_path):
     assert len(proto.LA_CHANNELS) == 60
     assert len(proto.DF_CHANNELS) == 7
     assert len(proto.DEVICES) == 13
+
+
+def test_collate_pad_chop_false(feature_tree):
+    """Variable-length collate: repeat-pad to batch max + 1
+    (/root/reference/dataset.py:87-102)."""
+    ori, _ = feature_tree
+    ds = ASVspoof2019FeatureDataset("LA", ori, "train")
+    samples = [ds[0], ds[3], ds[7]]  # lengths 400, 550, 750
+    batch = collate(samples, feat_len=100, padding="zero", pad_chop=False)
+    assert batch["feat"].shape == (3, 751, 60)
+    # shorter items are repeat-padded, not zero-padded
+    assert not np.allclose(batch["feat"][0, 400:], 0)
