@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from asvspoof2021_air_tpu.data.datasets import RawAudioDataset
+from asvspoof2021_air_tpu.ops.cqcc import CQCC, CQCCConfig
 from asvspoof2021_air_tpu.ops.lfcc import LFCC, LFCCConfig, Melspec, STFT
 
 
@@ -62,13 +63,15 @@ def main(argv=None):
     p.add_argument("--part", type=str, default="train",
                    choices=["train", "dev", "eval"])
     p.add_argument("--feature", type=str, default="LFCC",
-                   choices=["LFCC", "STFT", "Melspec"])
+                   choices=["LFCC", "CQCC", "STFT", "Melspec"])
     p.add_argument("--batch_size", type=int, default=32)
     args = p.parse_args(argv)
 
     ds = RawAudioDataset(args.access_type, args.path_to_database, args.part)
     if args.feature == "LFCC":
         extractor = jax.jit(LFCC(LFCCConfig()))
+    elif args.feature == "CQCC":
+        extractor = jax.jit(CQCC(CQCCConfig()))
     elif args.feature == "STFT":
         stft = STFT()
         extractor = jax.jit(lambda w, l: stft(w))

@@ -42,12 +42,21 @@ class OnDeviceFrontend:
         augmenter: Optional[ChannelAugmenter] = None,
         apply_ir: bool = False,
         use_pallas: bool = True,
+        feature: str = "LFCC",
     ):
         self.feat_len = feat_len
         self.padding = padding
         self.augmenter = augmenter
         self.apply_ir = apply_ir
         self.extractor = None
+        if feature == "CQCC":
+            from asvspoof2021_air_tpu.ops.cqcc import CQCC, CQCCConfig
+
+            self.extractor = CQCC(CQCCConfig())
+            self.hop = self.extractor.config.hop_length
+            return
+        if feature != "LFCC":
+            raise ValueError(f"on-the-fly front-end supports LFCC/CQCC, got {feature}")
         if use_pallas:
             try:
                 from asvspoof2021_air_tpu.ops.lfcc_pallas import PallasLFCC

@@ -251,6 +251,7 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
         frontend = OnDeviceFrontend(
             feat_len=config.feat_len, padding=config.padding,
             augmenter=augmenter, apply_ir=config.apply_ir,
+            feature=config.feat,
         )
         max_samples = frontend.min_samples()
         train_iter = WaveformIterator(
