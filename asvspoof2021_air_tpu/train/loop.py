@@ -32,6 +32,7 @@ from asvspoof2021_air_tpu.data.datasets import (
     AugmentedFeatureDataset,
 )
 from asvspoof2021_air_tpu.data.pipeline import RatioMixIterator, SequentialIterator
+from asvspoof2021_air_tpu.data.prefetch import PrefetchIterator
 from asvspoof2021_air_tpu.losses import build_loss
 from asvspoof2021_air_tpu.metrics import compute_eer
 from asvspoof2021_air_tpu.models import ChannelClassifier, build_model
@@ -273,6 +274,9 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
             feat_len=config.feat_len, padding=config.padding,
             seed=config.seed + 1, pad_chop=config.pad_chop,
         )
+
+    train_iter = PrefetchIterator(train_iter, depth=2)
+    dev_iter = PrefetchIterator(dev_iter, depth=2)
 
     model, loss_mod, state, train_step, eval_step = setup_training(
         config, train_iter.steps_per_epoch, frontend=frontend
