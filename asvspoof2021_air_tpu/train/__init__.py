@@ -2,5 +2,8 @@
 
 from asvspoof2021_air_tpu.train.state import TrainState, create_train_state
 from asvspoof2021_air_tpu.train.steps import make_eval_step, make_train_step
+from asvspoof2021_air_tpu.train.frontend import OnDeviceFrontend
+from asvspoof2021_air_tpu.train.loop import TrainConfig, train
 
-__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_eval_step", "OnDeviceFrontend", "TrainConfig", "train"]
