@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--apply_ir", type=str2bool, nargs="?", const=True,
                    default=False,
                    help="also convolve a random impulse response (on_the_fly)")
+    p.add_argument("--auto_resume", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="resume from the latest epoch checkpoint in out_fold")
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON file of TrainConfig fields; CLI flags that are "
+                        "explicitly set override it")
     return p
 
 
@@ -93,7 +99,15 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.config:
+        import json
+
+        with open(args.config) as f:
+            parser.set_defaults(**json.load(f))
+        # re-parse: file values act as defaults, explicit CLI flags override
+        args = parser.parse_args(argv)
     config = config_from_args(args)
     if args.test_only:
         print("test_only: use cli.generate_score for scoring")

@@ -101,12 +101,19 @@ class TrainConfig:
     on_the_fly: bool = False
     on_device_aug: bool = False      # per-utterance random channel each step
     apply_ir: bool = False           # + random impulse response from the bank
+    # Fault tolerance: resume from the latest epoch checkpoint in out_fold
+    # if one exists (preemption recovery; the reference has no equivalent).
+    auto_resume: bool = False
 
 
 def _prepare_out_fold(config: TrainConfig) -> None:
     """(/root/reference/main_train.py:106-136)"""
     if config.test_only or config.continue_training:
         return
+    if config.auto_resume and os.path.isdir(
+        os.path.join(config.out_fold, "checkpoint")
+    ):
+        return  # resuming: keep existing logs and checkpoints
     for d in (config.out_fold, os.path.join(config.out_fold, "checkpoint")):
         if os.path.exists(d):
             shutil.rmtree(d)
@@ -281,8 +288,20 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
     model, loss_mod, state, train_step, eval_step = setup_training(
         config, train_iter.steps_per_epoch, frontend=frontend
     )
+    start_epoch = 0
     if config.continue_training:
         state = restore_checkpoint(os.path.join(config.out_fold, "best"), state)
+    elif config.auto_resume:
+        ckpt_dir = os.path.join(config.out_fold, "checkpoint")
+        epochs = sorted(
+            (int(d) for d in os.listdir(ckpt_dir) if d.isdigit()),
+            reverse=True,
+        ) if os.path.isdir(ckpt_dir) else []
+        if epochs:
+            state = restore_checkpoint(
+                os.path.join(ckpt_dir, str(epochs[0])), state
+            )
+            start_epoch = epochs[0]
 
     rng = jax.random.PRNGKey(config.seed ^ 0x5EED)
     frontend_params = frontend.params if frontend is not None else None
@@ -290,7 +309,7 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
     early_stop = 0
     summary: Dict[str, Any] = {"epochs": 0}
 
-    for epoch in range(config.num_epochs):
+    for epoch in range(start_epoch, config.num_epochs):
         adv_gate = 1.0 if (config.ADV_AUG and epoch > 0) else 0.0
         t0 = time.time()
         train_log = defaultdict(list)

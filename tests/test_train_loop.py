@@ -183,3 +183,31 @@ def test_train_loop_visualize(tmp_path):
                     dev_set=SyntheticDataset(seed=1))
     import os
     assert any(f.startswith("embedding_vis") for f in os.listdir(cfg.out_fold))
+
+
+def test_train_loop_auto_resume(tmp_path):
+    """Preemption recovery: restart picks up from the latest epoch."""
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "ar"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=2,
+        batch_size=8,
+        feat_len=112,
+        feat_dim=D,
+        ratio=1.0,
+        enc_dim=32,
+        auto_resume=True,
+    )
+    train_set = SyntheticDataset(seed=0)
+    dev_set = SyntheticDataset(seed=1)
+    s1 = train(cfg, train_set=train_set, dev_set=dev_set)
+    assert s1["epochs"] == 2
+    # "preempted" restart with more epochs: resumes at epoch 2
+    cfg2 = TrainConfig(**{**cfg.__dict__, "num_epochs": 3})
+    s2 = train(cfg2, train_set=train_set, dev_set=dev_set)
+    assert s2["epochs"] == 3  # only epoch index 2 was run this time
+    import os
+    assert sorted(os.listdir(os.path.join(cfg.out_fold, "checkpoint"))) == [
+        "1", "2", "3"
+    ]
