@@ -370,17 +370,41 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
         # ---- optional eval-set EER (main_train.py:616-668) ----
         if config.test_on_eval and eval_set is not None:
             e_scores, e_labels = [], []
-            for batch in SequentialIterator(eval_set, config.batch_size,
-                                            config.feat_len, config.padding):
-                device_batch = shard_batch(
-                    {k: v for k, v in batch.items() if k not in ("fname", "valid")},
-                    mesh,
+            if frontend is not None:
+                # on-the-fly: sequential waveform batches; wraparound tail
+                # items are trimmed by count
+                from asvspoof2021_air_tpu.data.pipeline import WaveformIterator
+
+                n_eval = len(eval_set)
+                eval_it = WaveformIterator(
+                    eval_set, config.batch_size, frontend.min_samples(),
+                    ratio=1.0, shuffle=False,
+                    steps_per_epoch=-(-n_eval // config.batch_size),
                 )
-                _m, score, _f = eval_step(state, device_batch,
-                                          frontend_params)
-                valid = batch["valid"]
-                e_scores.append(np.asarray(score)[valid])
-                e_labels.append(batch["label"][valid])
+                remaining = n_eval
+                for batch in eval_it.epoch():
+                    device_batch = shard_batch(
+                        {k: v for k, v in batch.items() if k != "fname"}, mesh
+                    )
+                    _m, score, _f = eval_step(state, device_batch,
+                                              frontend_params)
+                    take = min(remaining, config.batch_size)
+                    e_scores.append(np.asarray(score)[:take])
+                    e_labels.append(batch["label"][:take])
+                    remaining -= take
+            else:
+                for batch in SequentialIterator(eval_set, config.batch_size,
+                                                config.feat_len, config.padding):
+                    device_batch = shard_batch(
+                        {k: v for k, v in batch.items()
+                         if k not in ("fname", "valid")},
+                        mesh,
+                    )
+                    _m, score, _f = eval_step(state, device_batch,
+                                              frontend_params)
+                    valid = batch["valid"]
+                    e_scores.append(np.asarray(score)[valid])
+                    e_labels.append(batch["label"][valid])
             es, el = np.concatenate(e_scores), np.concatenate(e_labels)
             test_eer = min(
                 compute_eer(es[el == 0], es[el == 1])[0],

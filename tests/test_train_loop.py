@@ -211,3 +211,26 @@ def test_train_loop_auto_resume(tmp_path):
     assert sorted(os.listdir(os.path.join(cfg.out_fold, "checkpoint"))) == [
         "1", "2", "3"
     ]
+
+
+def test_train_loop_on_the_fly_test_on_eval(tmp_path):
+    """test_on_eval over raw audio in on-the-fly mode."""
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "otfe"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=1,
+        batch_size=8,
+        feat_len=64,
+        feat_dim=D,
+        ratio=1.0,
+        enc_dim=32,
+        on_the_fly=True,
+        test_on_eval=True,
+    )
+    summary = train(cfg, train_set=SyntheticRawDataset(seed=0),
+                    dev_set=SyntheticRawDataset(seed=1),
+                    eval_set=SyntheticRawDataset(n=10, seed=2))
+    import os
+    log = open(os.path.join(cfg.out_fold, "test_loss.log")).read()
+    assert len(log.strip().splitlines()) >= 2  # header + 1 epoch line
