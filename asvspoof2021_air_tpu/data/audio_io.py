@@ -78,13 +78,35 @@ def resample_linear(data: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
     return np.interp(x_new, x_old, data).astype(np.float32)
 
 
+def read_flac(path: str, target_sr: Optional[int] = 16000) -> Tuple[np.ndarray, int]:
+    """Read a FLAC file to mono float32 via the native decoder
+    (native/augment/flac.cc); no librosa/soundfile needed."""
+    from asvspoof2021_air_tpu.data import augment_host
+
+    with open(path, "rb") as f:
+        data = f.read()
+    samples, sr, bps = augment_host.flac_decode(data)
+    scale = float(1 << (bps - 1))
+    mono = samples.astype(np.float32).mean(axis=1) / scale
+    if target_sr is not None and sr != target_sr:
+        mono = resample_linear(mono, sr, target_sr)
+        sr = target_sr
+    return mono, sr
+
+
 def load_audio(path: str, target_sr: int = 16000) -> Tuple[np.ndarray, int]:
     """Load any supported audio file to mono float32 at target_sr.
 
-    WAV is handled natively; other formats (e.g. FLAC) require soundfile.
+    WAV and FLAC are handled natively; other formats require soundfile.
     """
     if path.lower().endswith(".wav"):
         return read_wav(path, target_sr)
+    if path.lower().endswith(".flac"):
+        try:
+            return read_flac(path, target_sr)
+        except (ValueError, OSError):
+            if _sf is None:
+                raise
     if _sf is not None:
         data, sr = _sf.read(path, dtype="float32")
         if data.ndim > 1:
@@ -94,5 +116,6 @@ def load_audio(path: str, target_sr: int = 16000) -> Tuple[np.ndarray, int]:
             sr = target_sr
         return data, sr
     raise RuntimeError(
-        f"cannot load {path}: non-WAV formats need the optional soundfile package"
+        f"cannot load {path}: unsupported format (WAV/FLAC are native; others "
+        "need the optional soundfile package)"
     )

@@ -109,3 +109,38 @@ def telephony_channel(wave, codec: str = "g711u", sample_rate: int = 16000) -> n
     get_lib().telephony_channel(_ptr(x), _ptr(out), x.size, sample_rate,
                                 CODEC_IDS[codec])
     return out
+
+
+def flac_decode(data: bytes):
+    """Decode a FLAC stream via the native decoder.
+
+    Returns (samples (n, channels) int32, sample_rate, bits_per_sample) or
+    raises ValueError on malformed input.
+    """
+    lib = get_lib()
+    if not hasattr(lib.flac_decode, "_configured"):
+        lib.flac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.flac_decode.restype = ctypes.c_long
+        lib.flac_decode._configured = True
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    # generous upper bound: FLAC rarely compresses below ~25 %
+    max_samples = max(len(data) * 4, 1 << 16)
+    out = np.empty(max_samples * 8, np.int32)  # up to 8 channels interleaved
+    sr = ctypes.c_int(0)
+    nch = ctypes.c_int(0)
+    bps = ctypes.c_int(0)
+    n = lib.flac_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_samples, ctypes.byref(sr), ctypes.byref(nch), ctypes.byref(bps),
+    )
+    if n < 0:
+        raise ValueError("malformed FLAC stream")
+    samples = out[: n * nch.value].reshape(n, nch.value).copy()
+    return samples, sr.value, bps.value

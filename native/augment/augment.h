@@ -50,6 +50,13 @@ void rms_normalize(const float* in, float* out, size_t n, float target_dbfs);
 void telephony_channel(const float* in, float* out, size_t n, int in_rate,
                        int codec);
 
+/* ---- FLAC decoding (native, no external deps). Returns samples written
+ * PER CHANNEL into `out` (interleaved int32, sign-extended to the stream's
+ * bit depth), or -1 on malformed input. */
+long flac_decode(const uint8_t* data, size_t size, int32_t* out,
+                 size_t max_samples, int* sample_rate, int* channels,
+                 int* bits_per_sample);
+
 }  /* extern "C" */
 
 #endif  /* ASVSPOOF_AUGMENT_H_ */
