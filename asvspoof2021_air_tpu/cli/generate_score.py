@@ -74,7 +74,8 @@ def main(argv=None):
     out = test_on_asvspoof2021(
         args.task, model, variables, paths, out_dir, args.model_name,
         add_loss=args.loss, loss_module=loss_mod, loss_vars=loss_vars,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, feature=_cfg.feat,
+        feat_len=_cfg.feat_len, padding=_cfg.padding,
     )
     print(f"wrote {out}")
 

@@ -95,6 +95,19 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         )
     fields = {f for f in TrainConfig.__dataclass_fields__}
     kwargs = {k: v for k, v in vars(args).items() if k in fields}
+    # Eager add_loss validation: --config JSON values bypass argparse
+    # choices, and an unsupported name would otherwise crash at first trace
+    # mid-setup. 'ocsoftmax' is the same module as 'ang_iso'
+    # (/root/reference/loss.py:62-97 == :176-206) — normalize it.
+    add_loss = kwargs.get("add_loss")
+    if add_loss == "ocsoftmax":
+        kwargs["add_loss"] = "ang_iso"
+    elif add_loss not in (None, "isolate", "iso_sq", "ang_iso", "p2sgrad"):
+        raise SystemExit(
+            f"--add_loss '{add_loss}' is not trainable; choose from "
+            "isolate|iso_sq|ang_iso|p2sgrad (ocsoftmax is an alias of "
+            "ang_iso)"
+        )
     return TrainConfig(**kwargs)
 
 

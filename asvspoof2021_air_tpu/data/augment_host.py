@@ -126,21 +126,40 @@ def flac_decode(data: bytes):
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.flac_decode.restype = ctypes.c_long
+        lib.flac_stream_info.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.flac_stream_info.restype = ctypes.c_long
         lib.flac_decode._configured = True
 
     buf = np.frombuffer(data, dtype=np.uint8)
-    # generous upper bound: FLAC rarely compresses below ~25 %
-    max_samples = max(len(data) * 4, 1 << 16)
-    out = np.empty(max_samples * 8, np.int32)  # up to 8 channels interleaved
     sr = ctypes.c_int(0)
     nch = ctypes.c_int(0)
     bps = ctypes.c_int(0)
-    n = lib.flac_decode(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        max_samples, ctypes.byref(sr), ctypes.byref(nch), ctypes.byref(bps),
-    )
-    if n < 0:
+    data_ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    # Size the output from STREAMINFO's total-samples field; total == 0 is
+    # the spec's "unknown", fall back to a growable size estimate so highly
+    # compressible streams (long silence) are never silently truncated.
+    total = lib.flac_stream_info(data_ptr, buf.size, ctypes.byref(sr),
+                                 ctypes.byref(nch), ctypes.byref(bps))
+    if total < 0:
         raise ValueError("malformed FLAC stream")
+    channels = max(nch.value, 1)
+    max_samples = total if total > 0 else max(len(data) * 4, 1 << 16)
+    while True:
+        out = np.empty(max_samples * channels, np.int32)
+        n = lib.flac_decode(
+            data_ptr, buf.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_samples, ctypes.byref(sr), ctypes.byref(nch), ctypes.byref(bps),
+        )
+        if n < 0:
+            raise ValueError("malformed FLAC stream")
+        if n < max_samples or total > 0:
+            break
+        max_samples *= 4  # unknown length and the buffer filled: grow
     samples = out[: n * nch.value].reshape(n, nch.value).copy()
     return samples, sr.value, bps.value

@@ -1,0 +1,8 @@
+"""Interoperability with the PyTorch reference implementation."""
+
+from asvspoof2021_air_tpu.interop.torch_port import (  # noqa: F401
+    load_torch_checkpoint,
+    port_ecapa,
+    port_lcnn,
+    port_resnet,
+)

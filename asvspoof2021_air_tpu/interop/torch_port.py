@@ -1,0 +1,201 @@
+"""Port reference PyTorch checkpoints to flax parameter pytrees.
+
+The reference saves whole pickled torch modules
+(/root/reference/main_train.py:674-706). These functions map a torch
+``state_dict`` (names -> numpy arrays) onto this framework's flax variable
+trees so existing reference checkpoints keep working after switching
+frameworks — and they double as the strongest data-free architecture-parity
+check: transplanted weights must produce identical (embedding, logits).
+
+Layout conventions translated here:
+- torch Conv1d weight (O, I, K)    -> flax Conv kernel (K, I, O)
+- torch Conv2d weight (O, I, H, W) -> flax Conv kernel (H, W, I, O)
+- torch Linear weight (O, I)       -> flax Dense kernel (I, O)
+- torch BatchNorm weight/bias/running_mean/running_var
+                                   -> flax params scale/bias + batch_stats
+- torch NCHW flatten (C-major)     -> flax NHWC flatten (C-minor): dense
+  kernels following a flatten are permuted accordingly.
+
+Model structure references: ECAPA /root/reference/ecapa_tdnn.py:97-198,
+ResNet /root/reference/model.py:184-253, LCNN /root/reference/model.py:555-610.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _np(sd: Dict[str, np.ndarray], name: str) -> np.ndarray:
+    if name not in sd:
+        raise KeyError(
+            f"'{name}' missing from state_dict (have e.g. "
+            f"{sorted(sd)[:5]}...)"
+        )
+    return np.asarray(sd[name], dtype=np.float32)
+
+
+def _conv1d(sd, p):
+    w = _np(sd, p + ".weight")
+    out = {"kernel": w.transpose(2, 1, 0)}
+    if p + ".bias" in sd:
+        out["bias"] = _np(sd, p + ".bias")
+    return out
+
+
+def _conv2d(sd, p):
+    w = _np(sd, p + ".weight")
+    out = {"kernel": w.transpose(2, 3, 1, 0)}
+    if p + ".bias" in sd:
+        out["bias"] = _np(sd, p + ".bias")
+    return out
+
+
+def _dense(sd, p):
+    out = {"kernel": _np(sd, p + ".weight").T}
+    if p + ".bias" in sd:
+        out["bias"] = _np(sd, p + ".bias")
+    return out
+
+
+def _dense_from_conv1d(sd, p):
+    """Conv1d with kernel_size=1 used pointwise == Dense."""
+    w = _np(sd, p + ".weight")[:, :, 0]
+    out = {"kernel": w.T}
+    if p + ".bias" in sd:
+        out["bias"] = _np(sd, p + ".bias")
+    return out
+
+
+def _bn(sd, p):
+    params = {}
+    if p + ".weight" in sd:
+        params = {"scale": _np(sd, p + ".weight"), "bias": _np(sd, p + ".bias")}
+    stats = {"mean": _np(sd, p + ".running_mean"),
+             "var": _np(sd, p + ".running_var")}
+    return params, stats
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference checkpoint (whole pickled module or state_dict) into
+    a plain name->numpy mapping. Requires torch."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def port_ecapa(sd: Dict[str, np.ndarray], model_scale: int = 8) -> Dict:
+    """state_dict of /root/reference/ecapa_tdnn.py Res2Net2 -> variables for
+    models.ecapa.ECAPA_TDNN (params + batch_stats)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["Conv_0"] = _conv1d(sd, "conv1")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn(sd, "bn1")
+
+    for li in range(3):
+        t = f"layer{li + 1}"
+        f = f"Bottle2neck_{li}"
+        bp: Dict = {}
+        bs: Dict = {}
+        bp["Conv_0"] = _conv1d(sd, t + ".conv1")
+        bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, t + ".bn1")
+        for j in range(model_scale - 1):
+            bp[f"Conv_{j + 1}"] = _conv1d(sd, f"{t}.convs.{j}")
+            bp[f"BatchNorm_{j + 1}"], bs[f"BatchNorm_{j + 1}"] = _bn(
+                sd, f"{t}.bns.{j}"
+            )
+        bp[f"Conv_{model_scale}"] = _conv1d(sd, t + ".conv3")
+        bp[f"BatchNorm_{model_scale}"], bs[f"BatchNorm_{model_scale}"] = _bn(
+            sd, t + ".bn3"
+        )
+        # SEModule Sequential: 1=Conv1d(C->128), 3=BN(128), 4=Conv1d(128->C)
+        se_p: Dict = {"Dense_0": _dense_from_conv1d(sd, t + ".se.se.1"),
+                      "Dense_1": _dense_from_conv1d(sd, t + ".se.se.4")}
+        se_bn_p, se_bn_s = _bn(sd, t + ".se.se.3")
+        se_p["BatchNorm_0"] = se_bn_p
+        bp["SEModule1D_0"] = se_p
+        bs["SEModule1D_0"] = {"BatchNorm_0": se_bn_s}
+        params[f] = bp
+        stats[f] = bs
+
+    params["mfa_kernel"] = _np(sd, "layer4.weight")[:, :, 0].T
+    params["mfa_bias"] = _np(sd, "layer4.bias")
+    params["attn_kernel"] = _np(sd, "attention.0.weight")[:, :, 0].T
+    params["attn_bias"] = _np(sd, "attention.0.bias")
+    params["BatchNorm_1"], stats["BatchNorm_1"] = _bn(sd, "attention.2")
+    params["Conv_1"] = _conv1d(sd, "attention.3")
+    params["BatchNorm_2"], stats["BatchNorm_2"] = _bn(sd, "bn5")
+    params["Dense_0"] = _dense(sd, "fc6")
+    params["Dense_1"] = _dense(sd, "fc7")
+    params["BatchNorm_3"], stats["BatchNorm_3"] = _bn(sd, "bn7")
+    return {"params": params, "batch_stats": stats}
+
+
+def port_resnet(sd: Dict[str, np.ndarray], resnet_type: str = "18") -> Dict:
+    """state_dict of /root/reference/model.py ResNet -> variables for
+    models.resnet.ResNet. Supports the PreActBlock configs (18/28/34)."""
+    layers = {"18": [2, 2, 2, 2], "28": [3, 4, 6, 3], "34": [3, 4, 6, 3]}[
+        resnet_type
+    ]
+    params: Dict = {}
+    stats: Dict = {}
+    params["Conv_0"] = _conv2d(sd, "conv1")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn(sd, "bn1")
+
+    flax_i = 0
+    for si, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            t = f"layer{si + 1}.{b}"
+            f = f"PreActBlock_{flax_i}"
+            flax_i += 1
+            bp: Dict = {}
+            bs: Dict = {}
+            bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, t + ".bn1")
+            bp["BatchNorm_1"], bs["BatchNorm_1"] = _bn(sd, t + ".bn2")
+            if t + ".shortcut.0.weight" in sd:
+                # projection shortcut created first in the flax block
+                bp["Conv_0"] = _conv2d(sd, t + ".shortcut.0")
+                bp["Conv_1"] = _conv2d(sd, t + ".conv1")
+                bp["Conv_2"] = _conv2d(sd, t + ".conv2")
+            else:
+                bp["Conv_0"] = _conv2d(sd, t + ".conv1")
+                bp["Conv_1"] = _conv2d(sd, t + ".conv2")
+            params[f] = bp
+            stats[f] = bs
+
+    params["Conv_1"] = _conv2d(sd, "conv5")
+    params["BatchNorm_1"], stats["BatchNorm_1"] = _bn(sd, "bn5")
+    params["SelfAttentionPooling_0"] = {
+        "att_weights": _np(sd, "attention.att_weights").T
+    }
+    params["Dense_0"] = _dense(sd, "fc")
+    params["Dense_1"] = _dense(sd, "fc_mu")
+    return {"params": params, "batch_stats": stats}
+
+
+def port_lcnn(sd: Dict[str, np.ndarray], num_nodes: int = 60,
+              feat_len: int = 750) -> Dict:
+    """state_dict of /root/reference/model.py LCNN -> variables for
+    models.lcnn.LCNN. The flatten-facing dense kernel is permuted from the
+    torch C-major layout to the flax NHWC C-minor layout."""
+    params: Dict = {}
+    stats: Dict = {}
+    bn_sources = ["conv2.2", "conv3.3", "conv4.2", "conv6.2", "conv7.2",
+                  "conv8.2"]
+    for i in range(9):
+        params[f"Conv_{i}"] = _conv2d(sd, f"conv{i + 1}.0")
+    for i, src in enumerate(bn_sources):
+        _p, s = _bn(sd, src)
+        stats[f"BatchNorm_{i}"] = s
+
+    H, W = num_nodes // 16, feat_len // 16
+    w = _np(sd, "out.1.weight")            # (160, 32*H*W), C-major
+    w = w.reshape(160, 32, H, W).transpose(2, 3, 1, 0).reshape(H * W * 32, 160)
+    params["Dense_0"] = {"kernel": w, "bias": _np(sd, "out.1.bias")}
+    params["Dense_1"] = _dense(sd, "out.3")
+    params["Dense_2"] = _dense(sd, "fc_mu")
+    return {"params": params, "batch_stats": stats}

@@ -126,6 +126,8 @@ def test_on_asvspoof2021(
     loss_vars=None,
     batch_size: int = 64,
     feature: str = "LFCC",
+    feat_len: int = 750,
+    padding: str = "repeat",
 ) -> str:
     """End-to-end scoring for one task; returns the score file path.
 
@@ -140,7 +142,8 @@ def test_on_asvspoof2021(
         out = os.path.join(output_score_path, f"{model_name}_{task}", "score.txt")
     score_fn = make_score_fn(model, variables, loss_module, loss_vars, add_loss)
     labeled = "19" in task
-    return score_to_file(score_fn, dataset, out, labeled, batch_size)
+    return score_to_file(score_fn, dataset, out, labeled, batch_size,
+                         feat_len, padding)
 
 
 def score_raw_to_file(

@@ -11,13 +11,19 @@ are applied in feature space on device:
 
 - 'repeat': frame t of a short utterance reads frame t mod T_valid
   (dataset.py:520-523 semantics)
-- 'zero':   frames beyond T_valid are zeroed (dataset.py:514-518)
-- 'silence': frames beyond T_valid keep their natural LFCC-of-zero-padding
-  values (the reference PREPENDS silence frames, dataset.py:525-528; here
-  silence trails — same content, different position)
+- 'zero':   frames beyond T_valid are zeroed (dataset.py:514-518, trailing)
+- 'silence': silence feature frames are PREPENDED and the valid frames
+  shifted right, bit-matching the reference layout (dataset.py:525-528:
+  silence_pad_value rows come first, then the utterance) via index
+  arithmetic — output frame t reads valid frame t - (feat_len - T_valid),
+  and the pad region is filled with the precomputed LFCC-of-silence vector.
 
 Long utterances are random-cropped host-side when the batch buffer is
 filled (WaveformIterator), matching the reference's per-epoch random crop.
+
+Evaluation runs CLEAN (the reference validates/tests on unaugmented
+features, /root/reference/main_train.py:489-668): use :meth:`eval_view`
+to get an augmenter-free copy sharing the extractor for the eval step.
 """
 
 from __future__ import annotations
@@ -54,6 +60,15 @@ class OnDeviceFrontend:
 
             self.extractor = CQCC(CQCCConfig())
             self.hop = self.extractor.config.hop_length
+            self._silence_vec = None
+            if padding == "silence":
+                import numpy as np
+
+                self._silence_vec = np.asarray(
+                    jax.jit(self.extractor.__call__)(
+                        jnp.zeros((1, 3200), jnp.float32)
+                    )[0, 0]
+                )
             return
         if feature != "LFCC":
             raise ValueError(f"on-the-fly front-end supports LFCC/CQCC, got {feature}")
@@ -68,6 +83,12 @@ class OnDeviceFrontend:
         if self.extractor is None:
             self.extractor = LFCC(config)
         self.hop = config.hop_length
+        self._silence_vec = None
+        if padding == "silence":
+            # LFCC of pure silence (first frame of 3200 zero samples,
+            # /root/reference/dataset.py:13-16); numpy constant folded into
+            # the HLO (not a closed-over device array — axon dispatch rule).
+            self._silence_vec = LFCC(config).silence_frame()
 
     def min_samples(self) -> int:
         """Waveform buffer length that yields >= feat_len frames."""
@@ -108,7 +129,28 @@ class OnDeviceFrontend:
             mask = (t[None, :] < t_valid[:, None]).astype(out.dtype)
             out = out * mask[..., None]
         elif self.padding == "silence":
-            out = feats[:, : self.feat_len, :]
+            # Prepend layout: output frame t is silence for t < pad and
+            # valid frame t - pad after, pad = feat_len - T_valid
+            # (/root/reference/dataset.py:525-528).
+            t_eff = jnp.minimum(t_valid, self.feat_len)
+            pad = self.feat_len - t_eff                        # (B,) >= 0
+            src = jnp.clip(t[None, :] - pad[:, None], 0, T_max - 1)
+            gather = jax.vmap(lambda f, i: f[i])
+            out = gather(feats, src)
+            sil = jnp.asarray(self._silence_vec, out.dtype)
+            is_pad = (t[None, :] < pad[:, None])[..., None]
+            out = jnp.where(is_pad, sil[None, None, :], out)
         else:
             raise ValueError("padding should be zero, repeat, or silence")
         return out
+
+    def eval_view(self) -> "OnDeviceFrontend":
+        """Augmenter-free copy sharing the extractor and constants, for the
+        eval/scoring steps (reference evaluates on clean features,
+        /root/reference/main_train.py:489-668)."""
+        import copy
+
+        view = copy.copy(self)
+        view.augmenter = None
+        view.apply_ir = False
+        return view

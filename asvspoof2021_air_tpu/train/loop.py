@@ -217,8 +217,14 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
         classifier=classifier, classifier_tx=ctx, classifier2=classifier2,
         frontend=frontend,
     ), donate_argnums=(0,))
+    # Evaluation runs clean: the reference validates and tests on
+    # unaugmented features (/root/reference/main_train.py:489-668), so the
+    # eval step gets an augmenter-free view of the front-end.
+    eval_frontend = (
+        frontend.eval_view() if hasattr(frontend, "eval_view") else frontend
+    )
     eval_step = jax.jit(make_eval_step(model, loss_mod, step_cfg,
-                                       frontend=frontend))
+                                       frontend=eval_frontend))
     return model, loss_mod, state, train_step, eval_step
 
 
@@ -289,6 +295,9 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
         config, train_iter.steps_per_epoch, frontend=frontend
     )
     start_epoch = 0
+    prev_loss = 1e8
+    early_stop = 0
+    meta_path = os.path.join(config.out_fold, "train_meta.json")
     if config.continue_training:
         state = restore_checkpoint(os.path.join(config.out_fold, "best"), state)
     elif config.auto_resume:
@@ -302,11 +311,16 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                 os.path.join(ckpt_dir, str(epochs[0])), state
             )
             start_epoch = epochs[0]
+            # Restore model-selection history so the first post-resume epoch
+            # cannot overwrite 'best' with a worse-than-historical dev loss.
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                prev_loss = meta.get("best_dev_loss", prev_loss)
+                early_stop = meta.get("early_stop", early_stop)
 
     rng = jax.random.PRNGKey(config.seed ^ 0x5EED)
     frontend_params = frontend.params if frontend is not None else None
-    prev_loss = 1e8
-    early_stop = 0
     summary: Dict[str, Any] = {"epochs": 0}
 
     for epoch in range(start_epoch, config.num_epochs):
@@ -352,22 +366,9 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
         with open(os.path.join(config.out_fold, "dev_loss.log"), "a") as f:
             f.write(f"{epoch}\t{val_loss}\t{eer}\n")
 
-        # ---- embedding visualization (main_train.py:604-614, every 3rd
-        # epoch starting at epoch 0) ----
-        if config.visualize and (epoch + 1) % 3 == 1:
-            from asvspoof2021_air_tpu.visualize import visualize_dev_and_eval
-
-            feats_np = np.concatenate(dev_feats)
-            if config.add_loss in ("isolate", "iso_sq", "ang_iso"):
-                center = np.asarray(state.loss_params["center"])
-            else:
-                center = feats_np[labels == 0].mean(0, keepdims=True)
-            visualize_dev_and_eval(
-                feats_np, labels, feats_np, labels, center,
-                seed=config.seed, out_fold=config.out_fold, epoch=epoch + 1,
-            )
-
         # ---- optional eval-set EER (main_train.py:616-668) ----
+        e_feats, e_label_chunks = [], []
+        collect_eval_feats = config.visualize and (epoch + 1) % 3 == 1
         if config.test_on_eval and eval_set is not None:
             e_scores, e_labels = [], []
             if frontend is not None:
@@ -391,6 +392,9 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                     take = min(remaining, config.batch_size)
                     e_scores.append(np.asarray(score)[:take])
                     e_labels.append(batch["label"][:take])
+                    if collect_eval_feats:
+                        e_feats.append(np.asarray(_f)[:take])
+                        e_label_chunks.append(batch["label"][:take])
                     remaining -= take
             else:
                 for batch in SequentialIterator(eval_set, config.batch_size,
@@ -405,6 +409,9 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                     valid = batch["valid"]
                     e_scores.append(np.asarray(score)[valid])
                     e_labels.append(batch["label"][valid])
+                    if collect_eval_feats:
+                        e_feats.append(np.asarray(_f)[valid])
+                        e_label_chunks.append(batch["label"][valid])
             es, el = np.concatenate(e_scores), np.concatenate(e_labels)
             test_eer = min(
                 compute_eer(es[el == 0], es[el == 1])[0],
@@ -412,6 +419,28 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
             )
             with open(os.path.join(config.out_fold, "test_loss.log"), "a") as f:
                 f.write(f"{epoch}\t{test_eer}\n")
+
+        # ---- embedding visualization (main_train.py:604-614, every 3rd
+        # epoch starting at epoch 0): dev AND eval panels, matching
+        # /root/reference/visualize.py:67-89; falls back to dev-only when
+        # no eval set is being scored. ----
+        if config.visualize and (epoch + 1) % 3 == 1:
+            from asvspoof2021_air_tpu.visualize import visualize_dev_and_eval
+
+            feats_np = np.concatenate(dev_feats)
+            if config.add_loss in ("isolate", "iso_sq", "ang_iso"):
+                center = np.asarray(state.loss_params["center"])
+            else:
+                center = feats_np[labels == 0].mean(0, keepdims=True)
+            if e_feats:
+                eval_feats_np = np.concatenate(e_feats)
+                eval_labels_np = np.concatenate(e_label_chunks)
+            else:
+                eval_feats_np, eval_labels_np = feats_np, labels
+            visualize_dev_and_eval(
+                feats_np, labels, eval_feats_np, eval_labels_np, center,
+                seed=config.seed, out_fold=config.out_fold, epoch=epoch + 1,
+            )
 
         # ---- checkpoints + model selection (main_train.py:674-714) ----
         save_checkpoint(
@@ -423,6 +452,9 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
             early_stop = 0
         else:
             early_stop += 1
+        with open(meta_path, "w") as f:
+            json.dump({"epoch": epoch + 1, "best_dev_loss": prev_loss,
+                       "early_stop": early_stop}, f)
         summary.update(
             epochs=epoch + 1, dev_loss=val_loss, dev_eer=eer,
             epoch_seconds=time.time() - t0,

@@ -177,7 +177,50 @@ uint64_t read_utf8(BitReader& br) {
 
 }  // namespace
 
+/* Parse the metadata headers up to the first audio frame. Returns
+ * STREAMINFO total_samples (0 = unknown per spec) and leaves `br`
+ * positioned at the first frame; -1 on malformed input. */
+static int64_t parse_headers(BitReader& br, int* sr, int* nch, int* bps) {
+  br.skip_bytes(4);
+  int64_t total = -1;
+  bool last = false;
+  while (!last) {
+    last = br.bits(1);
+    int type = static_cast<int>(br.bits(7));
+    uint32_t len = static_cast<uint32_t>(br.bits(24));
+    if (type == 0) { /* STREAMINFO */
+      br.bits(16); br.bits(16);       /* min/max block size */
+      br.bits(24); br.bits(24);       /* min/max frame size */
+      *sr = static_cast<int>(br.bits(20));
+      *nch = static_cast<int>(br.bits(3)) + 1;
+      *bps = static_cast<int>(br.bits(5)) + 1;
+      total = static_cast<int64_t>(br.bits(36));
+      br.skip_bytes(16);              /* md5 */
+    } else {
+      br.skip_bytes(len);
+    }
+    if (!br.ok()) return -1;
+  }
+  if (total < 0 || *sr == 0 || *nch < 1 || *nch > 8) return -1;
+  return total;
+}
+
 extern "C" {
+
+/* STREAMINFO probe: returns total samples per channel (0 = unknown),
+ * or -1 on malformed input. */
+long flac_stream_info(const uint8_t* data, size_t size, int* sample_rate,
+                      int* channels, int* bits_per_sample) {
+  if (size < 42 || std::memcmp(data, "fLaC", 4) != 0) return -1;
+  BitReader br(data, size);
+  int sr = 0, nch = 0, bps = 0;
+  int64_t total = parse_headers(br, &sr, &nch, &bps);
+  if (total < 0) return -1;
+  *sample_rate = sr;
+  *channels = nch;
+  *bits_per_sample = bps;
+  return static_cast<long>(total);
+}
 
 /* Decode a FLAC stream. Returns samples written PER CHANNEL, or -1 on
  * malformed input. Output is interleaved int32 (original bit depth,
@@ -187,28 +230,8 @@ long flac_decode(const uint8_t* data, size_t size, int32_t* out,
                  int* bits_per_sample) {
   if (size < 42 || std::memcmp(data, "fLaC", 4) != 0) return -1;
   BitReader br(data, size);
-  br.skip_bytes(4);
-
   int sr = 0, nch = 0, bps = 0;
-  bool last = false;
-  while (!last) {
-    last = br.bits(1);
-    int type = static_cast<int>(br.bits(7));
-    uint32_t len = static_cast<uint32_t>(br.bits(24));
-    if (type == 0) { /* STREAMINFO */
-      br.bits(16); br.bits(16);       /* min/max block size */
-      br.bits(24); br.bits(24);       /* min/max frame size */
-      sr = static_cast<int>(br.bits(20));
-      nch = static_cast<int>(br.bits(3)) + 1;
-      bps = static_cast<int>(br.bits(5)) + 1;
-      br.bits(36);                    /* total samples */
-      br.skip_bytes(16);              /* md5 */
-    } else {
-      br.skip_bytes(len);
-    }
-    if (!br.ok()) return -1;
-  }
-  if (sr == 0 || nch < 1 || nch > 8) return -1;
+  if (parse_headers(br, &sr, &nch, &bps) < 0) return -1;
   *sample_rate = sr;
   *channels = nch;
   *bits_per_sample = bps;

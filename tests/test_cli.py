@@ -145,3 +145,114 @@ def test_preprocess_cli_stft_and_melspec(tmp_path):
         assert len(files) == 3
         arr = np.load(files[0])
         assert arr.shape[-1] == dim_check
+
+
+def _synth_corpus(db, parts=("train", "dev"), n=8, seed=7):
+    """ASVspoof2019-layout wav corpus with separable classes."""
+    import numpy as np
+
+    g = np.random.default_rng(seed)
+    protdir = os.path.join(db, "LA", "ASVspoof2019_LA_cm_protocols")
+    os.makedirs(protdir, exist_ok=True)
+    for part in parts:
+        wavdir = os.path.join(db, "LA", f"ASVspoof2019_LA_{part}", "wav")
+        os.makedirs(wavdir, exist_ok=True)
+        lines = []
+        for i in range(n):
+            fname = f"LA_{part[0].upper()}_{i:07d}"
+            if i % 2 == 0:
+                wav = (0.3 * g.standard_normal(9000)).astype(np.float32)
+                tag, label = "-", "bonafide"
+            else:
+                t = np.arange(9000) / 16000.0
+                wav = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+                tag, label = "A01", "spoof"
+            write_wav(os.path.join(wavdir, fname + ".wav"), wav)
+            lines.append(f"LA_{i:04d} {fname} - {tag} {label}\n")
+        with open(os.path.join(
+                protdir, f"ASVspoof2019.LA.cm.{part}.trl.txt"), "w") as f:
+            f.writelines(lines)
+    return protdir
+
+
+def test_preprocess_melspec_frame_count(tmp_path):
+    """Melspec caches carry the hop-128 frame count (T = 1 + L//128), not the
+    LFCC hop-160 count — the round trip loads with the correct T."""
+    import numpy as np
+
+    import asvspoof2021_air_tpu.cli.preprocess as pp
+    from asvspoof2021_air_tpu.data.datasets import ASVspoof2019FeatureDataset
+
+    db = str(tmp_path / "db")
+    _synth_corpus(db, parts=("train",), n=2)
+    out = str(tmp_path / "feats")
+    pp.main(["-d", db, "-o", out, "--part", "train", "--feature", "Melspec"])
+    ds = ASVspoof2019FeatureDataset("LA", out, "train", "Melspec")
+    assert len(ds) == 2
+    feat, _f, _t, _l = ds[0]
+    assert feat.shape[1] == 1 + 9000 // 128  # Melspec hop, not 1 + L//160
+    assert feat.shape[2] == 128
+
+
+def test_add_loss_ocsoftmax_normalized_and_invalid_rejected():
+    """--config JSON bypasses argparse choices; config_from_args normalizes
+    'ocsoftmax' to ang_iso and rejects untrainable names eagerly."""
+    import pytest
+
+    args = build_parser().parse_args(["-o", "/tmp/x"])
+    args.add_loss = "ocsoftmax"
+    assert config_from_args(args).add_loss == "ang_iso"
+    args.add_loss = "amsoftmax"
+    with pytest.raises(SystemExit):
+        config_from_args(args)
+
+
+def test_degrade_preprocess_augtrain_score_chain(tmp_path, monkeypatch):
+    """Full augmented pipeline with in-repo tools only: degrade ->
+    preprocess (plain + aug trees) -> train --LA_aug --ADV_AUG ->
+    generate_score -t 19laaugdev (closes the reference loop
+    /root/reference/channel_simulation -> preprocess.py -> main_train.py)."""
+    import numpy as np
+
+    import asvspoof2021_air_tpu.cli.generate_score as gs
+    import asvspoof2021_air_tpu.cli.preprocess as pp
+    import asvspoof2021_air_tpu.cli.train as tr
+
+    db = str(tmp_path / "db")
+    protdir = _synth_corpus(db, parts=("train", "dev"), n=8)
+
+    aug_wavs = str(tmp_path / "aug_wavs")
+    for part in ("train", "dev"):
+        n = channel_degrade(
+            os.path.join(db, "LA", f"ASVspoof2019_LA_{part}", "wav"),
+            os.path.join(aug_wavs, part), mode="random", seed=3,
+        )
+        assert n == 8
+
+    feats, aug_feats = str(tmp_path / "feats"), str(tmp_path / "aug_feats")
+    for part in ("train", "dev"):
+        pp.main(["-d", db, "-o", feats, "--part", part])
+        pp.main(["--dataset", "aug", "--aug_wav_dir", aug_wavs,
+                 "--path_to_protocol", protdir, "-o", aug_feats,
+                 "--part", part])
+        assert len(os.listdir(os.path.join(aug_feats, part, "LFCC"))) == 8
+
+    run = str(tmp_path / "run")
+    tr.main(["-o", run, "-f", feats, "--path_to_aug_features", aug_feats,
+             "-m", "lcnn", "--add_loss", "ang_iso", "--LA_aug", "true",
+             "--ADV_AUG", "true", "--num_epochs", "2", "--batch_size", "8",
+             "--feat_len", "56", "--ratio", "0.5", "--enc_dim", "32"])
+    assert os.path.isdir(os.path.join(run, "best"))
+
+    monkeypatch.chdir(tmp_path)
+    gs.main(["--model_folder", str(tmp_path), "-n", "run", "-t", "19laaugdev",
+             "-l", "ocsoftmax", "--ori_features", feats,
+             "--aug_features", aug_feats, "--batch_size", "8"])
+    score_file = tmp_path / "scores" / "run_19laaugdev_score.txt"
+    assert score_file.exists()
+    lines = score_file.read_text().strip().splitlines()
+    assert len(lines) == 8 + 8  # original + augmented dev trials
+    for ln in lines:
+        fields = ln.split()
+        assert len(fields) == 3 and fields[2] in ("bonafide", "spoof")
+        assert np.isfinite(float(fields[1]))

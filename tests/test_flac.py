@@ -88,3 +88,22 @@ def test_raw_dataset_over_flac(tmp_path):
     assert fname == "LA_T_7001"
     assert len(wav) == 8500
     assert np.abs(wav).max() <= 1.0
+
+
+def test_long_silence_not_truncated():
+    """Streams that compress far below 25% (long constant runs) decode in
+    full: the output buffer is sized from STREAMINFO total_samples, not a
+    compression-ratio heuristic."""
+    pcm = np.zeros(400_000, np.int32)
+    data = encode_flac(pcm, kind="constant")
+    assert len(data) * 4 < len(pcm)  # heuristic bound would have truncated
+    samples, sr, bps = ah.flac_decode(data)
+    assert samples.shape == (len(pcm), 1)
+    assert not samples.any()
+
+
+def test_stream_info_reports_totals():
+    pcm = pcm_mono(12345)
+    data = encode_flac(pcm, kind="lpc")
+    samples, sr, bps = ah.flac_decode(data)
+    assert samples.shape == (12345, 1)

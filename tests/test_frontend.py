@@ -69,6 +69,74 @@ def test_zero_padding_zeroes_invalid_frames():
     assert np.any(out[0, :t_valid] != 0)
 
 
+def test_silence_padding_prepends_like_host():
+    """On-device 'silence' policy reproduces the reference PREPEND layout
+    (/root/reference/dataset.py:525-528): silence rows first, valid frames
+    shifted right — bit-comparable to host-side pad_or_crop."""
+    fe = OnDeviceFrontend(feat_len=FEAT_LEN, padding="silence", use_pallas=False)
+    lens = [8000, 12803, fe.min_samples()]  # two short + one exactly full
+    L = fe.min_samples()
+    batch = np.zeros((3, L), np.float32)
+    g = np.random.default_rng(5)
+    for i, l in enumerate(lens):
+        batch[i, :l] = 0.3 * g.standard_normal(l)
+    out = np.asarray(
+        fe({"wave": jnp.asarray(batch), "length": jnp.asarray(lens)},
+           jax.random.PRNGKey(0))
+    )
+    lfcc = LFCC()
+    for i, l in enumerate(lens):
+        single = np.asarray(lfcc(jnp.asarray(batch[i:i + 1, :l])))
+        expected = pad_or_crop(single, FEAT_LEN, "silence")
+        np.testing.assert_allclose(out[i], expected[0], atol=2e-4,
+                                   err_msg=f"utt {i}")
+
+
+def test_zero_padding_matches_host():
+    """'zero' policy == host pad_or_crop('zero'): zeros appended trailing
+    (/root/reference/dataset.py:514-518)."""
+    fe = OnDeviceFrontend(feat_len=FEAT_LEN, padding="zero", use_pallas=False)
+    L = fe.min_samples()
+    l = 8000
+    batch = np.zeros((1, L), np.float32)
+    g = np.random.default_rng(6)
+    batch[0, :l] = 0.3 * g.standard_normal(l)
+    out = np.asarray(
+        fe({"wave": jnp.asarray(batch), "length": jnp.asarray([l])},
+           jax.random.PRNGKey(0))
+    )
+    lfcc = LFCC()
+    single = np.asarray(lfcc(jnp.asarray(batch[:1, :l])))
+    expected = pad_or_crop(single, FEAT_LEN, "zero")
+    np.testing.assert_allclose(out[0], expected[0], atol=2e-4)
+
+
+def test_eval_view_is_clean_and_deterministic():
+    """eval_view() drops the augmenter: output equals the augmenter-free
+    front-end regardless of rng (the reference evaluates on clean data,
+    /root/reference/main_train.py:489-668)."""
+    aug = ChannelAugmenter(ir_bank=synthetic_ir_bank(4, 256))
+    fe = OnDeviceFrontend(feat_len=FEAT_LEN, padding="repeat",
+                          augmenter=aug, apply_ir=True, use_pallas=False)
+    clean = OnDeviceFrontend(feat_len=FEAT_LEN, padding="repeat",
+                             use_pallas=False)
+    ev = fe.eval_view()
+    assert ev.augmenter is None and fe.augmenter is aug  # original untouched
+    L = fe.min_samples()
+    g = np.random.default_rng(7)
+    batch = {
+        "wave": jnp.asarray(0.3 * g.standard_normal((2, L)), jnp.float32),
+        "length": jnp.full((2,), L, jnp.int32),
+    }
+    out_aug = np.asarray(fe(batch, jax.random.PRNGKey(0), fe.params))
+    out_ev1 = np.asarray(ev(batch, jax.random.PRNGKey(0), fe.params))
+    out_ev2 = np.asarray(ev(batch, jax.random.PRNGKey(9), fe.params))
+    out_clean = np.asarray(clean(batch, jax.random.PRNGKey(3)))
+    np.testing.assert_array_equal(out_ev1, out_ev2)
+    np.testing.assert_allclose(out_ev1, out_clean, atol=1e-6)
+    assert not np.allclose(out_aug, out_ev1)
+
+
 def test_frontend_with_augmenter_jits():
     aug = ChannelAugmenter(ir_bank=synthetic_ir_bank(4, 256))
     fe = OnDeviceFrontend(feat_len=FEAT_LEN, padding="repeat",

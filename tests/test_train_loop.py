@@ -213,6 +213,99 @@ def test_train_loop_auto_resume(tmp_path):
     ]
 
 
+def test_auto_resume_preserves_best_dev_loss(tmp_path):
+    """The first post-resume epoch must not overwrite <out>/best when its dev
+    loss is worse than the historical best (best_dev_loss + early_stop are
+    persisted in train_meta.json and restored on auto-resume)."""
+    import json
+
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "arm"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=1,
+        batch_size=8,
+        feat_len=112,
+        feat_dim=D,
+        ratio=1.0,
+        enc_dim=32,
+        auto_resume=True,
+    )
+    train_set = SyntheticDataset(seed=0)
+    dev_set = SyntheticDataset(seed=1)
+    s1 = train(cfg, train_set=train_set, dev_set=dev_set)
+    meta_path = os.path.join(cfg.out_fold, "train_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["best_dev_loss"] == s1["best_dev_loss"]
+
+    # Simulate a historical best far better than anything epoch 2 will reach:
+    # 'best' must NOT be overwritten after resuming.
+    fake_best = 1e-9
+    with open(meta_path, "w") as f:
+        json.dump({**meta, "best_dev_loss": fake_best, "early_stop": 3}, f)
+    best_mtime = os.path.getmtime(
+        os.path.join(cfg.out_fold, "best", "_CHECKPOINT_METADATA")
+    ) if os.path.exists(
+        os.path.join(cfg.out_fold, "best", "_CHECKPOINT_METADATA")
+    ) else max(
+        os.path.getmtime(os.path.join(cfg.out_fold, "best", p))
+        for p in os.listdir(os.path.join(cfg.out_fold, "best"))
+    )
+    cfg2 = TrainConfig(**{**cfg.__dict__, "num_epochs": 2})
+    s2 = train(cfg2, train_set=train_set, dev_set=dev_set)
+    assert s2["best_dev_loss"] == fake_best
+    new_mtime = max(
+        os.path.getmtime(os.path.join(cfg.out_fold, "best", p))
+        for p in os.listdir(os.path.join(cfg.out_fold, "best"))
+    )
+    assert new_mtime == best_mtime  # best checkpoint untouched
+    with open(meta_path) as f:
+        meta2 = json.load(f)
+    assert meta2["early_stop"] == 4  # counter continued, not reset
+
+
+def test_visualize_uses_eval_embeddings(tmp_path):
+    """With test_on_eval + visualize, the 2x2 plot gets dev AND eval
+    embedding sets (reference visualize.py:67-89), not dev twice."""
+    pytest.importorskip("sklearn")
+    captured = {}
+    import asvspoof2021_air_tpu.visualize as vis
+
+    orig = vis.visualize_dev_and_eval
+
+    def spy(dev_feats, dev_labels, eval_feats, eval_labels, center, **kw):
+        captured["dev"] = np.asarray(dev_feats)
+        captured["eval"] = np.asarray(eval_feats)
+        return orig(dev_feats, dev_labels, eval_feats, eval_labels, center, **kw)
+
+    vis.visualize_dev_and_eval = spy
+    try:
+        cfg = TrainConfig(
+            out_fold=str(tmp_path / "vise"),
+            model="lcnn",
+            add_loss="ang_iso",
+            num_epochs=1,
+            batch_size=8,
+            feat_len=64,
+            feat_dim=D,
+            ratio=1.0,
+            enc_dim=32,
+            on_the_fly=True,
+            test_on_eval=True,
+            visualize=True,
+        )
+        train(cfg, train_set=SyntheticRawDataset(seed=0),
+              dev_set=SyntheticRawDataset(seed=1),
+              eval_set=SyntheticRawDataset(n=10, seed=2))
+    finally:
+        vis.visualize_dev_and_eval = orig
+    assert captured["eval"].shape[0] == 10  # the eval set, trimmed to count
+    assert captured["dev"].shape != captured["eval"].shape or not np.allclose(
+        captured["dev"], captured["eval"]
+    )
+
+
 def test_train_loop_on_the_fly_test_on_eval(tmp_path):
     """test_on_eval over raw audio in on-the-fly mode."""
     cfg = TrainConfig(

@@ -1,0 +1,138 @@
+"""Weight-transplant architecture-parity tests.
+
+Build the torch reference model (source mounted read-only at
+/root/reference), randomly initialize, port its state_dict into the flax
+model via interop.torch_port, and assert (embedding, logits) agree in eval
+mode — the strongest data-free proof the architectures match
+(/root/reference/ecapa_tdnn.py:152-198, model.py:184-253, :555-610).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+# The reference imports pytorch_model_summary at module scope (only used in
+# __main__ demo blocks); stub it so the mounted source imports cleanly.
+sys.modules.setdefault(
+    "pytorch_model_summary", types.SimpleNamespace(summary=lambda *a, **k: "")
+)
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
+
+ref_ecapa = pytest.importorskip("ecapa_tdnn")
+ref_model = pytest.importorskip("model")
+
+from asvspoof2021_air_tpu.interop import (  # noqa: E402
+    port_ecapa,
+    port_lcnn,
+    port_resnet,
+)
+from asvspoof2021_air_tpu.models.ecapa import ECAPA_TDNN  # noqa: E402
+from asvspoof2021_air_tpu.models.lcnn import LCNN  # noqa: E402
+from asvspoof2021_air_tpu.models.resnet import ResNet  # noqa: E402
+
+
+def _state_dict_np(mod):
+    return {k: v.detach().cpu().numpy() for k, v in mod.state_dict().items()}
+
+
+def _randomize_bn_stats(mod, seed=0):
+    """Give running stats non-default values so stat transplanting is
+    actually exercised."""
+    g = torch.Generator().manual_seed(seed)
+    for m in mod.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.uniform_(-0.05, 0.05, generator=g)
+            m.running_var.uniform_(0.9, 1.1, generator=g)
+
+
+@pytest.mark.parametrize("scale,C", [(4, 64), (8, 128)])
+def test_ecapa_transplant(scale, C):
+    torch.manual_seed(688)
+    ref = ref_ecapa.Res2Net2(
+        ref_ecapa.Bottle2neck, C=C, model_scale=scale, nOut=2, n_mels=60
+    )
+    _randomize_bn_stats(ref)
+    ref.eval()
+
+    B, T = 3, 50
+    g = np.random.default_rng(0)
+    x = g.standard_normal((B, 60, T)).astype(np.float32)
+    with torch.no_grad():
+        t_feat, t_logits = ref(torch.from_numpy(x))
+
+    model = ECAPA_TDNN(C=C, model_scale=scale, n_out=2, n_feat=60, enc_dim=256)
+    variables = port_ecapa(_state_dict_np(ref), model_scale=scale)
+    j_feat, j_logits = jax.jit(
+        lambda v, a: model.apply(v, a, False)
+    )(jax.tree.map(jnp.asarray, variables), jnp.asarray(x.transpose(0, 2, 1)))
+
+    np.testing.assert_allclose(np.asarray(j_feat), t_feat.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_resnet18_transplant():
+    torch.manual_seed(42)
+    ref = ref_model.ResNet(3, 256, resnet_type="18", nclasses=2)
+    _randomize_bn_stats(ref, seed=1)
+    ref.eval()
+
+    B, T = 2, 100
+    g = np.random.default_rng(1)
+    x = g.standard_normal((B, 1, 60, T)).astype(np.float32)
+    with torch.no_grad():
+        torch.manual_seed(7)  # the reference adds 1e-5 noise in the pooling
+        t_feat, t_logits = ref(torch.from_numpy(x))
+
+    model = ResNet(num_nodes=3, enc_dim=256, resnet_type="18", nclasses=2)
+    variables = port_resnet(_state_dict_np(ref), resnet_type="18")
+    j_feat, j_logits = jax.jit(
+        lambda v, a: model.apply(v, a, False)
+    )(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(x[:, 0].transpose(0, 2, 1)),  # (B, T, F)
+    )
+    # 1e-5 pooling noise in the torch path bounds achievable tolerance
+    np.testing.assert_allclose(np.asarray(j_feat), t_feat.numpy(),
+                               atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               atol=5e-3, rtol=1e-2)
+
+
+def test_lcnn_transplant():
+    torch.manual_seed(9)
+    feat_len = 112
+    ref = ref_model.LCNN(60, 256, nclasses=2)
+    # resize the reference's feat_len-750 head to the test length
+    in_dim = (feat_len // 16) * (60 // 16) * 32
+    ref.out[1] = torch.nn.Linear(in_dim, 160)
+    _randomize_bn_stats(ref, seed=2)
+    ref.eval()
+
+    B = 2
+    g = np.random.default_rng(2)
+    x = g.standard_normal((B, 1, 60, feat_len)).astype(np.float32)
+    with torch.no_grad():
+        t_feat, t_logits = ref(torch.from_numpy(x))
+
+    model = LCNN(num_nodes=60, enc_dim=256, nclasses=2, feat_len=feat_len)
+    variables = port_lcnn(_state_dict_np(ref), num_nodes=60, feat_len=feat_len)
+    j_feat, j_logits = jax.jit(
+        lambda v, a: model.apply(v, a, False)
+    )(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(x[:, 0].transpose(0, 2, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(j_feat), t_feat.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               atol=2e-3, rtol=1e-3)
