@@ -79,11 +79,14 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000) -> np.ndarray:
     if name.startswith("g726"):
         bits = _codec_bits(name)
         return ah.telephony_channel(wave, f"g726_{8 * bits}k", sr)
+    if name == "gsmfr":
+        # real GSM 06.10 Full-Rate bitstream round trip (native RPE-LTP)
+        return ah.telephony_channel(wave, "gsmfr", sr)
     wideband = name.startswith(("silkwb", "amrwb", "g722"))
     if wideband:
         # wideband codecs keep the 16 kHz band; ADPCM at 4-5 bits at 16 kHz
         return ah.g726_roundtrip(wave, 5 if "g722" in name else 4)
-    # narrowband lossy (amr/silk/gsm/g728/g729): 8 kHz round trip + low-rate
+    # narrowband lossy (amr/silk/g728/g729): 8 kHz round trip + low-rate
     # ADPCM; lower bitrates get fewer bits
     low = any(k in name for k in ("4k75", "5k15", "5k9", "5k", "6k7"))
     return ah.telephony_channel(wave, "g726_16k" if low else "g726_24k", sr)

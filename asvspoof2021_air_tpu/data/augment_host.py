@@ -99,7 +99,7 @@ def rms_normalize(wave, target_dbfs: float) -> np.ndarray:
 
 
 CODEC_IDS = {"g711u": 0, "g711a": 1, "g726_16k": 2, "g726_24k": 3,
-             "g726_32k": 4, "g726_40k": 5}
+             "g726_32k": 4, "g726_40k": 5, "gsmfr": 6}
 
 
 def telephony_channel(wave, codec: str = "g711u", sample_rate: int = 16000) -> np.ndarray:
@@ -109,6 +109,43 @@ def telephony_channel(wave, codec: str = "g711u", sample_rate: int = 16000) -> n
     get_lib().telephony_channel(_ptr(x), _ptr(out), x.size, sample_rate,
                                 CODEC_IDS[codec])
     return out
+
+
+def gsmfr_roundtrip(wave) -> np.ndarray:
+    """GSM 06.10 Full-Rate encode->decode at 8 kHz (native RPE-LTP,
+    native/augment/gsmfr.cc). Input/output are 8 kHz float; use
+    telephony_channel(wave, 'gsmfr') for the full 16 kHz hop."""
+    x = _as_f32(wave)
+    out = np.empty_like(x)
+    get_lib().gsmfr_roundtrip(_ptr(x), _ptr(out), x.size)
+    return out
+
+
+def gsmfr_encode(wave) -> bytes:
+    """Encode 8 kHz float audio to packed 33-byte GSM frames."""
+    lib = get_lib()
+    lib.gsmfr_encode.restype = ctypes.c_long
+    x = _as_f32(wave)
+    n_frames = -(-x.size // 160)
+    out = np.zeros(n_frames * 33, np.uint8)
+    n = lib.gsmfr_encode(_ptr(x), x.size,
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[: n * 33].tobytes()
+
+
+def gsmfr_decode(frames: bytes) -> np.ndarray:
+    """Decode packed 33-byte GSM frames to 8 kHz float audio."""
+    lib = get_lib()
+    lib.gsmfr_decode.restype = ctypes.c_long
+    buf = np.frombuffer(frames, np.uint8)
+    n_frames = buf.size // 33
+    out = np.empty(n_frames * 160, np.float32)
+    n = lib.gsmfr_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_frames,
+        _ptr(out))
+    if n < 0:
+        raise ValueError("bad GSM frame magic")
+    return out[:n]
 
 
 def flac_decode(data: bytes):

@@ -216,7 +216,10 @@ CHANNEL_FAMILIES: Tuple[ChannelFamily, ...] = (
     ChannelFamily("silk_nb", False, None, 24.0),
     ChannelFamily("silk_wb", True, None, 28.0),
     ChannelFamily("g722", True, None, 30.0),
-    ChannelFamily("gsmfr", False, None, 20.0),
+    # 12.2 dB: measured SNR of the real native GSM 06.10 codec on a
+    # speech-like harmonic signal through the full 16 kHz telephony hop
+    # (tests/test_gsmfr.py::test_family_snr_matches_real_codec).
+    ChannelFamily("gsmfr", False, None, 12.2),
 )
 
 _LAW_NONE, _LAW_MU, _LAW_A = 0, 1, 2

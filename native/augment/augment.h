@@ -45,8 +45,16 @@ void fft_convolve(const float* x, size_t n, const float* ir, size_t k,
 /* ---- RMS level normalization to target dBFS. */
 void rms_normalize(const float* in, float* out, size_t n, float target_dbfs);
 
+/* ---- GSM 06.10 Full-Rate (RPE-LTP), 8 kHz, 160-sample frames, 260 bits
+ * packed as 33 bytes with a 0xD magic nibble. gsmfr_encode returns frames
+ * written (out sized ceil(n/160)*33); gsmfr_decode returns samples written
+ * or -1 on a bad magic nibble; gsmfr_roundtrip is encode->decode. */
+long gsmfr_encode(const float* in, size_t n, uint8_t* out);
+long gsmfr_decode(const uint8_t* in, long n_frames, float* out);
+void gsmfr_roundtrip(const float* in, float* out, size_t n);
+
 /* ---- Full telephony channel: resample to 8k, codec, resample back to
- * in_rate. codec: 0=g711u, 1=g711a, 2..5=g726 with 2..5 bits. */
+ * in_rate. codec: 0=g711u, 1=g711a, 2..5=g726 with 2..5 bits, 6=gsmfr. */
 void telephony_channel(const float* in, float* out, size_t n, int in_rate,
                        int codec);
 

@@ -123,6 +123,9 @@ void telephony_channel(const float* in, float* out, size_t n, int in_rate,
     case 1:
       g711_alaw_roundtrip(nb.data(), coded.data(), n8);
       break;
+    case 6:
+      gsmfr_roundtrip(nb.data(), coded.data(), n8);
+      break;
     default: {
       int bits = std::min(5, std::max(2, codec));
       g726_roundtrip(nb.data(), coded.data(), n8, bits);
