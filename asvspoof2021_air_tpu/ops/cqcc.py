@@ -7,18 +7,22 @@ shipped — features were materialized elsewhere with the official MATLAB CQCC
 toolbox. This module provides a TPU-native extractor of the same feature
 family so the CQCC path is runnable end-to-end.
 
-Design (matmul/FFT-only, mirroring the CQCC recipe of Todisco et al.):
-  frames (long window) -> rFFT power -> @ constant-Q triangular filterbank
-  (geometrically spaced centers, Q-constant bandwidths) -> log -> @ uniform
-  resampling matrix (geometric -> linear frequency axis, the CQCC
-  "uniformly resampled log energy" step) -> @ DCT-II -> keep n_coef -> Δ/ΔΔ.
+Design: a TRUE multi-resolution constant-Q transform (Q = 1/(2^(1/B)-1),
+per-bin Hann-windowed complex kernels of length Q*sr/f_k), computed the
+XLA-friendly way — octave by octave over a halfband-decimated signal pyramid,
+so every octave reuses ONE kernel matmul:
 
-This is a pseudo-CQT: one analysis window length for all bins (default
-2048 samples = 128 ms), so constant-Q resolution holds from roughly 250 Hz
-upward and the lowest octaves are spectrally blurred — adequate for
-speech-band anti-spoofing features, and honest about not being the
-multi-resolution CQT of the MATLAB toolbox. No bit-parity claim is made
-(none is possible: the reference ships no extractor to compare against).
+  stage s (rate sr/2^s, hop 160/2^s): frames (B,T,N) @ kernel (N,96) -> one
+  octave of CQ bins, time-aligned across stages because hop scales with rate.
+
+Then the CQCC recipe of Todisco et al.: log power -> uniform resampling of
+the geometric frequency axis -> DCT-II -> keep n_coef -> Δ/ΔΔ.
+
+Numerical fidelity is bounded against a direct per-bin CQT oracle in
+tests/test_cqcc.py (tests/cqt_oracle.py): the decimation pyramid matches the
+oracle's log-CQ cepstra closely on full-resolution bins. No bit-parity claim
+vs the MATLAB toolbox is possible (the reference ships no extractor), but
+this is a real constant-Q analysis, not a blurred single-window pseudo-CQT.
 """
 
 from __future__ import annotations
@@ -40,12 +44,12 @@ class CQCCConfig:
     fmin: float = 62.5            # 7 octaves up to 8 kHz
     n_octaves: int = 7
     bins_per_octave: int = 96
-    win_length: int = 2048        # pseudo-CQT analysis window
     hop_length: int = 160
     n_linear: int = 512           # uniform-resampled spectrum bins
     n_coef: int = 30              # kept cepstral coefficients
     with_delta: bool = True
     with_emphasis: bool = False
+    max_stages: int = 6           # decimation stages (hop 160 -> 5 at s=5)
 
     @property
     def n_bins(self) -> int:
@@ -56,22 +60,33 @@ class CQCCConfig:
         return self.n_coef * (3 if self.with_delta else 1)
 
 
-def cq_filterbank(cfg: CQCCConfig) -> np.ndarray:
-    """(win//2+1, n_bins) triangular filters at geometrically spaced centers
-    with constant-Q bandwidths."""
-    n_fft = cfg.win_length
-    freqs = np.linspace(0, cfg.sample_rate / 2, n_fft // 2 + 1)
-    centers = cfg.fmin * 2.0 ** (np.arange(cfg.n_bins) / cfg.bins_per_octave)
-    q = 1.0 / (2.0 ** (1.0 / cfg.bins_per_octave) - 1.0)
-    fb = np.zeros((n_fft // 2 + 1, cfg.n_bins), np.float64)
-    for i, fc in enumerate(centers):
-        bw = max(fc / q, freqs[1] * 1.5)  # at least ~1.5 FFT bins wide
-        lo, hi = fc - bw, fc + bw
-        tri = np.clip(1.0 - np.abs(freqs - fc) / bw, 0.0, 1.0)
-        s = tri.sum()
-        if s > 0:
-            fb[:, i] = tri / s
-    return fb.astype(np.float32)
+def cq_kernels(rel_freqs: np.ndarray, q: float, n_frame: int):
+    """(n_frame, K) real/imag CQ kernel matrices for normalized frequencies
+    ``rel_freqs`` (cycles/sample): per-bin Hann window of length ceil(q/nu)
+    centered in the frame, unit-DC-gain normalized."""
+    K = len(rel_freqs)
+    re = np.zeros((n_frame, K), np.float64)
+    im = np.zeros((n_frame, K), np.float64)
+    for k, nu in enumerate(rel_freqs):
+        n_k = min(int(np.ceil(q / nu)), n_frame)
+        off = (n_frame - n_k) // 2
+        n = np.arange(n_k)
+        win = np.hanning(n_k)
+        win = win / win.sum()
+        re[off:off + n_k, k] = win * np.cos(2 * np.pi * nu * n)
+        im[off:off + n_k, k] = win * np.sin(2 * np.pi * nu * n)
+    return re.astype(np.float32), im.astype(np.float32)
+
+
+def halfband_fir(taps: int = 127, beta: float = 12.0) -> np.ndarray:
+    """Kaiser windowed-sinc lowpass at a quarter of the sampling rate
+    (halfband decimation prototype). beta=12 gives ~120 dB stopband so
+    repeated decimation does not fold high-band energy into the low
+    octaves' noise floor (which would bias their log-CQ values)."""
+    n = np.arange(taps) - (taps - 1) / 2
+    h = np.sinc(n / 2.0) / 2.0
+    h *= np.kaiser(taps, beta)
+    return (h / h.sum()).astype(np.float32)
 
 
 def uniform_resample_matrix(cfg: CQCCConfig) -> np.ndarray:
@@ -100,14 +115,90 @@ class CQCC:
     def __init__(self, config: CQCCConfig = CQCCConfig()):
         self.config = config
         cfg = config
-        self._window = np.hanning(cfg.win_length).astype(np.float32)
-        self._fb = jnp.asarray(cq_filterbank(cfg))
-        self._resample = jnp.asarray(uniform_resample_matrix(cfg))
+        B = cfg.bins_per_octave
+        q = 1.0 / (2.0 ** (1.0 / B) - 1.0)
+        centers = cfg.fmin * 2.0 ** (np.arange(cfg.n_bins) / B)
+
+        # Octave o (0 = top) runs at decimation stage s = min(o, max_s) where
+        # max_s is limited by hop divisibility (hop >> s must stay integer).
+        max_s = cfg.max_stages - 1
+        while (cfg.hop_length >> max_s) << max_s != cfg.hop_length:
+            max_s -= 1
+        self.n_stages = max_s + 1
+
+        # Kernel matrices per octave, expressed at that octave's stage rate.
+        # Octave o runs one stage EARLIER than maximal decimation (s = o-1,
+        # clamped) so its band sits in [1/8, 1/4) of the stage rate — safely
+        # below the halfband decimator's transition band at the new Nyquist
+        # (running at s = o would put the band's top at 0.496 of the rate,
+        # inside the anti-alias roll-off).
+        self._oct_stage = []
+        self._kernels = []
+        for o in range(cfg.n_octaves):
+            s = min(max(o - 1, 0), max_s)
+            rate = cfg.sample_rate / (1 << s)
+            lo = cfg.n_bins - (o + 1) * B
+            fc = centers[lo:lo + B]
+            nu = fc / rate
+            n_frame = 1 << int(np.ceil(np.log2(q / nu.min() + 1)))
+            re, im = cq_kernels(nu, q, n_frame)
+            self._oct_stage.append(s)
+            self._kernels.append((re, im))
+
+        self._hb = halfband_fir()
+        self._resample = uniform_resample_matrix(cfg)
         dct = dsp.dct_matrix(cfg.n_linear, "dct", norm="ortho")
-        self._dct = jnp.asarray(dct[:, :cfg.n_coef])
+        self._dct = dct[:, :cfg.n_coef]
 
     def frame_lengths(self, lengths: jnp.ndarray) -> jnp.ndarray:
         return 1 + lengths // self.config.hop_length
+
+    def _decimate(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Halfband filter + take every other sample: (B, L) -> (B, L//2)."""
+        taps = self._hb.shape[0]
+        pad = taps // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad)))
+        y = jax.lax.conv_general_dilated(
+            xp[:, None, :], jnp.asarray(self._hb)[None, None, :],
+            window_strides=(2,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )[:, 0, :]
+        return y
+
+    def log_cq(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+        """Log-power constant-Q transform: (B, L) -> (B, T, n_bins), bins
+        ordered low->high frequency at fmin * 2^(k / bins_per_octave)."""
+        cfg = self.config
+        x = waveforms.astype(jnp.float32)
+        L = x.shape[1]
+        T = dsp.num_frames(L, cfg.hop_length)
+
+        # Decimation pyramid.
+        pyramid = [x]
+        for _s in range(1, self.n_stages):
+            pyramid.append(self._decimate(pyramid[-1]))
+
+        # Per-octave CQ power via one kernel matmul each, time-aligned:
+        # frame t of stage s is centered at t * (hop >> s) * 2^s = t * hop.
+        oct_logs = []
+        for o in range(cfg.n_octaves):
+            s = self._oct_stage[o]
+            re, im = self._kernels[o]
+            hop_s = cfg.hop_length >> s
+            xs = pyramid[s]
+            frames = dsp.frame_signal(xs, re.shape[0], hop_s, re.shape[0])
+            frames = frames[:, :T]
+            if frames.shape[1] < T:  # decimation rounding tail
+                frames = jnp.pad(
+                    frames, ((0, 0), (0, T - frames.shape[1]), (0, 0))
+                )
+            cre = jnp.einsum("btn,nk->btk", frames, jnp.asarray(re))
+            cim = jnp.einsum("btn,nk->btk", frames, jnp.asarray(im))
+            power = cre * cre + cim * cim
+            oct_logs.append(jnp.log(power + dsp.FLOAT32_EPS))
+        # centers array is ordered low->high; octave o covers the slice
+        # [n_bins-(o+1)*B, n_bins-o*B), so concatenate in reverse.
+        return jnp.concatenate(oct_logs[::-1], axis=-1)  # (B, T, n_bins)
 
     def __call__(self, waveforms: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -122,27 +213,9 @@ class CQCC:
                 )
                 x = jnp.where(mask, x, 0.0)
 
-        B, L = x.shape
-        T = dsp.num_frames(L, cfg.hop_length)
-        frames = dsp.frame_signal(x, cfg.win_length, cfg.hop_length,
-                                  cfg.win_length)
-        win = jnp.asarray(self._window)
-
-        def per_chunk(fr):
-            spec = jnp.fft.rfft(fr * win, axis=-1)
-            power = (spec.real ** 2 + spec.imag ** 2)
-            cq = power @ self._fb
-            logcq = jnp.log(cq + dsp.FLOAT32_EPS)
-            lin = logcq @ self._resample
-            return lin @ self._dct
-
-        # chunk the batch so the (chunk, T, win) frame tensor stays small
-        chunk = max(1, min(B, 8))
-        n_chunks = -(-B // chunk)
-        pad_b = n_chunks * chunk - B
-        fr = jnp.pad(frames, ((0, pad_b), (0, 0), (0, 0)))
-        fr = fr.reshape(n_chunks, chunk, T, cfg.win_length)
-        cqcc = jax.lax.map(per_chunk, fr).reshape(-1, T, cfg.n_coef)[:B]
+        logcq = self.log_cq(x)
+        lin = logcq @ jnp.asarray(self._resample)
+        cqcc = lin @ jnp.asarray(self._dct)
 
         if cfg.with_delta:
             flen = None if lengths is None else self.frame_lengths(lengths)
