@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_", type=float, default=0.05)
     p.add_argument("--lr_d", type=float, default=0.0001)
     p.add_argument("--test_on_eval", action="store_true")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps scanned per device dispatch")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the first ~20 steps")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params always float32)")

@@ -35,9 +35,14 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Device-put a host batch with its leading axis sharded over the mesh."""
-    sharding = batch_sharding(mesh, axis_name)
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data",
+                batch_axis: int = 0) -> Any:
+    """Device-put a host batch with its batch axis sharded over the mesh.
+
+    batch_axis=1 handles step-stacked batches (n_steps, B, ...) for the
+    scanned multi-step path (train.steps.make_multi_step)."""
+    spec = [None] * batch_axis + [axis_name]
+    sharding = NamedSharding(mesh, P(*spec))
 
     def put(x):
         x = np.asarray(x)

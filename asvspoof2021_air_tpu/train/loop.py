@@ -104,6 +104,13 @@ class TrainConfig:
     # Fault tolerance: resume from the latest epoch checkpoint in out_fold
     # if one exists (preemption recovery; the reference has no equivalent).
     auto_resume: bool = False
+    # Scan this many optimizer steps per device dispatch (amortizes per-call
+    # dispatch latency; semantically identical — per-step keys derive from
+    # state.step). 1 = reference-style one dispatch per step.
+    steps_per_call: int = 1
+    # Capture a jax.profiler trace of the first ~20 steps into
+    # <out_fold>/profile (viewable in XProf/TensorBoard).
+    profile: bool = False
 
 
 def _prepare_out_fold(config: TrainConfig) -> None:
@@ -294,6 +301,14 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
     model, loss_mod, state, train_step, eval_step = setup_training(
         config, train_iter.steps_per_epoch, frontend=frontend
     )
+    multi_step = None
+    if config.steps_per_call > 1:
+        from asvspoof2021_air_tpu.train.steps import make_multi_step
+
+        multi_step = jax.jit(
+            make_multi_step(train_step, config.steps_per_call),
+            donate_argnums=(0,),
+        )
     start_epoch = 0
     prev_loss = 1e8
     early_stop = 0
@@ -324,21 +339,69 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
     summary: Dict[str, Any] = {"epochs": 0}
 
     for epoch in range(start_epoch, config.num_epochs):
-        adv_gate = 1.0 if (config.ADV_AUG and epoch > 0) else 0.0
+        # one device scalar per epoch (a python float would re-convert
+        # host-side every step); the per-step key is folded inside the step
+        adv_gate = jnp.float32(1.0 if (config.ADV_AUG and epoch > 0) else 0.0)
         t0 = time.time()
         train_log = defaultdict(list)
-        for i, batch in enumerate(train_iter.epoch()):
-            device_batch = shard_batch(
-                {k: v for k, v in batch.items() if k != "fname"}, mesh
+        log_path = os.path.join(config.out_fold, "train_loss.log")
+        profile_ctx = None
+        if config.profile and epoch == start_epoch:
+            from asvspoof2021_air_tpu.utils.profiling import trace
+
+            profile_ctx = trace(os.path.join(config.out_fold, "profile"))
+            profile_ctx.__enter__()
+        i = 0
+
+        def record(metrics, n_inner):
+            nonlocal i
+            for j in range(n_inner):
+                for k, v in metrics.items():
+                    val = np.asarray(v)
+                    train_log[k].append(float(val[j] if val.ndim else val))
+                with open(log_path, "a") as f:
+                    f.write(f"{epoch}\t{i}\t{train_log[monitor][-1]}\n")
+                i += 1
+            if profile_ctx is not None and i >= 20:
+                _close_profile()
+
+        def _close_profile():
+            nonlocal profile_ctx
+            if profile_ctx is not None:
+                jax.block_until_ready(state.step)
+                profile_ctx.__exit__(None, None, None)
+                profile_ctx = None
+
+        K = max(1, config.steps_per_call)
+        pending = []
+        for batch in train_iter.epoch():
+            batch = {k: v for k, v in batch.items() if k != "fname"}
+            if K == 1:
+                device_batch = shard_batch(batch, mesh)
+                state, metrics = train_step(
+                    state, device_batch, rng, adv_gate, frontend_params,
+                )
+                record(metrics, 1)
+                continue
+            pending.append(batch)
+            if len(pending) < K:
+                continue
+            stacked = {
+                k: np.stack([b[k] for b in pending]) for k in pending[0]
+            }
+            pending = []
+            device_batch = shard_batch(stacked, mesh, batch_axis=1)
+            state, metrics = multi_step(
+                state, device_batch, rng, adv_gate, frontend_params,
             )
+            record(metrics, K)
+        for batch in pending:  # epoch tail shorter than steps_per_call
+            device_batch = shard_batch(batch, mesh)
             state, metrics = train_step(
-                state, device_batch, jax.random.fold_in(rng, int(state.step)),
-                adv_gate, frontend_params,
+                state, device_batch, rng, adv_gate, frontend_params,
             )
-            for k, v in metrics.items():
-                train_log[k].append(float(v))
-            with open(os.path.join(config.out_fold, "train_loss.log"), "a") as f:
-                f.write(f"{epoch}\t{i}\t{train_log[monitor][-1]}\n")
+            record(metrics, 1)
+        _close_profile()
 
         # ---- validation (/root/reference/main_train.py:489-601) ----
         dev_log = defaultdict(list)

@@ -327,3 +327,51 @@ def test_train_loop_on_the_fly_test_on_eval(tmp_path):
     import os
     log = open(os.path.join(cfg.out_fold, "test_loss.log")).read()
     assert len(log.strip().splitlines()) >= 2  # header + 1 epoch line
+
+
+def test_train_loop_steps_per_call(tmp_path):
+    """steps_per_call > 1 (scanned multi-step dispatch) trains end-to-end
+    with per-step logging intact, including a non-divisible epoch tail."""
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "spc"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=2,
+        batch_size=8,
+        feat_len=112,
+        feat_dim=D,
+        ratio=1.0,
+        enc_dim=32,
+        steps_per_call=2,
+    )
+    train_set = SyntheticDataset(n=24, seed=0)  # 3 steps/epoch: 2 + tail 1
+    dev_set = SyntheticDataset(n=24, seed=1)
+    summary = train(cfg, train_set=train_set, dev_set=dev_set)
+    assert summary["epochs"] == 2
+    assert np.isfinite(summary["dev_loss"])
+    lines = [ln for ln in open(os.path.join(cfg.out_fold, "train_loss.log"))
+             if "\t" in ln]
+    assert len(lines) == 2 * 3  # one log line per optimizer step
+    steps = [int(ln.split("\t")[1]) for ln in lines]
+    assert steps == [0, 1, 2, 0, 1, 2]
+
+
+def test_train_loop_profile_flag(tmp_path):
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "prof"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=1,
+        batch_size=8,
+        feat_len=112,
+        feat_dim=D,
+        ratio=1.0,
+        enc_dim=32,
+        profile=True,
+    )
+    train(cfg, train_set=SyntheticDataset(seed=0),
+          dev_set=SyntheticDataset(seed=1))
+    prof_dir = os.path.join(cfg.out_fold, "profile")
+    assert os.path.isdir(prof_dir)
+    files = [os.path.join(dp, f) for dp, _d, fs in os.walk(prof_dir) for f in fs]
+    assert files  # trace artifacts written

@@ -130,3 +130,70 @@ def test_bce_base_loss():
     metrics, scores, _ = eval_step(state, make_batch())
     assert np.isfinite(float(metrics["base_loss"]))
     assert scores.shape == (B,)
+
+
+def test_multi_step_equals_sequential_steps():
+    """make_multi_step(K) trains the same as K single calls (per-step keys
+    derive from state.step inside the step); tolerances cover f32 fusion
+    differences between the scanned body and the standalone jit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asvspoof2021_air_tpu.losses import build_loss
+    from asvspoof2021_air_tpu.models import build_model
+    from asvspoof2021_air_tpu.train.state import (
+        create_train_state,
+        make_backbone_optimizer,
+        make_loss_optimizer,
+        step_decay_schedule,
+    )
+    from asvspoof2021_air_tpu.train.steps import (
+        StepConfig,
+        make_multi_step,
+        make_train_step,
+    )
+
+    K, B, T, D = 3, 8, 24, 60
+    model = build_model("lcnn", enc_dim=16, nclasses=2, feat_dim=D, feat_len=T)
+    loss_mod = build_loss("ang_iso", enc_dim=16)
+    sched = step_decay_schedule(5e-4, 0.5, 30, 10)
+    btx, ltx = make_backbone_optimizer(sched), make_loss_optimizer(sched)
+    rng = jax.random.PRNGKey(0)
+    g = np.random.default_rng(0)
+    feats = jnp.asarray(g.standard_normal((K, B, T, D)), jnp.float32)
+    labels = jnp.asarray((np.arange(K * B) % 2).reshape(K, B), jnp.int32)
+
+    def fresh_state():
+        return create_train_state(
+            rng, model, feats[0], loss_module=loss_mod,
+            example_feat=jnp.zeros((B, 16)), example_labels=labels[0],
+            backbone_tx=btx, loss_tx=ltx,
+        )
+
+    step = make_train_step(model, loss_mod, btx, ltx,
+                           StepConfig(add_loss="ang_iso"))
+    base = jax.random.PRNGKey(7)
+
+    s_seq = fresh_state()
+    seq_metrics = []
+    for j in range(K):
+        s_seq, m = jax.jit(step)(
+            s_seq, {"feat": feats[j], "label": labels[j]}, base)
+        seq_metrics.append(float(m["total_loss"]))
+
+    s_multi, mm = jax.jit(make_multi_step(step, K))(
+        fresh_state(), {"feat": feats, "label": labels}, base)
+
+    np.testing.assert_allclose(
+        np.asarray(mm["total_loss"]), np.asarray(seq_metrics), rtol=2e-4)
+    # Adam normalizes near-zero grads, so f32 accumulation-order noise can
+    # flip individual updates by up to lr; bound drift by the K-step update
+    # scale (K * lr = 1.5e-3) elementwise and much tighter on average.
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=2e-3)
+        assert np.abs(a - b).mean() < 1e-4
+
+    jax.tree.map(close, s_seq.params, s_multi.params)
+    assert int(s_multi.step) == K
