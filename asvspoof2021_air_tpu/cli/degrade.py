@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import argparse
 import fnmatch
+import re
+import zlib
 import os
 import random
 from typing import List
@@ -68,11 +70,31 @@ def _codec_bits(name: str) -> int:
     return 4
 
 
+def _parse_kbps(name: str, default: float) -> float:
+    """'br=4k75' -> 4.75, 'br=23k05' -> 23.05, 'br=5k' -> 5.0"""
+    m = re.search(r"br=(\d+)k(\d*)", name)
+    if not m:
+        return default
+    return float(f"{m.group(1)}.{m.group(2) or 0}")
+
+
+def _parse_loss(name: str) -> float:
+    m = re.search(r"loss=(\d+)", name)
+    return float(m.group(1)) if m else 0.0
+
+
 def apply_codec(wave: np.ndarray, name: str, sr: int = 16000) -> np.ndarray:
-    """Map a reference codec name to the native chain that realizes its
-    dominant effects: exact G.711/G.726 where implemented; other codec
-    families approximated by the matching band-limited ADPCM chain at a
-    bitrate-equivalent bits/sample."""
+    """Map a reference codec name onto the native codec tier:
+
+    - G.711 / G.726: bit-faithful companding / ADPCM round trips
+    - gsmfr: real GSM 06.10 RPE-LTP bitstream round trip
+    - AMR / AMR-WB / SILK / SILK-WB / G.729A / G.728: the native
+      analysis-by-synthesis ACELP codec at the mode's bitrate (AMR frame
+      structure and pulse ladder; not 3GPP/Skype bit-compatible —
+      native/augment/acelp.cc); SILK loss=N adds 20 ms frame-erasure
+      concealment
+    - G.722: subband-ADPCM class, kept as the 16 kHz ADPCM round trip
+    """
     if name.startswith("g711"):
         codec = "g711a" if "law=a" in name else "g711u"
         return ah.telephony_channel(wave, codec, sr)
@@ -82,12 +104,28 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000) -> np.ndarray:
     if name == "gsmfr":
         # real GSM 06.10 Full-Rate bitstream round trip (native RPE-LTP)
         return ah.telephony_channel(wave, "gsmfr", sr)
-    wideband = name.startswith(("silkwb", "amrwb", "g722"))
-    if wideband:
-        # wideband codecs keep the 16 kHz band; ADPCM at 4-5 bits at 16 kHz
-        return ah.g726_roundtrip(wave, 5 if "g722" in name else 4)
-    # narrowband lossy (amr/silk/g728/g729): 8 kHz round trip + low-rate
-    # ADPCM; lower bitrates get fewer bits
+    if name.startswith("g722"):
+        # G.722 is subband ADPCM; full-band ADPCM at 16 kHz is its class
+        return ah.g726_roundtrip(wave, 5)
+    if name.startswith(("amrwb", "silkwb")):
+        kbps = _parse_kbps(name, 12.65)
+        out = ah.acelp_channel(wave, 16000, kbps, sr)
+        loss = _parse_loss(name)
+        if loss:
+            out = ah.frame_erasure(out, loss, seed=zlib.crc32(name.encode()),
+                                   frame=sr // 50)
+        return out
+    if name.startswith(("amr", "silk", "g729", "g728")):
+        kbps = _parse_kbps(name, 8.0 if name.startswith("g729") else 12.2)
+        if name.startswith("g728"):
+            kbps = 16.0
+        out = ah.acelp_channel(wave, 8000, kbps, sr)
+        loss = _parse_loss(name)
+        if loss:
+            out = ah.frame_erasure(out, loss, seed=zlib.crc32(name.encode()),
+                                   frame=sr // 50)
+        return out
+    # anything else: narrowband ADPCM fallback
     low = any(k in name for k in ("4k75", "5k15", "5k9", "5k", "6k7"))
     return ah.telephony_channel(wave, "g726_16k" if low else "g726_24k", sr)
 

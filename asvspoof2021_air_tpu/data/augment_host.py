@@ -111,6 +111,42 @@ def telephony_channel(wave, codec: str = "g711u", sample_rate: int = 16000) -> n
     return out
 
 
+def acelp_channel(wave, codec_rate: int = 8000, bitrate_kbps: float = 12.2,
+                  sample_rate: int = 16000) -> np.ndarray:
+    """Analysis-by-synthesis ACELP hop (native/augment/acelp.cc): resample to
+    the codec rate (8000 = AMR-NB/SILK-NB ladder, 16000 = AMR-WB/SILK-WB),
+    code with the mode's pulse density, resample back."""
+    lib = get_lib()
+    if not hasattr(lib.acelp_channel, "_configured"):
+        lib.acelp_channel.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ]
+        lib.acelp_channel._configured = True
+    x = _as_f32(wave)
+    out = np.empty_like(x)
+    lib.acelp_channel(_ptr(x), _ptr(out), x.size, sample_rate,
+                      codec_rate, bitrate_kbps)
+    return out
+
+
+def frame_erasure(wave, loss_pct: float, seed: int = 0,
+                  frame: int = 320) -> np.ndarray:
+    """Packet-loss simulation for the SILK loss=N variants: each 20 ms frame
+    is dropped with probability loss_pct/100 and concealed by repeating the
+    previous frame (capability of the acoustic-simulator's loss option,
+    /root/reference/channel_simulation/simulated_channel.py:22-31)."""
+    x = _as_f32(wave).copy()
+    g = np.random.default_rng(seed)
+    prev = np.zeros(frame, np.float32)
+    for pos in range(0, len(x) - frame + 1, frame):
+        if g.random() * 100.0 < loss_pct:
+            x[pos:pos + frame] = prev
+        else:
+            prev = x[pos:pos + frame]
+    return x
+
+
 def gsmfr_roundtrip(wave) -> np.ndarray:
     """GSM 06.10 Full-Rate encode->decode at 8 kHz (native RPE-LTP,
     native/augment/gsmfr.cc). Input/output are 8 kHz float; use

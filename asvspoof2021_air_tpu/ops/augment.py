@@ -21,9 +21,11 @@ ChannelAugmenter's docstring for the pass-tables-as-arguments rule).
 Non-linear effects (companded 8-bit quantization, bitrate-shaped noise) are
 elementwise VPU work selected per utterance by float arithmetic masks.
 
-True lossy codecs (AMR/SILK/mp3/aac) are approximated by their dominant
-effects; the bit-exact host-side C++ codec tier (native/) covers exact
-G.711/G.726.
+This on-device tier approximates codec families by their dominant effects
+(band-limit + feature-matched bitrate noise); the host-side C++ tier
+(native/) provides the REAL codecs — bit-exact G.711/G.726, GSM 06.10
+RPE-LTP bitstreams, and an analysis-by-synthesis ACELP ladder for
+AMR/AMR-WB/SILK/G.729/G.728 (mp3/aac remain effect approximations).
 """
 
 from __future__ import annotations
@@ -206,19 +208,21 @@ class ChannelFamily:
 
 # Family table covering the reference codec vocabulary's effect classes
 # (landline G.7xx, VoIP SILK, cellular AMR, common; simulated_channel.py:19-38).
+# snr_db values are FEATURE-MATCHED against the native real-codec tier: the
+# noise level is chosen so the stand-in's LFCC distortion equals the real
+# codec family's measured LFCC distortion on a voiced test signal
+# (tests/test_acelp.py::test_family_snrs_feature_matched). gsmfr additionally
+# matches the real GSM 06.10 waveform SNR (tests/test_gsmfr.py).
 CHANNEL_FAMILIES: Tuple[ChannelFamily, ...] = (
     ChannelFamily("clean", True, None, np.inf),
     ChannelFamily("g711u", False, "u", np.inf),
     ChannelFamily("g711a", False, "a", np.inf),
-    ChannelFamily("g726", False, None, 28.0),
-    ChannelFamily("amr_nb", False, None, 22.0),
-    ChannelFamily("amr_wb", True, None, 26.0),
-    ChannelFamily("silk_nb", False, None, 24.0),
-    ChannelFamily("silk_wb", True, None, 28.0),
+    ChannelFamily("g726", False, None, 16.5),
+    ChannelFamily("amr_nb", False, None, 14.0),
+    ChannelFamily("amr_wb", True, None, 26.5),
+    ChannelFamily("silk_nb", False, None, 13.5),
+    ChannelFamily("silk_wb", True, None, 26.5),
     ChannelFamily("g722", True, None, 30.0),
-    # 12.2 dB: measured SNR of the real native GSM 06.10 codec on a
-    # speech-like harmonic signal through the full 16 kHz telephony hop
-    # (tests/test_gsmfr.py::test_family_snr_matches_real_codec).
     ChannelFamily("gsmfr", False, None, 12.2),
 )
 

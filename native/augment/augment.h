@@ -53,6 +53,16 @@ long gsmfr_encode(const float* in, size_t n, uint8_t* out);
 long gsmfr_decode(const uint8_t* in, long n_frames, float* out);
 void gsmfr_roundtrip(const float* in, float* out, size_t n);
 
+/* ---- Generic ACELP codec (analysis-by-synthesis CELP with an
+ * interleaved-track algebraic codebook; AMR-matched frame structure and
+ * mode ladder, not 3GPP bit-compatible). sample_rate 8000 (NB, LP order 10)
+ * or 16000 (WB, order 16); bitrate_kbps selects the pulse density.
+ * acelp_channel wraps the resample-to-codec-rate hop. */
+void acelp_roundtrip(const float* in, float* out, size_t n, int sample_rate,
+                     float bitrate_kbps);
+void acelp_channel(const float* in, float* out, size_t n, int in_rate,
+                   int codec_rate, float bitrate_kbps);
+
 /* ---- Full telephony channel: resample to 8k, codec, resample back to
  * in_rate. codec: 0=g711u, 1=g711a, 2..5=g726 with 2..5 bits, 6=gsmfr. */
 void telephony_channel(const float* in, float* out, size_t n, int in_rate,

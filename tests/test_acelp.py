@@ -1,0 +1,150 @@
+"""Native ACELP codec tier: analysis-by-synthesis CELP for the AMR/SILK
+channel families (native/augment/acelp.cc).
+
+Validation (3GPP bit-compatibility is impossible offline — standardized
+codebooks unavailable): bitrate-ladder monotonicity, determinism, codec-class
+SNR ranges, spectral-envelope preservation, frame-erasure behavior, and the
+feature-matched tuning of the on-device family stand-ins.
+"""
+
+import numpy as np
+
+from asvspoof2021_air_tpu.cli.degrade import apply_codec
+from asvspoof2021_air_tpu.data import augment_host as ah
+
+
+def voice(n=32000, sr=16000, f0=120.0, seed=0, level=0.3):
+    g = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    x = np.zeros(n)
+    for h in range(1, int(0.45 * sr / f0)):
+        f = h * f0
+        amp = (1.0 / (1 + ((f - 600) / 250) ** 2)
+               + 0.4 / (1 + ((f - 1800) / 350) ** 2)) / (1 + (f / 2500) ** 2)
+        x += amp * np.sin(2 * np.pi * f * t + g.uniform(0, 2 * np.pi))
+    x += 0.02 * g.standard_normal(n)
+    return (level * x / np.abs(x).max()).astype(np.float32)
+
+
+def hp(x, pole=0.989):
+    y = np.empty_like(x)
+    m1 = m2 = 0.0
+    for i, v in enumerate(x):
+        o = v - m2 + pole * m1
+        m2 = v
+        y[i] = o
+        m1 = o
+    return y
+
+
+def snr_db(ref, y, skip=1000):
+    e = ref[skip:] - y[skip:]
+    return 10 * np.log10((ref[skip:] ** 2).mean() / max((e ** 2).mean(), 1e-12))
+
+
+def test_nb_ladder_monotonic_and_in_range():
+    """More pulses (higher AMR mode) -> better SNR; absolute values in the
+    CELP range on voiced input."""
+    x = voice(16000, 8000)
+    ref = hp(x)
+    snrs = []
+    for kbps in (4.75, 7.4, 12.2):
+        y = ah.acelp_channel(x, 8000, kbps, sample_rate=8000)
+        assert np.isfinite(y).all()
+        snrs.append(snr_db(ref, y))
+    assert snrs[0] < snrs[2], snrs
+    assert 2.0 < snrs[0] < 25.0 and 5.0 < snrs[2] < 25.0, snrs
+
+
+def test_wb_ladder_monotonic():
+    x = voice(32000, 16000, f0=203.0)
+    ref = hp(x)
+    snrs = []
+    for kbps in (6.6, 12.65, 23.05):
+        y = ah.acelp_channel(x, 16000, kbps, sample_rate=16000)
+        assert np.isfinite(y).all()
+        snrs.append(snr_db(ref, y))
+    assert snrs[0] < snrs[2], snrs
+    assert snrs[2] > 4.0, snrs
+
+
+def test_deterministic():
+    x = voice(8000, 8000)
+    y1 = ah.acelp_channel(x, 8000, 12.2, sample_rate=8000)
+    y2 = ah.acelp_channel(x, 8000, 12.2, sample_rate=8000)
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_spectral_envelope_preserved():
+    x = voice(16000, 8000)
+    y = ah.acelp_channel(x, 8000, 12.2, sample_rate=8000)
+    fx = np.abs(np.fft.rfft(hp(x))) ** 2
+    fy = np.abs(np.fft.rfft(y)) ** 2
+    freqs = np.fft.rfftfreq(len(x), 1 / 8000)
+    for lo, hi in ((200, 800), (800, 1600), (1600, 2800)):
+        band = (freqs >= lo) & (freqs < hi)
+        ratio = 10 * np.log10(fy[band].sum() / fx[band].sum())
+        assert abs(ratio) < 4.5, f"band {lo}-{hi}: {ratio:.1f} dB"
+
+
+def test_silence_stays_silent():
+    x = np.zeros(8000, np.float32)
+    y = ah.acelp_channel(x, 8000, 12.2, sample_rate=8000)
+    assert np.abs(y).max() < 1e-2
+
+
+def test_frame_erasure():
+    x = voice(32000, 16000)
+    y0 = ah.frame_erasure(x, 0.0, seed=1)
+    np.testing.assert_array_equal(y0, x)  # 0% loss is the identity
+    y10 = ah.frame_erasure(x, 10.0, seed=1)
+    frames = len(x) // 320
+    changed = sum(
+        not np.array_equal(x[i * 320:(i + 1) * 320],
+                           y10[i * 320:(i + 1) * 320])
+        for i in range(frames)
+    )
+    assert 2 <= changed <= 25  # ~10% of 100 frames, concealed by repetition
+
+
+def test_degrade_routes_codec_families():
+    """Every AMR/SILK vocabulary entry routes through the ACELP tier and
+    produces finite, non-identity output; loss variants differ from their
+    lossless base."""
+    x = voice(32000, 16000)
+    for name in ("amr[br=4k75]", "amr[br=12k2,nodtx]", "amrwb[br=23k05]",
+                 "silk[br=15k]", "silkwb[br=30k]", "g729a", "g728"):
+        y = apply_codec(x, name)
+        assert y.shape == x.shape and np.isfinite(y).all(), name
+        assert not np.allclose(y, x), name
+    base = apply_codec(x, "silk[br=15k]")
+    lossy = apply_codec(x, "silk[br=15k,loss=10]")
+    assert not np.allclose(base, lossy)
+
+
+def test_family_snrs_feature_matched():
+    """The on-device family stand-ins (ops/augment.py CHANNEL_FAMILIES) are
+    tuned so their LFCC distortion matches the real native codec tier's:
+    verify the real codecs' LFCC distances fall near the stand-in values the
+    snr_db entries were fit to (amr_nb 14.0, silk_nb 13.5, amr_wb/silk_wb
+    26.5, gsmfr 12.2 — fitted 2026-08-16 on this signal)."""
+    import jax.numpy as jnp
+
+    from asvspoof2021_air_tpu.ops.lfcc import LFCC
+
+    lfcc = LFCC()
+    x = voice(32000, 16000)
+    fx = np.asarray(lfcc(jnp.asarray(x[None])))[0, 5:-5, :20]
+
+    def dist(name):
+        y = apply_codec(x, name).astype(np.float32)
+        fy = np.asarray(lfcc(jnp.asarray(y[None])))[0, 5:-5, :20]
+        return float(np.sqrt(((fx - fy) ** 2).mean()))
+
+    d_nb = np.mean([dist("amr[br=4k75]"), dist("amr[br=7k4]"),
+                    dist("amr[br=12k2]")])
+    d_wb = np.mean([dist("amrwb[br=6k6]"), dist("amrwb[br=23k05]")])
+    # fitted anchors: 1.63 (nb), 0.73 (wb); drift beyond ~25% means the
+    # codec changed and the family table needs re-fitting
+    assert 1.2 < d_nb < 2.1, d_nb
+    assert 0.5 < d_wb < 1.0, d_wb
