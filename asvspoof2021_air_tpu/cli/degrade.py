@@ -157,8 +157,9 @@ def compression_degrade(input_path: str, output_path: str,
                         target_sr: int = 16000, mode: str = "parallel",
                         seed: int = 0) -> int:
     """(/root/reference/channel_simulation/simulated_compression.py:6-34):
-    RMS normalization to a random level then lossy compression (approximated
-    by bitrate-matched ADPCM at full band)."""
+    RMS normalization to a random level then lossy transform-codec
+    compression (native MDCT band quantization at the mode's bitrate —
+    mp3-granule or aac frame sizes; not MPEG bit-compatible)."""
     rng = random.Random(seed)
     files = load_filelist(input_path)
     os.makedirs(output_path, exist_ok=True)
@@ -170,9 +171,9 @@ def compression_degrade(input_path: str, output_path: str,
         for opt in opts:
             level = rng.choice(RMS_LEVELS)
             out = ah.rms_normalize(wave, level)
-            rate = opt.split("[")[1].rstrip("]")
-            bits = {"8k": 2, "16k": 3, "32k": 4}[rate]
-            out = ah.g726_roundtrip(out, bits)
+            kind, rate = opt.split("[")
+            kbps = float(rate.rstrip("]").rstrip("k"))
+            out = ah.mdct_codec(out, kbps, kind, target_sr)
             write_wav(os.path.join(output_path, f"{stem}_{opt}.wav"),
                       out, target_sr)
             n += 1

@@ -130,6 +130,26 @@ def acelp_channel(wave, codec_rate: int = 8000, bitrate_kbps: float = 12.2,
     return out
 
 
+def mdct_codec(wave, bitrate_kbps: float, kind: str = "mp3",
+               sample_rate: int = 16000) -> np.ndarray:
+    """Transform-codec round trip (native/augment/mdct.cc): MDCT band
+    quantization under the mode's bit budget — the mp3/aac compression-tier
+    simulation (mp3: 576-coefficient granules, aac: 1024)."""
+    lib = get_lib()
+    if not hasattr(lib.mdct_codec_roundtrip, "_configured"):
+        lib.mdct_codec_roundtrip.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ]
+        lib.mdct_codec_roundtrip._configured = True
+    x = _as_f32(wave)
+    out = np.empty_like(x)
+    half = 576 if kind == "mp3" else 1024
+    lib.mdct_codec_roundtrip(_ptr(x), _ptr(out), x.size, sample_rate,
+                             bitrate_kbps, half)
+    return out
+
+
 def frame_erasure(wave, loss_pct: float, seed: int = 0,
                   frame: int = 320) -> np.ndarray:
     """Packet-loss simulation for the SILK loss=N variants: each 20 ms frame

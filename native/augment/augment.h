@@ -63,6 +63,13 @@ void acelp_roundtrip(const float* in, float* out, size_t n, int sample_rate,
 void acelp_channel(const float* in, float* out, size_t n, int in_rate,
                    int codec_rate, float bitrate_kbps);
 
+/* ---- Transform-codec (MDCT) round trip for the mp3/aac compression
+ * tier: band-grouped quantization under the mode's bit budget. frame_half:
+ * 576 (mp3 granule) or 1024 (aac). */
+void mdct_codec_roundtrip(const float* in, float* out, size_t n,
+                          int sample_rate, float bitrate_kbps,
+                          int frame_half);
+
 /* ---- Full telephony channel: resample to 8k, codec, resample back to
  * in_rate. codec: 0=g711u, 1=g711a, 2..5=g726 with 2..5 bits, 6=gsmfr. */
 void telephony_channel(const float* in, float* out, size_t n, int in_rate,

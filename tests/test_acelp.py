@@ -148,3 +148,51 @@ def test_family_snrs_feature_matched():
     # codec changed and the family table needs re-fitting
     assert 1.2 < d_nb < 2.1, d_nb
     assert 0.5 < d_wb < 1.0, d_wb
+
+
+def test_mdct_codec_ladder():
+    """mp3/aac transform-codec sim: SNR monotone in bitrate; low rates cut
+    high-frequency bands (spectral holes) while preserving the low band."""
+    x = voice(32000, 16000)
+    snrs = []
+    for kbps in (8.0, 16.0, 32.0):
+        y = ah.mdct_codec(x, kbps, "mp3")
+        assert np.isfinite(y).all()
+        sl = slice(1200, -1200)
+        e = x[sl] - y[sl]
+        snrs.append(10 * np.log10((x[sl] ** 2).mean() / (e ** 2).mean()))
+    assert snrs[0] < snrs[2] and snrs[2] > 10.0, snrs
+    # 8 kbps drops HF energy but keeps the low band
+    y8 = ah.mdct_codec(x, 8.0, "mp3")
+    fx = np.abs(np.fft.rfft(x)) ** 2
+    fy = np.abs(np.fft.rfft(y8)) ** 2
+    freqs = np.fft.rfftfreq(len(x), 1 / 16000)
+    lo = (freqs > 100) & (freqs < 1500)
+    hi = freqs > 5000
+    assert fy[lo].sum() / fx[lo].sum() > 0.5
+    assert fy[hi].sum() / fx[hi].sum() < 0.5
+
+
+def test_mdct_codec_deterministic_and_aac_differs():
+    x = voice(16000, 16000)
+    y1 = ah.mdct_codec(x, 16.0, "mp3")
+    y2 = ah.mdct_codec(x, 16.0, "mp3")
+    np.testing.assert_array_equal(y1, y2)
+    ya = ah.mdct_codec(x, 16.0, "aac")
+    assert not np.allclose(y1, ya)  # different frame size -> different codec
+
+
+def test_compression_degrade_uses_transform_codec(tmp_path):
+    from asvspoof2021_air_tpu.cli.degrade import compression_degrade
+    from asvspoof2021_air_tpu.data.audio_io import read_wav, write_wav
+
+    d = tmp_path / "wavs"
+    d.mkdir()
+    write_wav(str(d / "LA_T_0001.wav"), voice(16000, 16000))
+    n = compression_degrade(str(d), str(tmp_path / "comp"), mode="parallel",
+                            seed=1)
+    assert n == 6
+    import glob
+    f = glob.glob(str(tmp_path / "comp" / "*mp3[[]8k[]]*"))[0]
+    w, sr = read_wav(f)
+    assert sr == 16000 and np.isfinite(w).all()
