@@ -5,4 +5,5 @@ from asvspoof2021_air_tpu.interop.torch_port import (  # noqa: F401
     port_ecapa,
     port_lcnn,
     port_resnet,
+    port_se_res2net50,
 )

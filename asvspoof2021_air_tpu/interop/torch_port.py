@@ -177,6 +177,53 @@ def port_resnet(sd: Dict[str, np.ndarray], resnet_type: str = "18") -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def port_se_res2net50(sd: Dict[str, np.ndarray],
+                      layers=(3, 4, 6, 3), scale: int = 4) -> Dict:
+    """state_dict of /root/reference/model.py Res2Net (se_res2net50_v1b,
+    :256-509) -> variables for models.res2net.SERes2Net50."""
+    params: Dict = {}
+    stats: Dict = {}
+    # stem: conv1 Sequential indices 0/3/6 are convs, 1/4 BNs; bn1 outside
+    stem_convs = ["conv1.0", "conv1.3", "conv1.6"]
+    stem_bns = ["conv1.1", "conv1.4", "bn1"]
+    for i, src in enumerate(stem_convs):
+        params[f"Conv_{i}"] = _conv2d(sd, src)
+    for i, src in enumerate(stem_bns):
+        params[f"BatchNorm_{i}"], stats[f"BatchNorm_{i}"] = _bn(sd, src)
+
+    nums = 1 if scale == 1 else scale - 1
+    flax_i = 0
+    for si, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            t = f"layer{si + 1}.{b}"
+            f = f"SEBottle2neck_{flax_i}"
+            flax_i += 1
+            bp: Dict = {}
+            bs: Dict = {}
+            bp["Conv_0"] = _conv2d(sd, t + ".conv1")
+            bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, t + ".bn1")
+            for j in range(nums):
+                bp[f"Conv_{j + 1}"] = _conv2d(sd, f"{t}.convs.{j}")
+                bp[f"BatchNorm_{j + 1}"], bs[f"BatchNorm_{j + 1}"] = _bn(
+                    sd, f"{t}.bns.{j}"
+                )
+            bp[f"Conv_{nums + 1}"] = _conv2d(sd, t + ".conv3")
+            bp[f"BatchNorm_{nums + 1}"], bs[f"BatchNorm_{nums + 1}"] = _bn(
+                sd, t + ".bn3"
+            )
+            bp["SELayer2D_0"] = {"Dense_0": _dense(sd, t + ".se.fc.0"),
+                                 "Dense_1": _dense(sd, t + ".se.fc.2")}
+            if t + ".downsample.1.weight" in sd:
+                bp[f"Conv_{nums + 2}"] = _conv2d(sd, t + ".downsample.1")
+                (bp[f"BatchNorm_{nums + 2}"],
+                 bs[f"BatchNorm_{nums + 2}"]) = _bn(sd, t + ".downsample.2")
+            params[f] = bp
+            stats[f] = bs
+
+    params["Dense_0"] = _dense(sd, "cls_layer")
+    return {"params": params, "batch_stats": stats}
+
+
 def port_lcnn(sd: Dict[str, np.ndarray], num_nodes: int = 60,
               feat_len: int = 750) -> Dict:
     """state_dict of /root/reference/model.py LCNN -> variables for

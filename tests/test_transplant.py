@@ -136,3 +136,38 @@ def test_lcnn_transplant():
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_se_res2net50_transplant():
+    """SE-Res2Net50: the reference's `-m res2net` path crashes on a missing
+    math import (/root/reference/model.py:412); inject it and transplant.
+    Note torch.split with width*scale < conv1-out would break — widths here
+    match the reference construction exactly."""
+    ref_model.math = __import__("math")  # fix the reference's latent bug
+
+    torch.manual_seed(11)
+    ref = ref_model.se_res2net50_v1b(num_classes=2)
+    _randomize_bn_stats(ref, seed=3)
+    ref.eval()
+
+    B, T = 2, 64
+    g = np.random.default_rng(3)
+    x = g.standard_normal((B, 1, 60, T)).astype(np.float32)
+    with torch.no_grad():
+        t_feat, t_logits = ref(torch.from_numpy(x))
+
+    from asvspoof2021_air_tpu.interop import port_se_res2net50
+    from asvspoof2021_air_tpu.models.res2net import SERes2Net50
+
+    model = SERes2Net50(num_classes=2)
+    variables = port_se_res2net50(_state_dict_np(ref))
+    j_feat, j_logits = jax.jit(
+        lambda v, a: model.apply(v, a, False)
+    )(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(x[:, 0].transpose(0, 2, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(j_feat), t_feat.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               atol=2e-3, rtol=1e-3)
