@@ -45,8 +45,8 @@ def _build_cnn(enc_dim: int = 256, nclasses: int = 2, **kw):
     return ConvNet(num_classes=nclasses, enc_dim=enc_dim)
 
 
-def _build_rawnet(**kw):
-    return RawNet()
+def _build_rawnet(rawnet_args=None, **kw):
+    return RawNet(d_args=rawnet_args)
 
 
 MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {

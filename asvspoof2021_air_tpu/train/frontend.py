@@ -154,3 +154,49 @@ class OnDeviceFrontend:
         view.augmenter = None
         view.apply_ir = False
         return view
+
+
+class WaveformFrontend:
+    """Pass-through front-end for raw-waveform models (RawNet2): optional
+    on-device channel augmentation, then repeat-tiling of short utterances to
+    a fixed sample count (the ASVspoof RawNet2 baseline's waveform layout;
+    the reference ships the model but never wires it into training —
+    /root/reference/model.py:642-893, SURVEY C20)."""
+
+    def __init__(
+        self,
+        n_samples: int = 64600,
+        augmenter: Optional[ChannelAugmenter] = None,
+        apply_ir: bool = False,
+    ):
+        self.n_samples = n_samples
+        self.augmenter = augmenter
+        self.apply_ir = apply_ir
+
+    def min_samples(self) -> int:
+        return self.n_samples
+
+    @property
+    def params(self):
+        return None if self.augmenter is None else self.augmenter.tables
+
+    def __call__(self, batch, rng, params=None) -> jnp.ndarray:
+        wave = batch["wave"]
+        lengths = batch.get("length")
+        if lengths is None:
+            lengths = jnp.full((wave.shape[0],), wave.shape[1], jnp.int32)
+        if self.augmenter is not None:
+            wave, _f, _i = self.augmenter(wave, rng, apply_ir=self.apply_ir,
+                                          tables=params)
+        # repeat-tile short utterances: sample t reads t mod length
+        t = jnp.arange(self.n_samples, dtype=jnp.int32)
+        idx = t[None, :] % jnp.maximum(lengths[:, None], 1)
+        return jax.vmap(lambda w, i: w[i])(wave, idx)
+
+    def eval_view(self) -> "WaveformFrontend":
+        import copy
+
+        view = copy.copy(self)
+        view.augmenter = None
+        view.apply_ir = False
+        return view

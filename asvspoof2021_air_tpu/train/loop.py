@@ -108,6 +108,9 @@ class TrainConfig:
     # dispatch latency; semantically identical — per-step keys derive from
     # state.step). 1 = reference-style one dispatch per step.
     steps_per_call: int = 1
+    # RawNet2 hyperparameters (None = the ASVspoof2021 baseline config);
+    # rawnet trains from raw waveforms via --on_the_fly.
+    rawnet_args: Optional[dict] = None
     # Capture a jax.profiler trace of the first ~20 steps into
     # <out_fold>/profile (viewable in XProf/TensorBoard).
     profile: bool = False
@@ -170,7 +173,13 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
         config.model, enc_dim=config.enc_dim,
         nclasses=1 if config.base_loss == "bce" else config.nclasses,
         feat_dim=config.feat_dim, feat_len=config.feat_len, dtype=dtype,
+        rawnet_args=config.rawnet_args,
     )
+    if config.model == "rawnet" and config.add_loss is not None:
+        raise ValueError(
+            "rawnet returns class logits, not an enc_dim embedding; train it "
+            "with the base CE loss (add_loss None)"
+        )
     loss_mod = build_loss(
         config.add_loss, enc_dim=config.enc_dim, r_real=config.r_real,
         r_fake=config.r_fake, alpha=config.alpha, nclasses=config.nclasses,
@@ -203,8 +212,15 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
             )
 
     rng = jax.random.PRNGKey(config.seed)
-    example = jnp.zeros((config.batch_size, config.feat_len, config.feat_dim),
-                        jnp.float32)
+    if config.model == "rawnet":
+        from asvspoof2021_air_tpu.models.rawnet import RAWNET2_DEFAULT_ARGS
+
+        nb_samp = (config.rawnet_args or RAWNET2_DEFAULT_ARGS)["nb_samp"]
+        example = jnp.zeros((config.batch_size, nb_samp), jnp.float32)
+    else:
+        example = jnp.zeros(
+            (config.batch_size, config.feat_len, config.feat_dim), jnp.float32
+        )
     state = create_train_state(
         rng, model, example,
         loss_module=loss_mod,
@@ -269,11 +285,23 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
         if config.on_device_aug:
             ir_bank = synthetic_ir_bank() if config.apply_ir else None
             augmenter = ChannelAugmenter(ir_bank=ir_bank)
-        frontend = OnDeviceFrontend(
-            feat_len=config.feat_len, padding=config.padding,
-            augmenter=augmenter, apply_ir=config.apply_ir,
-            feature=config.feat,
-        )
+        if config.model == "rawnet":
+            # raw-waveform model: no spectral front-end, waveforms tiled to
+            # the model's fixed sample count
+            from asvspoof2021_air_tpu.models.rawnet import RAWNET2_DEFAULT_ARGS
+            from asvspoof2021_air_tpu.train.frontend import WaveformFrontend
+
+            nb_samp = (config.rawnet_args or RAWNET2_DEFAULT_ARGS)["nb_samp"]
+            frontend = WaveformFrontend(
+                n_samples=nb_samp, augmenter=augmenter,
+                apply_ir=config.apply_ir,
+            )
+        else:
+            frontend = OnDeviceFrontend(
+                feat_len=config.feat_len, padding=config.padding,
+                augmenter=augmenter, apply_ir=config.apply_ir,
+                feature=config.feat,
+            )
         max_samples = frontend.min_samples()
         train_iter = WaveformIterator(
             train_set, config.batch_size, max_samples, config.ratio,

@@ -375,3 +375,38 @@ def test_train_loop_profile_flag(tmp_path):
     assert os.path.isdir(prof_dir)
     files = [os.path.join(dp, f) for dp, _d, fs in os.walk(prof_dir) for f in fs]
     assert files  # trace artifacts written
+
+
+def test_train_loop_rawnet_on_the_fly(tmp_path):
+    """RawNet2 trains end-to-end from raw waveforms (the reference ships the
+    model but never wires it into training, /root/reference/model.py:642-893;
+    here --on_the_fly feeds tiled waveforms straight to the model)."""
+    tiny = {
+        "nb_samp": 6400, "first_conv": 129, "in_channels": 1,
+        "filts": [4, [4, 4], [4, 8], [8, 8]], "blocks": [2, 4],
+        "nb_fc_node": 16, "gru_node": 16, "nb_gru_layer": 1, "nb_classes": 2,
+    }
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "rawnet"),
+        model="rawnet",
+        add_loss=None,
+        num_epochs=2,
+        batch_size=8,
+        ratio=1.0,
+        on_the_fly=True,
+        on_device_aug=True,
+        rawnet_args=tiny,
+    )
+    summary = train(cfg, train_set=SyntheticRawDataset(seed=0, base_len=6000),
+                    dev_set=SyntheticRawDataset(seed=1, base_len=6000))
+    assert summary["epochs"] == 2
+    assert np.isfinite(summary["dev_loss"])
+    assert 0.0 <= summary["dev_eer"] <= 0.5
+
+
+def test_rawnet_rejects_add_loss(tmp_path):
+    cfg = TrainConfig(out_fold=str(tmp_path / "x"), model="rawnet",
+                      add_loss="ang_iso", on_the_fly=True, batch_size=8)
+    with pytest.raises(ValueError, match="base CE"):
+        train(cfg, train_set=SyntheticRawDataset(seed=0),
+              dev_set=SyntheticRawDataset(seed=1))
