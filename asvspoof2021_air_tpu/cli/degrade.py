@@ -214,10 +214,47 @@ def device_degrade(input_path: str, output_path: str, ir_dir: str,
     return n
 
 
+def make_irs(output_path: str, target_sr: int = 16000, seed: int = 0) -> int:
+    """Materialize a synthetic IR bank under the reference's full inventory
+    names (74 device + 15 space stems,
+    /root/reference/channel_simulation/ir-*-file-list.txt): device IRs are
+    modal-resonance speaker/telephone responses, space IRs are early
+    reflections + RT60 reverb tails. Stand-ins for the recorded corpora
+    (which the reference does not ship either); written as wavs so
+    `asvspoof-degrade device --ir_dir` consumes them directly."""
+    from asvspoof2021_air_tpu.data.protocol import (
+        DEVICE_IR_INVENTORY,
+        SPACE_IR_INVENTORY,
+    )
+    from asvspoof2021_air_tpu.ops.augment import (
+        synthesize_device_ir,
+        synthesize_space_ir,
+    )
+
+    g = np.random.default_rng(seed)
+    dev_dir = os.path.join(output_path, "devices")
+    space_dir = os.path.join(output_path, "space")
+    os.makedirs(dev_dir, exist_ok=True)
+    os.makedirs(space_dir, exist_ok=True)
+    n = 0
+    for stem in DEVICE_IR_INVENTORY:
+        ir = synthesize_device_ir(g, sr=target_sr)
+        write_wav(os.path.join(dev_dir, stem + ".wav"),
+                  ir / max(np.abs(ir).max(), 1e-9) * 0.9, target_sr)
+        n += 1
+    for stem in SPACE_IR_INVENTORY:
+        ir = synthesize_space_ir(g, sr=target_sr)
+        write_wav(os.path.join(space_dir, stem + ".wav"),
+                  ir / max(np.abs(ir).max(), 1e-9) * 0.9, target_sr)
+        n += 1
+    return n
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("offline corpus degradation")
-    p.add_argument("mode", choices=["channel", "compression", "device"])
-    p.add_argument("-i", "--input", type=str, required=True)
+    p.add_argument("mode", choices=["channel", "compression", "device",
+                                    "make-irs"])
+    p.add_argument("-i", "--input", type=str, default="")
     p.add_argument("-o", "--output", type=str, required=True)
     p.add_argument("-r", "--sample_rate", type=int, default=16000)
     p.add_argument("--sampling", type=str, default="parallel",
@@ -226,6 +263,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=688)
     args = p.parse_args(argv)
 
+    if args.mode == "make-irs":
+        n = make_irs(args.output, args.sample_rate, args.seed)
+        print(f"wrote {n} impulse responses to {args.output}")
+        return
+    if not args.input:
+        p.error("-i/--input is required for this mode")
     if args.mode == "channel":
         n = channel_degrade(args.input, args.output, args.sample_rate,
                             args.sampling, args.seed)

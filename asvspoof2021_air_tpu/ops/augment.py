@@ -380,3 +380,53 @@ def synthetic_ir_bank(n_irs: int = 13, length: int = 512, seed: int = 0,
         tail[0] = 1.0
         bank[i] = tail / np.abs(tail).sum()
     return bank
+
+
+def synthesize_device_ir(g: np.random.Generator, length: int = 1024,
+                         sr: int = 16000) -> np.ndarray:
+    """Loudspeaker/telephone-class impulse response: a handful of damped
+    modal resonances (cabinet/driver modes) inside a band-pass envelope —
+    the acoustic character of the reference's device IR corpus (small
+    speakers, tube radios, telephone horns)."""
+    t = np.arange(length) / sr
+    ir = np.zeros(length)
+    n_modes = g.integers(3, 8)
+    lo = g.uniform(150.0, 500.0)          # low roll-off
+    hi = g.uniform(2500.0, 7000.0)        # top roll-off
+    for _ in range(n_modes):
+        f = np.exp(g.uniform(np.log(lo * 1.2), np.log(hi * 0.9)))
+        tau = g.uniform(0.5e-3, 6e-3)     # short decays: device resonances
+        amp = g.uniform(0.3, 1.0)
+        ir += amp * np.sin(2 * np.pi * f * t + g.uniform(0, 2 * np.pi)) * \
+            np.exp(-t / tau)
+    # band-pass the whole response (cheap FFT brickwall with soft edges)
+    spec = np.fft.rfft(ir)
+    freqs = np.fft.rfftfreq(length, 1 / sr)
+    shape = 1.0 / (1 + (lo / np.maximum(freqs, 1.0)) ** 4)
+    shape *= 1.0 / (1 + (freqs / hi) ** 6)
+    ir = np.fft.irfft(spec * shape, n=length)
+    ir /= np.abs(ir).sum() + 1e-12
+    return ir.astype(np.float32)
+
+
+def synthesize_space_ir(g: np.random.Generator, length: int = 8192,
+                        sr: int = 16000) -> np.ndarray:
+    """Room-class impulse response: direct path, sparse early reflections,
+    then an exponentially decaying diffuse tail at a sampled RT60 — the
+    acoustic character of the reference's space IR corpus (small rooms,
+    halls, caves)."""
+    t = np.arange(length) / sr
+    ir = np.zeros(length)
+    ir[0] = 1.0
+    n_early = g.integers(4, 12)
+    for _ in range(n_early):
+        d = int(g.uniform(0.002, 0.025) * sr)
+        if d < length:
+            ir[d] += g.uniform(0.1, 0.6) * g.choice([-1.0, 1.0])
+    rt60 = g.uniform(0.08, 0.6)
+    tau = rt60 / 6.91                      # ln(1000)
+    tail = g.standard_normal(length) * np.exp(-t / tau)
+    mix_at = int(0.02 * sr)
+    ir[mix_at:] += 0.35 * tail[mix_at:]
+    ir /= np.abs(ir).sum() + 1e-12
+    return ir.astype(np.float32)

@@ -103,3 +103,49 @@ def test_synthetic_ir_bank_shape():
     bank = synthetic_ir_bank(13, 512)
     assert bank.shape == (13, 512)
     assert np.all(np.abs(bank).sum(1) > 0.99)
+
+
+def test_synthesize_device_and_space_irs():
+    """Device IRs: short band-passed modal responses; space IRs: direct path
+    + reverb tail with positive decay energy over tens of ms."""
+    import numpy as np
+
+    from asvspoof2021_air_tpu.ops.augment import (
+        synthesize_device_ir,
+        synthesize_space_ir,
+    )
+
+    g = np.random.default_rng(0)
+    dev = synthesize_device_ir(g)
+    assert dev.shape == (1024,) and np.isfinite(dev).all()
+    # energy concentrated early (short decays)
+    e = dev ** 2
+    assert e[:256].sum() > 5 * e[512:].sum()
+    # band-passed: DC ~ 0
+    assert abs(dev.sum()) < 0.1 * np.abs(dev).sum()
+
+    sp = synthesize_space_ir(g)
+    assert sp.shape == (8192,) and np.isfinite(sp).all()
+    assert np.argmax(np.abs(sp)) == 0  # direct path first
+    e = sp ** 2
+    assert e[2048:].sum() > 0.001 * e.sum()  # has a late tail
+
+
+def test_make_irs_cli(tmp_path):
+    from asvspoof2021_air_tpu.cli.degrade import make_irs
+    from asvspoof2021_air_tpu.data.audio_io import read_wav
+    from asvspoof2021_air_tpu.data.protocol import (
+        DEVICE_IR_INVENTORY,
+        SPACE_IR_INVENTORY,
+    )
+
+    import os
+
+    n = make_irs(str(tmp_path), seed=1)
+    assert n == 74 + 15 == len(DEVICE_IR_INVENTORY) + len(SPACE_IR_INVENTORY)
+    dev_files = os.listdir(tmp_path / "devices")
+    assert len(dev_files) == 74
+    # reference vocabulary stems present (label-compatible naming)
+    assert "telephonehornT65C-16000.wav" in dev_files
+    w, sr = read_wav(str(tmp_path / "space" / "BottleHall-16000.wav"))
+    assert sr == 16000 and len(w) == 8192
