@@ -83,7 +83,8 @@ def _parse_loss(name: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
-def apply_codec(wave: np.ndarray, name: str, sr: int = 16000) -> np.ndarray:
+def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
+                erasure_seed: int = 0) -> np.ndarray:
     """Map a reference codec name onto the native codec tier:
 
     - G.711 / G.726: bit-faithful companding / ADPCM round trips
@@ -112,8 +113,8 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000) -> np.ndarray:
         out = ah.acelp_channel(wave, 16000, kbps, sr)
         loss = _parse_loss(name)
         if loss:
-            out = ah.frame_erasure(out, loss, seed=zlib.crc32(name.encode()),
-                                   frame=sr // 50)
+            seed = zlib.crc32(name.encode()) ^ erasure_seed
+            out = ah.frame_erasure(out, loss, seed=seed, frame=sr // 50)
         return out
     if name.startswith(("amr", "silk", "g729", "g728")):
         kbps = _parse_kbps(name, 8.0 if name.startswith("g729") else 12.2)
@@ -122,8 +123,8 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000) -> np.ndarray:
         out = ah.acelp_channel(wave, 8000, kbps, sr)
         loss = _parse_loss(name)
         if loss:
-            out = ah.frame_erasure(out, loss, seed=zlib.crc32(name.encode()),
-                                   frame=sr // 50)
+            seed = zlib.crc32(name.encode()) ^ erasure_seed
+            out = ah.frame_erasure(out, loss, seed=seed, frame=sr // 50)
         return out
     # anything else: narrowband ADPCM fallback
     low = any(k in name for k in ("4k75", "5k15", "5k9", "5k", "6k7"))
@@ -146,7 +147,10 @@ def channel_degrade(input_path: str, output_path: str, target_sr: int = 16000,
             codecs = (rng.sample(LANDLINE, 7) + rng.sample(VOIP, 6)
                       + rng.sample(CELLULAR, 6) + rng.sample(COMMON, 2))
         for codec in codecs:
-            out = apply_codec(wave, codec, target_sr)
+            # per-(utterance, codec) erasure seed: loss patterns must differ
+            # across files, like the acoustic-simulator's random loss
+            out = apply_codec(wave, codec, target_sr,
+                              erasure_seed=zlib.crc32(stem.encode()))
             write_wav(os.path.join(output_path, f"{stem}_{codec}.wav"),
                       out, target_sr)
             n += 1

@@ -177,6 +177,24 @@ def main(argv=None):
     p.add_argument("--path_to_bonafide", type=str, default="")
     args = p.parse_args(argv)
 
+    # eager per-dataset argument validation (fail at argparse, not deep in
+    # dataset construction)
+    if args.dataset in ("2019", "2021eval") and not args.path_to_database:
+        p.error(f"--dataset {args.dataset} requires -d/--path_to_database")
+    if args.dataset == "aug" and not args.aug_wav_dir:
+        p.error("--dataset aug requires --aug_wav_dir")
+    if args.dataset == "aug" and not (args.path_to_protocol
+                                      or args.path_to_database):
+        p.error("--dataset aug requires --path_to_protocol (or -d to derive "
+                "the protocol dir)")
+    if args.dataset == "2015" and not (args.path_to_database
+                                       and args.path_to_protocol):
+        p.error("--dataset 2015 requires -d and --path_to_protocol")
+    if args.dataset == "vcc2020" and not (args.path_to_spoof
+                                          and args.path_to_bonafide):
+        p.error("--dataset vcc2020 requires --path_to_spoof and "
+                "--path_to_bonafide")
+
     extractor, hop = build_extractor(args.feature)
     items = collect_items(args)
     out_dir = os.path.join(args.out_dir, args.part, args.feature)

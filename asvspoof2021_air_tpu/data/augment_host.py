@@ -167,20 +167,34 @@ def frame_erasure(wave, loss_pct: float, seed: int = 0,
     return x
 
 
+def _configure_gsmfr(lib):
+    if not hasattr(lib.gsmfr_roundtrip, "_configured"):
+        fptr = ctypes.POINTER(ctypes.c_float)
+        u8ptr = ctypes.POINTER(ctypes.c_uint8)
+        lib.gsmfr_roundtrip.argtypes = [fptr, fptr, ctypes.c_size_t]
+        lib.gsmfr_encode.argtypes = [fptr, ctypes.c_size_t, u8ptr]
+        lib.gsmfr_encode.restype = ctypes.c_long
+        lib.gsmfr_decode.argtypes = [u8ptr, ctypes.c_long, fptr]
+        lib.gsmfr_decode.restype = ctypes.c_long
+        lib.gsmfr_roundtrip._configured = True
+
+
 def gsmfr_roundtrip(wave) -> np.ndarray:
     """GSM 06.10 Full-Rate encode->decode at 8 kHz (native RPE-LTP,
     native/augment/gsmfr.cc). Input/output are 8 kHz float; use
     telephony_channel(wave, 'gsmfr') for the full 16 kHz hop."""
+    lib = get_lib()
+    _configure_gsmfr(lib)
     x = _as_f32(wave)
     out = np.empty_like(x)
-    get_lib().gsmfr_roundtrip(_ptr(x), _ptr(out), x.size)
+    lib.gsmfr_roundtrip(_ptr(x), _ptr(out), x.size)
     return out
 
 
 def gsmfr_encode(wave) -> bytes:
     """Encode 8 kHz float audio to packed 33-byte GSM frames."""
     lib = get_lib()
-    lib.gsmfr_encode.restype = ctypes.c_long
+    _configure_gsmfr(lib)
     x = _as_f32(wave)
     n_frames = -(-x.size // 160)
     out = np.zeros(n_frames * 33, np.uint8)
@@ -192,7 +206,7 @@ def gsmfr_encode(wave) -> bytes:
 def gsmfr_decode(frames: bytes) -> np.ndarray:
     """Decode packed 33-byte GSM frames to 8 kHz float audio."""
     lib = get_lib()
-    lib.gsmfr_decode.restype = ctypes.c_long
+    _configure_gsmfr(lib)
     buf = np.frombuffer(frames, np.uint8)
     n_frames = buf.size // 33
     out = np.empty(n_frames * 160, np.float32)
@@ -241,7 +255,12 @@ def flac_decode(data: bytes):
     if total < 0:
         raise ValueError("malformed FLAC stream")
     channels = max(nch.value, 1)
-    max_samples = total if total > 0 else max(len(data) * 4, 1 << 16)
+    # Sanity-bound the header's 36-bit total-samples field (corrupt headers
+    # would otherwise force absurd allocations); out-of-bound totals fall
+    # back to the growable unknown-length path.
+    cap = min(max(len(data) * 1024, 1 << 16), 1 << 28)
+    trusted = 0 < total <= cap
+    max_samples = total if trusted else max(len(data) * 4, 1 << 16)
     while True:
         out = np.empty(max_samples * channels, np.int32)
         n = lib.flac_decode(
@@ -251,7 +270,7 @@ def flac_decode(data: bytes):
         )
         if n < 0:
             raise ValueError("malformed FLAC stream")
-        if n < max_samples or total > 0:
+        if n < max_samples or trusted:
             break
         max_samples *= 4  # unknown length and the buffer filled: grow
     samples = out[: n * nch.value].reshape(n, nch.value).copy()

@@ -383,13 +383,16 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
 
         def record(metrics, n_inner):
             nonlocal i
-            for j in range(n_inner):
-                for k, v in metrics.items():
-                    val = np.asarray(v)
-                    train_log[k].append(float(val[j] if val.ndim else val))
-                with open(log_path, "a") as f:
+            # one device->host transfer per metric per dispatch, one log-file
+            # open per dispatch (not per inner step — the K-step scan exists
+            # to amortize per-step host overhead)
+            host = {k: np.atleast_1d(np.asarray(v)) for k, v in metrics.items()}
+            with open(log_path, "a") as f:
+                for j in range(n_inner):
+                    for k, v in host.items():
+                        train_log[k].append(float(v[j] if v.size > 1 else v[0]))
                     f.write(f"{epoch}\t{i}\t{train_log[monitor][-1]}\n")
-                i += 1
+                    i += 1
             if profile_ctx is not None and i >= 20:
                 _close_profile()
 

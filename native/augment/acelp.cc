@@ -175,8 +175,12 @@ struct AcelpCodec {
   float emph_mem = 0.0f;           /* WB pre-emphasis state */
   float deemph_mem = 0.0f;         /* WB de-emphasis state */
 
+  /* Fractional-pitch interpolation reads up to kExcGuard samples beyond
+   * max_lag into the past (8-tap kernel at lag max_lag+1). */
+  static constexpr int kExcGuard = 8;
+
   explicit AcelpCodec(const AcelpParams& params) : p(params) {
-    exc_hist.assign(p.max_lag + p.frame, 0.0f);
+    exc_hist.assign(kExcGuard + p.max_lag + p.frame, 0.0f);
     synth_mem.assign(p.order, 0.0);
     wgt_x_mem.assign(p.order, 0.0);
     wgt_sw_mem.assign(p.order, 0.0);
@@ -238,7 +242,7 @@ void code_frame(AcelpCodec& st, const float* in, float* out) {
     qrefl[i] = quantize_lar(refl[i], bits);
   }
 
-  float* exc = st.exc_hist.data() + p.max_lag;
+  float* exc = st.exc_hist.data() + AcelpCodec::kExcGuard + p.max_lag;
 
   for (int sub = 0; sub < n_sub; ++sub) {
     const float* xs = x.data() + sub * S;

@@ -196,3 +196,38 @@ def test_compression_degrade_uses_transform_codec(tmp_path):
     f = glob.glob(str(tmp_path / "comp" / "*mp3[[]8k[]]*"))[0]
     w, sr = read_wav(f)
     assert sr == 16000 and np.isfinite(w).all()
+
+
+def test_frame_erasure_differs_across_utterances():
+    """Loss patterns must vary per utterance, not be fixed per codec variant
+    (the acoustic-simulator's loss is random per file)."""
+    import zlib
+
+    x1 = voice(32000, 16000, seed=10)
+    x2 = voice(32000, 16000, seed=11)
+    name = "silk[br=15k,loss=10]"
+    y1 = apply_codec(x1, name, erasure_seed=zlib.crc32(b"LA_T_0000001"))
+    y2 = apply_codec(x1, name, erasure_seed=zlib.crc32(b"LA_T_0000002"))
+    base1 = apply_codec(x1, "silk[br=15k]")
+    # identify erased frame positions (frame == previous frame)
+    def erased(y):
+        pos = set()
+        for i in range(1, len(y) // 320):
+            if np.array_equal(y[i * 320:(i + 1) * 320],
+                              y[(i - 1) * 320:i * 320]):
+                pos.add(i)
+        return pos
+    del x2, base1
+    assert erased(y1) != erased(y2)
+
+
+def test_low_pitch_does_not_corrupt():
+    """Regression: lags at max_lag with fractional refinement read before the
+    excitation history start (ASan heap-buffer-overflow) — a 55 Hz source
+    (145-sample period at 8 kHz) must code cleanly."""
+    sr = 8000
+    t = np.arange(16000) / sr
+    x = (0.3 * np.sin(2 * np.pi * 55.0 * t)).astype(np.float32)
+    y = ah.acelp_channel(x, 8000, 12.2, sample_rate=8000)
+    assert np.isfinite(y).all()
+    assert np.abs(y).max() < 2.0
