@@ -231,3 +231,58 @@ def test_low_pitch_does_not_corrupt():
     y = ah.acelp_channel(x, 8000, 12.2, sample_rate=8000)
     assert np.isfinite(y).all()
     assert np.abs(y).max() < 2.0
+
+
+def test_channel_families_separable_in_lfcc_space():
+    """The ADV_AUG premise: channel labels must carry acoustic signal in the
+    feature space the spoofing models see. With the REAL codec tier, a
+    trivial nearest-centroid probe over mean LFCC vectors must classify
+    held-out utterances' codec family well above chance (VERDICT r01 flagged
+    this as unproven while the families were noise stand-ins)."""
+    import jax.numpy as jnp
+
+    from asvspoof2021_air_tpu.ops.lfcc import LFCC
+
+    lfcc = LFCC()
+    families = {
+        "clean": None,
+        "g711": "g711[law=u]",
+        "amr_lo": "amr[br=4k75]",
+        "gsmfr": "gsmfr",
+        "amrwb": "amrwb[br=23k05]",
+        "mp3": None,  # handled via mdct below
+    }
+    n_train_utts, n_test_utts = 4, 3
+
+    def featurize(wave):
+        f = np.asarray(lfcc(jnp.asarray(wave[None].astype(np.float32))))
+        return f[0, 5:-5, :20].mean(axis=0)  # mean static cepstrum
+
+    def degrade(wave, fam):
+        if fam == "clean":
+            return wave
+        if fam == "mp3":
+            return ah.mdct_codec(wave, 8.0, "mp3")
+        return apply_codec(wave, families[fam])
+
+    X_train, y_train, X_test, y_test = [], [], [], []
+    names = list(families)
+    for ci, fam in enumerate(names):
+        for u in range(n_train_utts + n_test_utts):
+            w = voice(24000, 16000, f0=100.0 + 17.0 * u, seed=100 + u)
+            feat = featurize(degrade(w, fam))
+            if u < n_train_utts:
+                X_train.append(feat)
+                y_train.append(ci)
+            else:
+                X_test.append(feat)
+                y_test.append(ci)
+    X_train, X_test = np.array(X_train), np.array(X_test)
+    centroids = np.stack([
+        X_train[np.array(y_train) == c].mean(axis=0) for c in range(len(names))
+    ])
+    pred = np.argmin(
+        ((X_test[:, None, :] - centroids[None]) ** 2).sum(-1), axis=1
+    )
+    acc = (pred == np.array(y_test)).mean()
+    assert acc >= 0.5, f"family probe accuracy {acc:.2f} (chance {1/len(names):.2f})"
