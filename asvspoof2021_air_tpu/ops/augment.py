@@ -218,10 +218,10 @@ CHANNEL_FAMILIES: Tuple[ChannelFamily, ...] = (
     ChannelFamily("g711u", False, "u", np.inf),
     ChannelFamily("g711a", False, "a", np.inf),
     ChannelFamily("g726", False, None, 16.5),
-    ChannelFamily("amr_nb", False, None, 14.0),
-    ChannelFamily("amr_wb", True, None, 26.5),
-    ChannelFamily("silk_nb", False, None, 13.5),
-    ChannelFamily("silk_wb", True, None, 26.5),
+    ChannelFamily("amr_nb", False, None, 15.0),
+    ChannelFamily("amr_wb", True, None, 28.0),
+    ChannelFamily("silk_nb", False, None, 15.0),
+    ChannelFamily("silk_wb", True, None, 28.0),
     ChannelFamily("g722", True, None, 30.0),
     ChannelFamily("gsmfr", False, None, 12.2),
 )

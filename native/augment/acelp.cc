@@ -115,14 +115,23 @@ void levinson(const double* r, int order, double* a, double* refl) {
   }
 }
 
-/* Reflection <-> LAR with uniform quantization: the short-term envelope
- * quantizer. bits[i] per coefficient, LAR clamped to +-lar_max. */
-double quantize_lar(double k, int bits, double lar_max = 7.0) {
+/* Reflection <-> LAR with mu-law-companded quantization: the short-term
+ * envelope quantizer. Companding gives fine resolution near zero (where the
+ * high-order reflection coefficients live) while keeping the full +-lar_max
+ * range (tonal signals legitimately push high-order |k| toward 1, i.e.
+ * |LAR| >> 1 — hard range clamps destabilize the analysis). */
+double quantize_lar(double k, int bits, double lar_max = 7.0,
+                    double mu = 15.0) {
   double lar = std::log((1.0 + k) / (1.0 - k));
-  double step = 2.0 * lar_max / ((1 << bits) - 1);
-  double q = std::round((lar + lar_max) / step);
+  double a = std::min(std::fabs(lar), lar_max) / lar_max;
+  double y = std::copysign(std::log1p(mu * a) / std::log1p(mu), lar);
+  double step = 2.0 / ((1 << bits) - 1);
+  double q = std::round((y + 1.0) / step);
   q = std::max(0.0, std::min((double)((1 << bits) - 1), q));
-  double lq = q * step - lar_max;
+  double yq = q * step - 1.0;
+  double lq = std::copysign((std::exp(std::fabs(yq) * std::log1p(mu)) - 1.0)
+                                / mu * lar_max,
+                            yq);
   return std::tanh(lq / 2.0);  /* back to reflection */
 }
 
@@ -458,6 +467,17 @@ void code_frame(AcelpCodec& st, const float* in, float* out) {
       den = best_den;
       for (int n = best_pos; n < S; ++n)
         conv_code[n] += best_sign * h[n - best_pos];
+    }
+    /* The matching-pursuit score nn^2/dd is sign-invariant, so the greedy
+     * can converge with num < 0; the optimum then is the sign-flipped
+     * codevector with num > 0 (identical energy). Without this the code
+     * gain clamps to zero and the encoder can stick in a silent state. */
+    if (num < 0.0) {
+      num = -num;
+      for (int n = 0; n < S; ++n) {
+        code[n] = -code[n];
+        conv_code[n] = -conv_code[n];
+      }
     }
     double gc = AcelpCodec::q_code_gain(std::max(0.0, num / den),
                                         st.gc_pred);

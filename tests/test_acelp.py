@@ -126,8 +126,8 @@ def test_family_snrs_feature_matched():
     """The on-device family stand-ins (ops/augment.py CHANNEL_FAMILIES) are
     tuned so their LFCC distortion matches the real native codec tier's:
     verify the real codecs' LFCC distances fall near the stand-in values the
-    snr_db entries were fit to (amr_nb 14.0, silk_nb 13.5, amr_wb/silk_wb
-    26.5, gsmfr 12.2 — fitted 2026-08-16 on this signal)."""
+    snr_db entries were fit to (amr_nb/silk_nb 15.0, amr_wb/silk_wb
+    28.0, gsmfr 12.2 — fitted 2026-08-16 on this signal)."""
     import jax.numpy as jnp
 
     from asvspoof2021_air_tpu.ops.lfcc import LFCC
@@ -144,7 +144,7 @@ def test_family_snrs_feature_matched():
     d_nb = np.mean([dist("amr[br=4k75]"), dist("amr[br=7k4]"),
                     dist("amr[br=12k2]")])
     d_wb = np.mean([dist("amrwb[br=6k6]"), dist("amrwb[br=23k05]")])
-    # fitted anchors: 1.63 (nb), 0.73 (wb); drift beyond ~25% means the
+    # fitted anchors: 1.53 (nb), 0.64 (wb); drift beyond ~25% means the
     # codec changed and the family table needs re-fitting
     assert 1.2 < d_nb < 2.1, d_nb
     assert 0.5 < d_wb < 1.0, d_wb
@@ -286,3 +286,16 @@ def test_channel_families_separable_in_lfcc_space():
     )
     acc = (pred == np.array(y_test)).mean()
     assert acc >= 0.5, f"family probe accuracy {acc:.2f} (chance {1/len(names):.2f})"
+
+
+def test_never_sticks_in_silent_state():
+    """Regression: the sign-invariant matching-pursuit score could converge
+    with negative target correlation, clamping the code gain to zero and
+    locking the encoder in an all-zero attractor for ~half of all inputs
+    (e.g. this exact 203 Hz draw at 8 kHz used to decode to pure silence)."""
+    for seed in range(6):
+        for f0 in (97.0, 203.0):
+            x = voice(16000, 8000, f0=f0, seed=seed)
+            y = ah.acelp_channel(x, 8000, 12.2, sample_rate=8000)
+            rms_ratio = np.sqrt((y ** 2).mean() / (x ** 2).mean())
+            assert rms_ratio > 0.3, (seed, f0, rms_ratio)
