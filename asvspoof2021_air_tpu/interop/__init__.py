@@ -2,6 +2,7 @@
 
 from asvspoof2021_air_tpu.interop.torch_port import (  # noqa: F401
     load_torch_checkpoint,
+    port_channel_classifier,
     port_ecapa,
     port_lcnn,
     port_resnet,

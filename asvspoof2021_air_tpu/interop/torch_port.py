@@ -224,6 +224,13 @@ def port_se_res2net50(sd: Dict[str, np.ndarray],
     return {"params": params, "batch_stats": stats}
 
 
+def port_channel_classifier(sd: Dict[str, np.ndarray]) -> Dict:
+    """state_dict of /root/reference/model.py ChannelClassifier (:1006-1023)
+    -> variables for models.classifier.ChannelClassifier."""
+    return {"params": {"Dense_0": _dense(sd, "classifier.0"),
+                       "Dense_1": _dense(sd, "classifier.3")}}
+
+
 def port_lcnn(sd: Dict[str, np.ndarray], num_nodes: int = 60,
               feat_len: int = 750) -> Dict:
     """state_dict of /root/reference/model.py LCNN -> variables for

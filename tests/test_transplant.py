@@ -171,3 +171,42 @@ def test_se_res2net50_transplant():
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_channel_classifier_transplant_forward_and_grl_gradient():
+    """GRL classifier: transplanted outputs match, AND the gradient that
+    flows back through the gradient-reversal layer matches torch's
+    (forward identity, backward x -lambda — /root/reference/model.py:984-994)."""
+    torch.manual_seed(5)
+    lam = 0.05
+    ref = ref_model.ChannelClassifier(64, 7, torch.tensor(lam))
+    ref.eval()
+
+    from asvspoof2021_air_tpu.interop import port_channel_classifier
+    from asvspoof2021_air_tpu.models.classifier import ChannelClassifier
+
+    model = ChannelClassifier(enc_dim=64, nclasses=7, lambda_=lam)
+    variables = port_channel_classifier(_state_dict_np(ref))
+
+    g = np.random.default_rng(5)
+    x = g.standard_normal((4, 64)).astype(np.float32)
+
+    tx = torch.from_numpy(x).requires_grad_(True)
+    t_out = ref(tx)
+    t_out.sum().backward()
+    t_grad = tx.grad.numpy()
+
+    def forward_sum(inp):
+        return model.apply(
+            jax.tree.map(jnp.asarray, variables), inp, False
+        ).sum()
+
+    j_out = model.apply(jax.tree.map(jnp.asarray, variables),
+                        jnp.asarray(x), False)
+    j_grad = jax.grad(forward_sum)(jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(j_out), t_out.detach().numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_grad), t_grad, atol=1e-5)
+    # the GRL actually reverses: gradient through it is negative-scaled
+    assert np.sign(np.asarray(j_grad)).sum() != 0  # nontrivial
