@@ -87,3 +87,81 @@ def test_unlabeled_score_file(tmp_path):
         lines = [l.split() for l in f.read().splitlines()]
     assert len(lines) == 10
     assert all(len(l) == 2 for l in lines)
+
+
+def test_all_eight_task_routes(tmp_path):
+    """The full task router (/root/reference/generate_score.py:51-72): all 8
+    task choices build the right dataset layout and produce valid score
+    files — labeled with keys for 19* tasks, unlabeled for LA/DF."""
+    from asvspoof2021_air_tpu.data import protocol as proto
+    from asvspoof2021_air_tpu.scoring import TASKS, test_on_asvspoof2021
+
+    g = np.random.default_rng(0)
+
+    def write_feats(d, names):
+        os.makedirs(d, exist_ok=True)
+        for i, suffix in enumerate(names):
+            np.save(os.path.join(d, f"{i:06d}_{suffix}.npy"),
+                    g.standard_normal((1, 40, D)).astype(np.float32))
+
+    ori = tmp_path / "ori"
+    aug = tmp_path / "aug"
+    la_eval = tmp_path / "la21"
+    df_eval = tmp_path / "df21"
+    # 19dev/19eval + the original halves of the aug tasks
+    for part, pfx in (("dev", "LA_D"), ("eval", "LA_E")):
+        write_feats(str(ori / part / "LFCC"),
+                    [f"{pfx}_{i:07d}_-_{l}" for i, l in
+                     enumerate(["bonafide", "spoof"] * 3)])
+    # augmented trees: channel (and device) suffixes from the real vocabs
+    ch_la = proto.LA_CHANNELS[1]
+    ch_df = proto.DF_CHANNELS[1]
+    dev = proto.DEVICES[0]
+    write_feats(str(aug / "dev" / "LFCC"), [
+        f"LA_D_{i:07d}_-_spoof_{ch_la}" for i in range(4)
+    ])
+    aug_pa = tmp_path / "aug_pa"
+    write_feats(str(aug_pa / "dev" / "LFCC"), [
+        f"LA_D_{i:07d}_-_spoof_{ch_la}_{dev}" for i in range(4)
+    ])
+    aug_df = tmp_path / "aug_df"
+    write_feats(str(aug_df / "dev" / "LFCC"), [
+        f"LA_D_{i:07d}_-_spoof_{ch_df}" for i in range(4)
+    ])
+    aug_dfpa = tmp_path / "aug_dfpa"
+    write_feats(str(aug_dfpa / "dev" / "LFCC"), [
+        f"LA_D_{i:07d}_-_spoof_{ch_df}_{dev}" for i in range(4)
+    ])
+    # challenge eval sets (4-field names)
+    write_feats(str(la_eval / "LFCC"),
+                [f"LA_E_{i:07d}" for i in range(5)])
+    write_feats(str(df_eval / "LFCC"),
+                [f"DF_E_{i:07d}" for i in range(5)])
+
+    model, variables, loss_mod, loss_vars = _setup("ocsoftmax")
+    aug_dirs = {"19laaugdev": str(aug), "19lapaaugdev": str(aug_pa),
+                "19dfaugdev": str(aug_df), "19dfpaaugdev": str(aug_dfpa)}
+    assert set(TASKS) == {"LA", "DF", "19dev", "19eval", "19laaugdev",
+                          "19lapaaugdev", "19dfaugdev", "19dfpaaugdev"}
+    for task in TASKS:
+        paths = {"ori_features": str(ori),
+                 "aug_features": aug_dirs.get(task, str(aug)),
+                 "la_eval": str(la_eval), "df_eval": str(df_eval)}
+        out = test_on_asvspoof2021(
+            task, model, variables, paths, str(tmp_path / "scores"),
+            f"sys_{task}", add_loss="ocsoftmax", loss_module=loss_mod,
+            loss_vars=loss_vars, batch_size=8, feat_len=40,
+        )
+        lines = open(out).read().strip().splitlines()
+        assert lines, task
+        n_fields = 3 if "19" in task else 2
+        for ln in lines:
+            fields = ln.split()
+            assert len(fields) == n_fields, (task, ln)
+            assert np.isfinite(float(fields[1])), (task, ln)
+        if "19" in task:
+            assert {f.split()[2] for f in lines} <= {"bonafide", "spoof"}
+        expected = {"LA": 5, "DF": 5, "19dev": 6, "19eval": 6,
+                    "19laaugdev": 10, "19lapaaugdev": 10,
+                    "19dfaugdev": 10, "19dfpaaugdev": 10}[task]
+        assert len(lines) == expected, (task, len(lines))
