@@ -94,7 +94,9 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
       structure and pulse ladder; not 3GPP/Skype bit-compatible —
       native/augment/acelp.cc); SILK loss=N adds 20 ms frame-erasure
       concealment
-    - G.722: subband-ADPCM class, kept as the 16 kHz ADPCM round trip
+    - G.722: real ITU-T sub-band ADPCM at 64/56/48 kbps (QMF band split +
+      embedded 6/5/4-bit low band + 2-bit high band, 16 kHz native —
+      native/augment/g722.cc)
     """
     if name.startswith("g711"):
         codec = "g711a" if "law=a" in name else "g711u"
@@ -106,8 +108,12 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
         # real GSM 06.10 Full-Rate bitstream round trip (native RPE-LTP)
         return ah.telephony_channel(wave, "gsmfr", sr)
     if name.startswith("g722"):
-        # G.722 is subband ADPCM; full-band ADPCM at 16 kHz is its class
-        return ah.g726_roundtrip(wave, 5)
+        kbps = int(_parse_kbps(name, 64.0))
+        if sr == 16000:
+            return ah.g722_roundtrip(wave, kbps)
+        # G.722 runs at 16 kHz; resample through the codec rate otherwise
+        out = ah.g722_roundtrip(ah.resample(wave, sr, 16000), kbps)
+        return ah.resample(out, 16000, sr)[: len(wave)]
     if name.startswith(("amrwb", "silkwb")):
         kbps = _parse_kbps(name, 12.65)
         out = ah.acelp_channel(wave, 16000, kbps, sr)

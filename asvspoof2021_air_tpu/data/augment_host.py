@@ -218,6 +218,59 @@ def gsmfr_decode(frames: bytes) -> np.ndarray:
     return out[:n]
 
 
+def _configure_g722(lib):
+    if not hasattr(lib.g722_roundtrip, "_configured"):
+        fptr = ctypes.POINTER(ctypes.c_float)
+        u8ptr = ctypes.POINTER(ctypes.c_uint8)
+        lib.g722_roundtrip.argtypes = [fptr, fptr, ctypes.c_size_t,
+                                       ctypes.c_int]
+        lib.g722_encode.argtypes = [fptr, ctypes.c_size_t, u8ptr]
+        lib.g722_encode.restype = ctypes.c_long
+        lib.g722_decode.argtypes = [u8ptr, ctypes.c_long, fptr, ctypes.c_int]
+        lib.g722_decode.restype = ctypes.c_long
+        lib.g722_roundtrip._configured = True
+
+
+_G722_MODES = {64: 1, 56: 2, 48: 3}
+
+
+def g722_roundtrip(wave, kbps: int = 64) -> np.ndarray:
+    """ITU-T G.722 sub-band ADPCM encode->decode at 16 kHz
+    (native/augment/g722.cc). kbps in {64, 56, 48}: the embedded modes of
+    the reference vocabulary g722[br=64k|56k|48k]
+    (/root/reference/channel_simulation/simulated_channel.py:36)."""
+    lib = get_lib()
+    _configure_g722(lib)
+    x = _as_f32(wave)
+    out = np.empty_like(x)
+    lib.g722_roundtrip(_ptr(x), _ptr(out), x.size, _G722_MODES[int(kbps)])
+    return out
+
+
+def g722_encode(wave) -> bytes:
+    """Encode 16 kHz float audio to the G.722 bitstream (1 byte / 2 samples,
+    full 64 kbps embedded codes; lower modes drop decoder bits)."""
+    lib = get_lib()
+    _configure_g722(lib)
+    x = _as_f32(wave)
+    out = np.zeros(x.size // 2 + 1, np.uint8)
+    n = lib.g722_encode(_ptr(x), x.size,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:n].tobytes()
+
+
+def g722_decode(codes: bytes, kbps: int = 64) -> np.ndarray:
+    """Decode a G.722 bitstream to 16 kHz float audio at the given mode."""
+    lib = get_lib()
+    _configure_g722(lib)
+    buf = np.frombuffer(codes, np.uint8)
+    out = np.empty(buf.size * 2, np.float32)
+    n = lib.g722_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        _ptr(out), _G722_MODES[int(kbps)])
+    return out[:n]
+
+
 def flac_decode(data: bytes):
     """Decode a FLAC stream via the native decoder.
 

@@ -53,6 +53,16 @@ long gsmfr_encode(const float* in, size_t n, uint8_t* out);
 long gsmfr_decode(const uint8_t* in, long n_frames, float* out);
 void gsmfr_roundtrip(const float* in, float* out, size_t n);
 
+/* ---- ITU-T G.722 wideband sub-band ADPCM, 16 kHz native (no resampling
+ * hop). 24-tap QMF band split + embedded low-band ADPCM (6/5/4-bit) +
+ * 2-bit high-band ADPCM. One 8-bit code per two samples; mode selects the
+ * decoder's low-band depth: 1=64k (6-bit), 2=56k (5-bit), 3=48k (4-bit).
+ * g722_encode returns codes written (out sized n/2); g722_decode returns
+ * samples written (out sized 2*n_codes). */
+long g722_encode(const float* in, size_t n, uint8_t* out);
+long g722_decode(const uint8_t* codes, long n_codes, float* out, int mode);
+void g722_roundtrip(const float* in, float* out, size_t n, int mode);
+
 /* ---- Generic ACELP codec (analysis-by-synthesis CELP with an
  * interleaved-track algebraic codebook; AMR-matched frame structure and
  * mode ladder, not 3GPP bit-compatible). sample_rate 8000 (NB, LP order 10)
