@@ -24,7 +24,10 @@ from asvspoof2021_air_tpu.train.loop import TrainConfig, setup_training
 
 def load_system(model_dir: str, checkpoint: str = "best"):
     """Rebuild (model, variables, loss_mod, loss_vars, config) from a
-    training out_fold."""
+    training out_fold. For an --ensemble run the checkpoint holds stacked
+    member states: variables/loss_vars are lists with one entry per member
+    (scored separately, then avg-fused like the reference's 3-system
+    workflow)."""
     with open(os.path.join(model_dir, "args.json")) as f:
         cfg_dict = json.load(f)
     fields = set(TrainConfig.__dataclass_fields__)
@@ -32,10 +35,21 @@ def load_system(model_dir: str, checkpoint: str = "best"):
 
     model, loss_mod, state, _ts, _es = setup_training(config, steps_per_epoch=1)
     state = restore_checkpoint(os.path.join(model_dir, checkpoint), state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    loss_vars = (
-        {"params": state.loss_params} if state.loss_params is not None else None
-    )
+    if config.ensemble > 1:
+        from asvspoof2021_air_tpu.train.ensemble import member_state
+
+        members = [member_state(state, i) for i in range(config.ensemble)]
+    else:
+        members = [state]
+    variables = [
+        {"params": m.params, "batch_stats": m.batch_stats} for m in members
+    ]
+    loss_vars = [
+        {"params": m.loss_params} if m.loss_params is not None else None
+        for m in members
+    ]
+    if config.ensemble == 1:
+        return model, variables[0], loss_mod, loss_vars[0], config
     return model, variables, loss_mod, loss_vars, config
 
 
@@ -71,6 +85,31 @@ def main(argv=None):
         "la_eval": args.la_eval,
         "df_eval": args.df_eval,
     }
+    if _cfg.ensemble > 1:
+        # score each ensemble member, then avg-fuse into the headline file
+        # (the reference's score_fusion.py:21-28 workflow in one command)
+        from asvspoof2021_air_tpu.fusion import avg_fuse
+
+        member_files = []
+        for i, (mvars, mloss) in enumerate(zip(variables, loss_vars)):
+            f = test_on_asvspoof2021(
+                args.task, model, mvars, paths, out_dir,
+                f"{args.model_name}_member{i}",
+                add_loss=args.loss, loss_module=loss_mod, loss_vars=mloss,
+                batch_size=args.batch_size, feature=_cfg.feat,
+                feat_len=_cfg.feat_len, padding=_cfg.padding,
+            )
+            member_files.append(f)
+            print(f"wrote {f}")
+        if "19" in args.task:
+            out = os.path.join(out_dir,
+                               f"{args.model_name}_{args.task}_score.txt")
+        else:
+            out = os.path.join(out_dir, f"{args.model_name}_{args.task}",
+                               "score.txt")
+        avg_fuse(member_files, output=out)
+        print(f"wrote {out} (avg fusion of {len(member_files)} members)")
+        return
     out = test_on_asvspoof2021(
         args.task, model, variables, paths, out_dir, args.model_name,
         add_loss=args.loss, loss_module=loss_mod, loss_vars=loss_vars,

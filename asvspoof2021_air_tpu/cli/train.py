@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_", type=float, default=0.05)
     p.add_argument("--lr_d", type=float, default=0.0001)
     p.add_argument("--test_on_eval", action="store_true")
+    p.add_argument("--ensemble", type=int, default=1,
+                   help="train N independently-initialized systems in one "
+                        "vmapped step; dev/eval scores are avg-fused "
+                        "(the reference's 3-system fusion workflow as one "
+                        "training run)")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps scanned per device dispatch")
     p.add_argument("--profile", action="store_true",

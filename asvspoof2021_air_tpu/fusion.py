@@ -21,14 +21,24 @@ def read_score_frame(path: str) -> pd.DataFrame:
     """Load a score file into a (fname, sysid, key, score) DataFrame.
 
     Accepts the 4-column layout consumed by the reference fusion utility
-    (/root/reference/score_fusion.py:13-18) and the 3-column
+    (/root/reference/score_fusion.py:13-18), the 3-column
     ``fname score key`` layout actually shipped under /root/reference/scores/
-    (sysid filled with "-").
+    (sysid filled with "-"), and the 2-column unlabeled ``fname score``
+    layout of challenge eval score files (key filled with "-").
     """
     data = np.genfromtxt(path, dtype=str)
     if data.ndim == 1:
         data = data[None, :]
-    if data.shape[1] == 4:
+    if data.shape[1] == 2:
+        df = pd.DataFrame(
+            {
+                "fname": data[:, 0],
+                "sysid": "-",
+                "key": "-",
+                "score": data[:, 1],
+            }
+        )
+    elif data.shape[1] == 4:
         df = pd.DataFrame(data, columns=["fname", "sysid", "key", "score"])
     elif data.shape[1] == 3:
         df = pd.DataFrame(

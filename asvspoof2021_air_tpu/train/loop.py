@@ -114,6 +114,11 @@ class TrainConfig:
     # Capture a jax.profiler trace of the first ~20 steps into
     # <out_fold>/profile (viewable in XProf/TensorBoard).
     profile: bool = False
+    # Train N independently-initialized systems in one vmapped step and fuse
+    # their dev/eval scores by averaging — the reference's 3-system avg_fuse
+    # workflow (/root/reference/score_fusion.py:21-28) as a first-class
+    # ensemble axis instead of N serial training jobs (train/ensemble.py).
+    ensemble: int = 1
 
 
 def _prepare_out_fold(config: TrainConfig) -> None:
@@ -221,33 +226,51 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
         example = jnp.zeros(
             (config.batch_size, config.feat_len, config.feat_dim), jnp.float32
         )
-    state = create_train_state(
-        rng, model, example,
-        loss_module=loss_mod,
-        example_feat=jnp.zeros((config.batch_size, config.enc_dim)),
-        example_labels=jnp.zeros((config.batch_size,), jnp.int32),
-        backbone_tx=btx, loss_tx=ltx,
-        classifier=classifier, classifier_tx=ctx, classifier2=classifier2,
-    )
+    def make_state(state_rng):
+        return create_train_state(
+            state_rng, model, example,
+            loss_module=loss_mod,
+            example_feat=jnp.zeros((config.batch_size, config.enc_dim)),
+            example_labels=jnp.zeros((config.batch_size,), jnp.int32),
+            backbone_tx=btx, loss_tx=ltx,
+            classifier=classifier, classifier_tx=ctx, classifier2=classifier2,
+        )
 
     step_cfg = StepConfig(
         add_loss=config.add_loss, base_loss=config.base_loss,
         weight_loss=config.weight_loss, adv_aug=config.ADV_AUG,
         dual_classifier=dual,
     )
-    train_step = jax.jit(make_train_step(
+    raw_train_step = make_train_step(
         model, loss_mod, btx, ltx, step_cfg,
         classifier=classifier, classifier_tx=ctx, classifier2=classifier2,
         frontend=frontend,
-    ), donate_argnums=(0,))
+    )
     # Evaluation runs clean: the reference validates and tests on
     # unaugmented features (/root/reference/main_train.py:489-668), so the
     # eval step gets an augmenter-free view of the front-end.
     eval_frontend = (
         frontend.eval_view() if hasattr(frontend, "eval_view") else frontend
     )
-    eval_step = jax.jit(make_eval_step(model, loss_mod, step_cfg,
-                                       frontend=eval_frontend))
+    raw_eval_step = make_eval_step(model, loss_mod, step_cfg,
+                                   frontend=eval_frontend)
+
+    if config.ensemble > 1:
+        from asvspoof2021_air_tpu.train.ensemble import (
+            init_ensemble_state,
+            make_ensemble_eval_step,
+            make_ensemble_train_step,
+        )
+
+        state = init_ensemble_state(make_state, rng, config.ensemble)
+        raw_train_step = make_ensemble_train_step(raw_train_step,
+                                                  config.ensemble)
+        raw_eval_step = make_ensemble_eval_step(raw_eval_step)
+    else:
+        state = make_state(rng)
+
+    train_step = jax.jit(raw_train_step, donate_argnums=(0,))
+    eval_step = jax.jit(raw_eval_step)
     return model, loss_mod, state, train_step, eval_step
 
 
@@ -445,7 +468,10 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                                               frontend_params)
             for k, v in metrics.items():
                 dev_log[k].append(float(v))
-            scores.append(np.asarray(score))
+            sc = np.asarray(score)
+            if sc.ndim == 2:  # ensemble: (n_members, B) -> fused avg score
+                sc = sc.mean(axis=0)
+            scores.append(sc)
             labels.append(batch["label"])
             if config.visualize:
                 dev_feats.append(np.asarray(feats))
@@ -484,7 +510,10 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                     _m, score, _f = eval_step(state, device_batch,
                                               frontend_params)
                     take = min(remaining, config.batch_size)
-                    e_scores.append(np.asarray(score)[:take])
+                    sc = np.asarray(score)
+                    if sc.ndim == 2:
+                        sc = sc.mean(axis=0)
+                    e_scores.append(sc[:take])
                     e_labels.append(batch["label"][:take])
                     if collect_eval_feats:
                         e_feats.append(np.asarray(_f)[:take])
@@ -501,7 +530,10 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                     _m, score, _f = eval_step(state, device_batch,
                                               frontend_params)
                     valid = batch["valid"]
-                    e_scores.append(np.asarray(score)[valid])
+                    sc = np.asarray(score)
+                    if sc.ndim == 2:
+                        sc = sc.mean(axis=0)
+                    e_scores.append(sc[valid])
                     e_labels.append(batch["label"][valid])
                     if collect_eval_feats:
                         e_feats.append(np.asarray(_f)[valid])
@@ -524,6 +556,8 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
             feats_np = np.concatenate(dev_feats)
             if config.add_loss in ("isolate", "iso_sq", "ang_iso"):
                 center = np.asarray(state.loss_params["center"])
+                if config.ensemble > 1:  # stacked member axis: member 0
+                    center = center[0]
             else:
                 center = feats_np[labels == 0].mean(0, keepdims=True)
             if e_feats:
