@@ -65,19 +65,57 @@ def member_state(state, i: int):
 
 
 def make_ensemble_train_step(train_step: Callable, n_members: int,
-                             mean_metrics: bool = True) -> Callable:
+                             mean_metrics: bool = True,
+                             frontend: Optional[Callable] = None) -> Callable:
     """vmap a train step over the stacked member axis.
 
     The shared batch is broadcast to every member (in_axes=None); each
     member gets an independent PRNG stream, so random crops / dropout /
     augmentation draws differ per member. Metrics are member-averaged by
-    default so the logging path is unchanged."""
-    vstep = jax.vmap(train_step, in_axes=(0, None, 0, None, None))
+    default so the logging path is unchanged.
+
+    When an on-the-fly ``frontend`` is used, pass it HERE (not only into
+    the member train step): the front-end then runs once over an
+    (n_members*B)-tiled waveform batch — per-member independent
+    augmentation draws with a dim0-major batch layout — and the vmap sees
+    precomputed per-member features. Running the FFT-based front-end
+    inside the member vmap instead trips an XLA CPU FFT layout RET_CHECK
+    once the batch is GSPMD-sharded over the data mesh."""
+    per_member_batch = frontend is not None
+    batch_axes = 0 if per_member_batch else None
+    vstep = jax.vmap(train_step, in_axes=(0, batch_axes, 0, None, None))
 
     def ensemble_step(state, batch: Dict[str, Any], rng, adv_gate=0.0,
                       frontend_params=None):
         rngs = jax.random.split(rng, n_members)
-        new_state, metrics = vstep(state, batch, rngs, adv_gate,
+        if per_member_batch and "feat" not in batch:
+            m = n_members
+            wave_batch = {
+                k: jnp.reshape(
+                    jnp.broadcast_to(v, (m,) + v.shape), (-1,) + v.shape[1:]
+                )
+                for k, v in batch.items()
+                if k in ("wave", "length")
+            }
+            # fresh draws every optimizer step, like the step-internal
+            # fold_in(rng, state.step) (members share one step counter)
+            fe_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, jnp.reshape(state.step, (-1,))[0]), 3
+            )
+            feats = frontend(wave_batch, fe_rng, frontend_params)
+            feats = jnp.reshape(feats, (m, -1) + feats.shape[1:])
+            member_batch = {"feat": feats}
+            for k, v in batch.items():
+                if k not in ("wave", "length"):
+                    member_batch[k] = jnp.broadcast_to(v, (m,) + v.shape)
+        elif per_member_batch:
+            member_batch = {
+                k: jnp.broadcast_to(v, (n_members,) + v.shape)
+                for k, v in batch.items()
+            }
+        else:
+            member_batch = batch
+        new_state, metrics = vstep(state, member_batch, rngs, adv_gate,
                                    frontend_params)
         if mean_metrics:
             metrics = jax.tree.map(lambda v: jnp.mean(v, axis=0), metrics)
@@ -86,16 +124,27 @@ def make_ensemble_train_step(train_step: Callable, n_members: int,
     return ensemble_step
 
 
-def make_ensemble_eval_step(eval_step: Callable) -> Callable:
+def make_ensemble_eval_step(eval_step: Callable,
+                            frontend: Optional[Callable] = None) -> Callable:
     """vmap an eval step over the member axis.
 
     Returns (metrics, scores, feats) where metrics are member-averaged,
     scores keep the (n_members, B) member axis (callers fuse with
     scores.mean(0) == reference avg_fuse), and feats are member 0's
-    embeddings (for visualization)."""
+    embeddings (for visualization).
+
+    As in make_ensemble_train_step, an on-the-fly ``frontend`` must be
+    passed here: evaluation is clean and deterministic, so the features
+    are computed ONCE outside the member vmap (identical for every
+    member), which also avoids the sharded-FFT-under-vmap layout issue."""
     vstep = jax.vmap(eval_step, in_axes=(0, None, None))
 
     def ensemble_eval(state, batch: Dict[str, Any], frontend_params=None):
+        if frontend is not None and "feat" not in batch:
+            feats_in = frontend(batch, jax.random.PRNGKey(0), frontend_params)
+            batch = {"feat": feats_in,
+                     **{k: v for k, v in batch.items()
+                        if k not in ("wave", "length")}}
         metrics, scores, feats = vstep(state, batch, frontend_params)
         metrics = jax.tree.map(lambda v: jnp.mean(v, axis=0), metrics)
         return metrics, scores, feats[0]

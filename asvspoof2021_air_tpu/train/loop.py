@@ -264,8 +264,10 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
 
         state = init_ensemble_state(make_state, rng, config.ensemble)
         raw_train_step = make_ensemble_train_step(raw_train_step,
-                                                  config.ensemble)
-        raw_eval_step = make_ensemble_eval_step(raw_eval_step)
+                                                  config.ensemble,
+                                                  frontend=frontend)
+        raw_eval_step = make_ensemble_eval_step(raw_eval_step,
+                                                frontend=eval_frontend)
     else:
         state = make_state(rng)
 

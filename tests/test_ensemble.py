@@ -246,3 +246,34 @@ def test_ensemble_train_loop_and_scoring(tmp_path):
         (m0["score"][o0] + m1["score"][np.argsort(m1["fname"])]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_ensemble_composes_with_on_the_fly_and_multistep(tmp_path):
+    """--ensemble composes with the cache-free on-the-fly front-end (each
+    member draws its own random channel augmentation per step) and with the
+    scanned --steps_per_call dispatch."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train_loop import SyntheticRawDataset
+
+    from asvspoof2021_air_tpu.train.loop import TrainConfig, train
+
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "ens_otf"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=1,
+        batch_size=8,
+        feat_len=64,
+        feat_dim=60,
+        ratio=1.0,
+        enc_dim=32,
+        on_the_fly=True,
+        on_device_aug=True,
+        ensemble=2,
+        steps_per_call=2,
+    )
+    summary = train(cfg, train_set=SyntheticRawDataset(seed=0),
+                    dev_set=SyntheticRawDataset(seed=1))
+    assert summary["epochs"] == 1
+    assert np.isfinite(summary["dev_loss"])
