@@ -5,6 +5,7 @@ from asvspoof2021_air_tpu.interop.torch_port import (  # noqa: F401
     port_channel_classifier,
     port_ecapa,
     port_lcnn,
+    port_rawnet,
     port_resnet,
     port_se_res2net50,
 )

@@ -253,3 +253,65 @@ def port_lcnn(sd: Dict[str, np.ndarray], num_nodes: int = 60,
     params["Dense_1"] = _dense(sd, "out.3")
     params["Dense_2"] = _dense(sd, "fc_mu")
     return {"params": params, "batch_stats": stats}
+
+
+def port_rawnet(sd: Dict[str, np.ndarray]) -> Dict:
+    """state_dict of /root/reference/model.py RawNet (:765-893) -> variables
+    for models.rawnet.RawNet.
+
+    The sinc front-end is parameter-free on both sides (identical fixed
+    mel-spaced bank). The GRU transplants exactly because GRULayer keeps
+    torch's gate math incl. both bias vectors; torch stacks the gate blocks
+    as rows (r|z|n) of weight_ih/weight_hh, transposed here into the
+    (in, 3H) column layout."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    p, s = _bn(sd, "first_bn")
+    params["BatchNorm_0"] = p
+    stats["BatchNorm_0"] = s
+
+    for i in range(6):
+        tb = f"block{i}.0"
+        bp: Dict = {}
+        bs: Dict = {}
+        if i == 0:  # first block: no bn1 (/root/reference/model.py:713-716)
+            bp["Conv_0"] = _conv1d(sd, tb + ".conv1")
+            p2, s2 = _bn(sd, tb + ".bn2")
+            bp["BatchNorm_0"] = p2
+            bs["BatchNorm_0"] = s2
+            bp["Conv_1"] = _conv1d(sd, tb + ".conv2")
+        else:
+            p1, s1 = _bn(sd, tb + ".bn1")
+            bp["BatchNorm_0"] = p1
+            bs["BatchNorm_0"] = s1
+            bp["Conv_0"] = _conv1d(sd, tb + ".conv1")
+            p2, s2 = _bn(sd, tb + ".bn2")
+            bp["BatchNorm_1"] = p2
+            bs["BatchNorm_1"] = s2
+            bp["Conv_1"] = _conv1d(sd, tb + ".conv2")
+            if tb + ".conv_downsample.weight" in sd:
+                bp["Conv_2"] = _conv1d(sd, tb + ".conv_downsample")
+        params[f"ResidualBlock_{i}"] = bp
+        stats[f"ResidualBlock_{i}"] = bs
+        params[f"FMSAttention_{i}"] = {
+            "Dense_0": _dense(sd, f"fc_attention{i}.0")
+        }
+
+    p, s = _bn(sd, "bn_before_gru")
+    params["BatchNorm_1"] = p
+    stats["BatchNorm_1"] = s
+
+    k = 0
+    while f"gru.weight_ih_l{k}" in sd:
+        params[f"GRULayer_{k}"] = {
+            "wi": _np(sd, f"gru.weight_ih_l{k}").T,
+            "wh": _np(sd, f"gru.weight_hh_l{k}").T,
+            "bi": _np(sd, f"gru.bias_ih_l{k}"),
+            "bh": _np(sd, f"gru.bias_hh_l{k}"),
+        }
+        k += 1
+
+    params["Dense_0"] = _dense(sd, "fc1_gru")
+    params["Dense_1"] = _dense(sd, "fc2_gru")
+    return {"params": params, "batch_stats": stats}

@@ -110,6 +110,48 @@ class FMSAttention(nn.Module):
         return x * g + g
 
 
+class GRULayer(nn.Module):
+    """Single GRU layer over (B, T, C), torch nn.GRU gate math
+    (/root/reference/model.py:803-806,866-868):
+
+        r = sigmoid(W_ir x + b_ir + W_hr h + b_hr)
+        z = sigmoid(W_iz x + b_iz + W_hz h + b_hz)
+        n = tanh(W_in x + b_in + r * (W_hn h + b_hn))
+        h' = (1 - z) * n + z * h
+
+    flax's GRUCell omits the input-side bias on the candidate gate (its
+    i-dense is bias-free), so torch checkpoints cannot be transplanted
+    exactly onto it; this cell keeps both bias vectors like torch. Gate
+    blocks are ordered (r | z | n) in the stacked kernels, matching the
+    torch weight layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        H = self.features
+        C = x.shape[-1]
+        wi = self.param("wi", nn.initializers.lecun_normal(), (C, 3 * H))
+        wh = self.param("wh", nn.initializers.orthogonal(), (H, 3 * H))
+        bi = self.param("bi", nn.initializers.zeros, (3 * H,))
+        bh = self.param("bh", nn.initializers.zeros, (3 * H,))
+
+        def step(h, xt):
+            gi = xt @ wi + bi
+            gh = h @ wh + bh
+            ir, iz, inn = jnp.split(gi, 3, axis=-1)
+            hr, hz, hn = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(ir + hr)
+            z = jax.nn.sigmoid(iz + hz)
+            n = jnp.tanh(inn + r * hn)
+            h = (1.0 - z) * n + z * h
+            return h, h
+
+        h0 = jnp.zeros((x.shape[0], H), x.dtype)
+        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(x, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+
 class RawNet(nn.Module):
     d_args: dict = None
 
@@ -145,7 +187,7 @@ class RawNet(nn.Module):
         # Multi-layer GRU, batch-first; keep only the last time step
         # (/root/reference/model.py:866-868).
         for _ in range(d["nb_gru_layer"]):
-            x = nn.RNN(nn.GRUCell(features=d["gru_node"]))(x)
+            x = GRULayer(features=d["gru_node"])(x)
         x = x[:, -1, :]
         x = nn.Dense(d["nb_fc_node"])(x)
         x = nn.Dense(d["nb_classes"])(x)

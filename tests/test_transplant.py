@@ -210,3 +210,52 @@ def test_channel_classifier_transplant_forward_and_grl_gradient():
     np.testing.assert_allclose(np.asarray(j_grad), t_grad, atol=1e-5)
     # the GRL actually reverses: gradient through it is negative-scaled
     assert np.sign(np.asarray(j_grad)).sum() != 0  # nontrivial
+
+
+def test_rawnet_transplant():
+    """RawNet2 (/root/reference/model.py:765-893): sinc front-end, FMS
+    residual blocks, and the 3-layer GRU head transplant exactly — incl.
+    torch's GRU gate math with both bias vectors, which flax's own GRUCell
+    cannot represent (its input-side candidate gate is bias-free)."""
+    from asvspoof2021_air_tpu.interop import port_rawnet
+    from asvspoof2021_air_tpu.models.rawnet import RawNet
+
+    d_args = {
+        "nb_samp": 12000,
+        "first_conv": 257,
+        "in_channels": 1,
+        "filts": [8, [8, 8], [8, 24], [24, 24]],
+        "blocks": [2, 4],
+        "nb_fc_node": 32,
+        "gru_node": 16,
+        "nb_gru_layer": 3,
+        "nb_classes": 2,
+    }
+    torch.manual_seed(688)
+    # the reference mutates d_args['filts'] in __init__ (model.py:783)
+    ref = ref_model.RawNet(
+        {**d_args, "filts": [list(f) if isinstance(f, list) else f
+                             for f in d_args["filts"]]},
+        "cpu",
+    ).eval()
+    _randomize_bn_stats(ref, seed=3)
+    sd = _state_dict_np(ref)
+
+    g = np.random.default_rng(5)
+    wave = g.standard_normal((2, d_args["nb_samp"])).astype(np.float32)
+    with torch.no_grad():
+        t_logits, t_logsm = ref(torch.from_numpy(wave))
+
+    model = RawNet(d_args=d_args)
+    variables = port_rawnet(sd)
+    j_logits, j_logsm = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(wave), False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_logits), t_logits.numpy(), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_logsm), t_logsm.numpy(), rtol=2e-3, atol=2e-4
+    )
