@@ -315,3 +315,55 @@ def port_rawnet(sd: Dict[str, np.ndarray]) -> Dict:
     params["Dense_0"] = _dense(sd, "fc1_gru")
     params["Dense_1"] = _dense(sd, "fc2_gru")
     return {"params": params, "batch_stats": stats}
+
+
+def port_convnet(sd: Dict[str, np.ndarray], subband_attention: bool = False,
+                 flatten_hw=None) -> Dict:
+    """state_dict of /root/reference/model.py ConvNet (:54-121) -> variables
+    for models.convnet.ConvNet.
+
+    Non-attention mode flattens the NCHW activations C-major into fc1;
+    ``flatten_hw`` = (H, W) after layer4 permutes that kernel into the flax
+    NHWC C-minor flatten order."""
+    params: Dict = {}
+    stats: Dict = {}
+    n_layers = 5 if subband_attention else 4
+    for i in range(n_layers):
+        params[f"Conv_{i}"] = _conv2d(sd, f"layer{i + 1}.0")
+        p, s = _bn(sd, f"layer{i + 1}.1")
+        params[f"BatchNorm_{i}"] = p
+        stats[f"BatchNorm_{i}"] = s
+    if subband_attention:
+        params["SelfAttentionPooling_0"] = {
+            "att_weights": _np(sd, "attention.att_weights").T
+        }
+        params["Dense_0"] = _dense(sd, "fc2")
+        params["Dense_1"] = _dense(sd, "fc3")
+    else:
+        H, W = flatten_hw
+        w = _np(sd, "fc1.weight")            # (256, 64*H*W), C-major
+        w = w.reshape(256, 64, H, W).transpose(2, 3, 1, 0).reshape(
+            H * W * 64, 256
+        )
+        params["Dense_0"] = {"kernel": w, "bias": _np(sd, "fc1.bias")}
+        params["Dense_1"] = _dense(sd, "fc2")
+        params["Dense_2"] = _dense(sd, "fc3")
+    return {"params": params, "batch_stats": stats}
+
+
+def port_subband(sd: Dict[str, np.ndarray], band_nodes: int,
+                 feat_len: int = 750, subband_num: int = 4) -> Dict:
+    """state_dict of /root/reference/model.py Subband (:612-639) -> variables
+    for models.subband.Subband: each per-band LCNN ports via port_lcnn.
+    ``band_nodes`` is the per-band frequency width (the reference only runs
+    when its num_nodes argument equals that width)."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(subband_num):
+        prefix = f"sub{i + 1}."
+        sub_sd = {k[len(prefix):]: v for k, v in sd.items()
+                  if k.startswith(prefix)}
+        v = port_lcnn(sub_sd, num_nodes=band_nodes, feat_len=feat_len)
+        params[f"LCNN_{i}"] = v["params"]
+        stats[f"LCNN_{i}"] = v["batch_stats"]
+    return {"params": params, "batch_stats": stats}

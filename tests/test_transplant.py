@@ -259,3 +259,116 @@ def test_rawnet_transplant():
     np.testing.assert_allclose(
         np.asarray(j_logsm), t_logsm.numpy(), rtol=2e-3, atol=2e-4
     )
+
+
+def test_convnet_transplant_flatten_mode():
+    """Plain CNN (/root/reference/model.py:54-121, '-m cnn'): four strided
+    dilated conv blocks, C-major flatten into fc1."""
+    from asvspoof2021_air_tpu.interop import port_convnet
+    from asvspoof2021_air_tpu.models.convnet import ConvNet
+
+    F_, T_ = 30, 100
+    torch.manual_seed(11)
+    probe = torch.zeros(1, 1, F_, T_)
+    tmp = ref_model.ConvNet(num_classes=2, num_nodes=8, enc_dim=16)
+    with torch.no_grad():
+        h = tmp.layer4(tmp.layer3(tmp.layer2(tmp.layer1(probe))))
+    _, C, H, W = h.shape
+    assert C == 64
+    ref = ref_model.ConvNet(num_classes=2, num_nodes=C * H * W,
+                            enc_dim=16).eval()
+    _randomize_bn_stats(ref, seed=7)
+    sd = _state_dict_np(ref)
+
+    g = np.random.default_rng(2)
+    x = g.standard_normal((2, 1, F_, T_)).astype(np.float32)
+    with torch.no_grad():
+        t_emb, t_logits = ref(torch.from_numpy(x))
+
+    model = ConvNet(num_classes=2, num_nodes=C * H * W, enc_dim=16)
+    variables = port_convnet(sd, flatten_hw=(H, W))
+    feats = jnp.asarray(x[:, 0].transpose(0, 2, 1))  # (B, T, F)
+    j_emb, j_logits = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        feats, False,
+    )
+    np.testing.assert_allclose(np.asarray(j_emb), t_emb.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_convnet_transplant_subband_attention_mode():
+    """ConvNet with the frequency-collapsing conv5 + SelfAttention pooling
+    head (/root/reference/model.py:83-121, subband_attention=True)."""
+    from asvspoof2021_air_tpu.interop import port_convnet
+    from asvspoof2021_air_tpu.models.convnet import ConvNet
+
+    F_, T_ = 30, 100
+    torch.manual_seed(13)
+    probe = torch.zeros(1, 1, F_, T_)
+    tmp = ref_model.ConvNet(num_classes=2, num_nodes=8, enc_dim=16)
+    with torch.no_grad():
+        h = tmp.layer4(tmp.layer3(tmp.layer2(tmp.layer1(probe))))
+    H = h.shape[2]
+    ref = ref_model.ConvNet(num_classes=2, num_nodes=H, enc_dim=16,
+                            subband_attention=True).eval()
+    _randomize_bn_stats(ref, seed=9)
+    sd = _state_dict_np(ref)
+
+    g = np.random.default_rng(4)
+    x = g.standard_normal((2, 1, F_, T_)).astype(np.float32)
+    with torch.no_grad():
+        t_emb, t_logits = ref(torch.from_numpy(x))
+
+    model = ConvNet(num_classes=2, num_nodes=H, enc_dim=16,
+                    subband_attention=True)
+    variables = port_convnet(sd, subband_attention=True)
+    feats = jnp.asarray(x[:, 0].transpose(0, 2, 1))
+    j_emb, j_logits = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        feats, False,
+    )
+    np.testing.assert_allclose(np.asarray(j_emb), t_emb.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_subband_transplant():
+    """Subband LCNN ensemble (/root/reference/model.py:612-639): per-band
+    LCNN embeddings transplant band by band. The reference only runs when
+    its num_nodes equals the per-band frequency width."""
+    from asvspoof2021_air_tpu.interop import port_subband
+    from asvspoof2021_air_tpu.models.subband import Subband
+
+    band_f, T_ = 32, 750  # the reference LCNN head hardcodes T=750 (:590)
+    n_bands = 4
+    F_ = band_f * n_bands
+    torch.manual_seed(17)
+    ref = ref_model.Subband(num_nodes=band_f, enc_dim=16, num_classes=2,
+                            subband_num=n_bands).eval()
+    _randomize_bn_stats(ref, seed=11)
+    sd = _state_dict_np(ref)
+
+    g = np.random.default_rng(6)
+    x = g.standard_normal((2, 1, F_, T_)).astype(np.float32)
+    with torch.no_grad():
+        t_feats = ref(torch.from_numpy(x))
+
+    model = Subband(num_nodes=F_, enc_dim=16, num_classes=2,
+                    subband_num=n_bands)
+    variables = port_subband(sd, band_nodes=band_f, feat_len=T_,
+                             subband_num=n_bands)
+    feats = jnp.asarray(x[:, 0].transpose(0, 2, 1))
+    j_feats = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        feats, False,
+    )
+    assert len(j_feats) == len(t_feats) == n_bands
+    for jf, tf in zip(j_feats, t_feats):
+        np.testing.assert_allclose(np.asarray(jf), tf.numpy(),
+                                   rtol=2e-3, atol=2e-4)
