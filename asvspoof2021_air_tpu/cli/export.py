@@ -1,0 +1,211 @@
+"""Serving export: package a trained system's scoring function as a
+serialized StableHLO artifact via jax.export.
+
+The reference deploys by unpickling whole torch modules into a Python
+process (/root/reference/generate_score.py:46-48). Here the deployable unit
+is a self-contained compiled-IR artifact: parameters are baked in as
+constants, the artifact carries its platform list and input signature, and
+any JAX-capable runtime (or XLA-compatible loader) can execute it without
+this package's model code.
+
+Export surfaces:
+- feature scoring (default): (batch, feat_len, feat_dim) float32 features
+  -> (batch,) raw scores under the run's add-loss scoring rule (the same
+  rule generate_score applies, /root/reference/generate_score.py:102-111).
+- raw scoring (--raw): (batch, n_samples) float32 waveforms + (batch,)
+  int32 lengths -> (batch,) scores, with the on-device LFCC front-end and
+  pad/crop policy baked into the artifact (cache-free serving).
+- --ensemble runs export ONE artifact computing the avg-fused score over
+  all stacked members (the reference's 3-system fusion as a single
+  deployable function).
+
+Writes <out> (serialized bytes) and <out>.json (metadata: platform,
+signature, scoring semantics). --check deserializes the artifact and
+verifies it against the live function on random input before writing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from asvspoof2021_air_tpu.cli.generate_score import load_system
+
+
+def build_score_fn(model, variables, loss_mod, loss_vars, add_loss,
+                   ensemble: int, frontend=None):
+    """Batched scoring function following the per-loss scoring rules; for
+    ensembles, the avg-fused score over the member axis."""
+
+    def member_score(mvars, mloss, feats):
+        emb, logits = model.apply(mvars, feats, False)
+        score = -jax.nn.softmax(logits, axis=1)[:, 0]
+        if add_loss in ("ocsoftmax", "ang_iso", "p2sgrad"):
+            labels = jnp.zeros((feats.shape[0],), jnp.int32)
+            _l, score = loss_mod.apply(mloss, emb, labels)
+        elif add_loss == "amsoftmax":
+            labels = jnp.zeros((feats.shape[0],), jnp.int32)
+            outputs, _m = loss_mod.apply(mloss, emb, labels)
+            score = jax.nn.softmax(outputs, axis=1)[:, 0]
+        return score
+
+    if ensemble > 1:
+        stacked_vars = jax.tree.map(lambda *xs: jnp.stack(xs), *variables)
+        stacked_loss = (
+            jax.tree.map(lambda *xs: jnp.stack(xs), *loss_vars)
+            if loss_vars[0] is not None else None
+        )
+
+        def score_feats(feats):
+            scores = jax.vmap(member_score, in_axes=(0, 0, None))(
+                stacked_vars, stacked_loss, feats
+            )
+            return jnp.mean(scores, axis=0)
+    else:
+        def score_feats(feats):
+            return member_score(variables, loss_vars, feats)
+
+    if frontend is None:
+        return score_feats
+
+    def score_raw(wave, lengths):
+        feats = frontend({"wave": wave, "length": lengths},
+                         jax.random.PRNGKey(0), frontend.params)
+        return score_feats(feats)
+
+    return score_raw
+
+
+def export_system(model_dir: str, output: str, batch_size: int = 64,
+                  raw: bool = False, wave_seconds: float = 7.49,
+                  checkpoint: str = "best", check: bool = False) -> dict:
+    """Export a trained run to a StableHLO artifact; returns the metadata."""
+    model, variables, loss_mod, loss_vars, cfg = load_system(
+        model_dir, checkpoint
+    )
+    if cfg.ensemble == 1:
+        variables, loss_vars = [variables], [loss_vars]
+
+    add_loss = cfg.add_loss
+    frontend = None
+    if raw:
+        from asvspoof2021_air_tpu.train.frontend import OnDeviceFrontend
+
+        frontend = OnDeviceFrontend(
+            feat_len=cfg.feat_len, padding=cfg.padding, augmenter=None,
+            feature=cfg.feat,
+        )
+
+    fn = build_score_fn(
+        model, variables if cfg.ensemble > 1 else variables[0],
+        loss_mod, loss_vars if cfg.ensemble > 1 else loss_vars[0],
+        add_loss, cfg.ensemble, frontend,
+    )
+
+    if raw:
+        n_samples = max(int(wave_seconds * 16000), frontend.min_samples())
+        args = (
+            jax.ShapeDtypeStruct((batch_size, n_samples), jnp.float32),
+            jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+        )
+        signature = {
+            "wave": [batch_size, n_samples, "float32"],
+            "length": [batch_size, "int32"],
+        }
+    else:
+        args = (
+            jax.ShapeDtypeStruct(
+                (batch_size, cfg.feat_len, cfg.feat_dim), jnp.float32
+            ),
+        )
+        signature = {
+            "feat": [batch_size, cfg.feat_len, cfg.feat_dim, "float32"],
+        }
+
+    exported = jax_export.export(jax.jit(fn))(*args)
+    blob = exported.serialize()
+
+    if check:
+        back = jax_export.deserialize(blob)
+        g = np.random.default_rng(0)
+        if raw:
+            test_args = (
+                g.standard_normal(
+                    (batch_size, n_samples)).astype(np.float32),
+                np.full((batch_size,), n_samples, np.int32),
+            )
+        else:
+            test_args = (
+                g.standard_normal(
+                    (batch_size, cfg.feat_len, cfg.feat_dim)
+                ).astype(np.float32),
+            )
+        got = np.asarray(back.call(*test_args))
+        want = np.asarray(jax.jit(fn)(*test_args))
+        if not np.allclose(got, want, rtol=1e-5, atol=1e-5):
+            raise RuntimeError(
+                f"roundtrip check failed: max diff "
+                f"{np.abs(got - want).max()}"
+            )
+
+    meta = {
+        "platforms": list(exported.platforms),
+        "signature": signature,
+        "output": [batch_size, "float32"],
+        "mode": "raw" if raw else "features",
+        "model": cfg.model,
+        "add_loss": add_loss,
+        "ensemble": cfg.ensemble,
+        "score_semantics": (
+            "raw score; write -score to reproduce reference score files "
+            "(/root/reference/generate_score.py:114-119)"
+        ),
+        "bytes": len(blob),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(output)), exist_ok=True)
+    with open(output, "wb") as f:
+        f.write(blob)
+    with open(output + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("export a trained system for serving")
+    p.add_argument("--model_folder", type=str, default="./models")
+    p.add_argument("-n", "--model_name", type=str, required=True)
+    p.add_argument("-o", "--output", type=str, required=True,
+                   help="artifact path (metadata written to <output>.json)")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--raw", action="store_true",
+                   help="export waveform->score with the LFCC front-end "
+                        "baked in (cache-free serving)")
+    p.add_argument("--wave_seconds", type=float, default=7.49,
+                   help="static waveform length for --raw (reference "
+                        "operating point: 750 LFCC frames)")
+    p.add_argument("--checkpoint", type=str, default="best")
+    p.add_argument("--check", action="store_true",
+                   help="deserialize and verify against the live function "
+                        "before writing")
+    args = p.parse_args(argv)
+
+    ckpt = args.checkpoint
+    if ckpt != "best" and not os.path.isabs(ckpt):
+        ckpt = os.path.join("checkpoint", ckpt)
+    meta = export_system(
+        os.path.join(args.model_folder, args.model_name), args.output,
+        batch_size=args.batch_size, raw=args.raw,
+        wave_seconds=args.wave_seconds, checkpoint=ckpt, check=args.check,
+    )
+    print(json.dumps(meta))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Serving export (cli/export.py): trained systems serialize to
+self-contained StableHLO artifacts (params baked in) that deserialize and
+reproduce the live scoring function — including fused ensembles and the
+raw waveform->score pipeline with the LFCC front-end baked in.
+"""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asvspoof2021_air_tpu.cli.export import export_system
+from asvspoof2021_air_tpu.train.checkpoint import save_checkpoint
+from asvspoof2021_air_tpu.train.loop import TrainConfig, setup_training
+
+B = 4
+
+
+def _make_run(tmp_path, name, **cfg_kwargs):
+    """Materialize a run directory (args.json + 'best' checkpoint) without
+    training — the scoring CLI/export contract only needs the artifacts."""
+    out = tmp_path / name
+    os.makedirs(out, exist_ok=True)
+    config = TrainConfig(
+        out_fold=str(out), model="lcnn", add_loss="ang_iso",
+        batch_size=B, feat_len=32, feat_dim=60, enc_dim=16, **cfg_kwargs,
+    )
+    _model, _loss, state, _ts, _es = setup_training(config, steps_per_epoch=1)
+    save_checkpoint(str(out / "best"), state)
+    with open(out / "args.json", "w") as f:
+        json.dump(dataclasses.asdict(config), f)
+    return str(out)
+
+
+def test_export_feature_scoring_roundtrip(tmp_path):
+    run = _make_run(tmp_path, "single")
+    art = str(tmp_path / "single.stablehlo")
+    meta = export_system(run, art, batch_size=B, check=True)
+    assert os.path.exists(art) and os.path.exists(art + ".json")
+    assert meta["mode"] == "features"
+    assert meta["ensemble"] == 1
+
+    # artifact executes standalone and matches the live system
+    from jax import export as jax_export
+
+    with open(art, "rb") as f:
+        back = jax_export.deserialize(f.read())
+    g = np.random.default_rng(1)
+    feats = g.standard_normal((B, 32, 60)).astype(np.float32)
+    scores = np.asarray(back.call(feats))
+    assert scores.shape == (B,)
+    assert np.isfinite(scores).all()
+    # ang_iso scoring rule: negated cosine, bounded
+    assert np.abs(scores).max() <= 1.0 + 1e-5
+
+
+def test_export_ensemble_fused(tmp_path):
+    run = _make_run(tmp_path, "ens", ensemble=2)
+    art = str(tmp_path / "ens.stablehlo")
+    meta = export_system(run, art, batch_size=B, check=True)
+    assert meta["ensemble"] == 2
+
+    # fused artifact == mean of per-member scoring
+    from jax import export as jax_export
+
+    from asvspoof2021_air_tpu.cli.generate_score import load_system
+    from asvspoof2021_air_tpu.scoring import make_score_fn
+
+    with open(art, "rb") as f:
+        back = jax_export.deserialize(f.read())
+    g = np.random.default_rng(2)
+    feats = g.standard_normal((B, 32, 60)).astype(np.float32)
+    fused = np.asarray(back.call(feats))
+
+    model, variables, loss_mod, loss_vars, _cfg = load_system(run)
+    member_scores = [
+        np.asarray(make_score_fn(model, v, loss_mod, lv, "ocsoftmax")(feats))
+        for v, lv in zip(variables, loss_vars)
+    ]
+    np.testing.assert_allclose(fused, np.mean(member_scores, axis=0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_export_raw_waveform_scoring(tmp_path):
+    run = _make_run(tmp_path, "raw")
+    art = str(tmp_path / "raw.stablehlo")
+    meta = export_system(run, art, batch_size=2, raw=True, wave_seconds=0.5,
+                         check=True)
+    assert meta["mode"] == "raw"
+    n = meta["signature"]["wave"][1]
+
+    from jax import export as jax_export
+
+    with open(art, "rb") as f:
+        back = jax_export.deserialize(f.read())
+    g = np.random.default_rng(3)
+    wave = g.standard_normal((2, n)).astype(np.float32)
+    lengths = np.asarray([n, n // 2], np.int32)
+    scores = np.asarray(back.call(wave, lengths))
+    assert scores.shape == (2,)
+    assert np.isfinite(scores).all()
