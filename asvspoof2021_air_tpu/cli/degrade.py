@@ -108,7 +108,8 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
         # real GSM 06.10 Full-Rate bitstream round trip (native RPE-LTP)
         return ah.telephony_channel(wave, "gsmfr", sr)
     if name.startswith("g722"):
-        kbps = int(_parse_kbps(name, 64.0))
+        # snap nonstandard rates to the nearest embedded G.722 mode
+        kbps = min((64, 56, 48), key=lambda m: abs(m - _parse_kbps(name, 64.0)))
         if sr == 16000:
             return ah.g722_roundtrip(wave, kbps)
         # G.722 runs at 16 kHz; resample through the codec rate otherwise

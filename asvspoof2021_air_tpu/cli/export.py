@@ -41,20 +41,14 @@ from asvspoof2021_air_tpu.cli.generate_score import load_system
 
 def build_score_fn(model, variables, loss_mod, loss_vars, add_loss,
                    ensemble: int, frontend=None):
-    """Batched scoring function following the per-loss scoring rules; for
-    ensembles, the avg-fused score over the member axis."""
+    """Batched scoring function following the per-loss scoring rules
+    (scoring.score_rule — the same rule the run was model-selected with);
+    for ensembles, the avg-fused score over the member axis."""
+    from asvspoof2021_air_tpu.scoring import score_rule
 
     def member_score(mvars, mloss, feats):
         emb, logits = model.apply(mvars, feats, False)
-        score = -jax.nn.softmax(logits, axis=1)[:, 0]
-        if add_loss in ("ocsoftmax", "ang_iso", "p2sgrad"):
-            labels = jnp.zeros((feats.shape[0],), jnp.int32)
-            _l, score = loss_mod.apply(mloss, emb, labels)
-        elif add_loss == "amsoftmax":
-            labels = jnp.zeros((feats.shape[0],), jnp.int32)
-            outputs, _m = loss_mod.apply(mloss, emb, labels)
-            score = jax.nn.softmax(outputs, axis=1)[:, 0]
-        return score
+        return score_rule(add_loss, emb, logits, loss_mod, mloss)
 
     if ensemble > 1:
         stacked_vars = jax.tree.map(lambda *xs: jnp.stack(xs), *variables)
@@ -95,7 +89,18 @@ def export_system(model_dir: str, output: str, batch_size: int = 64,
 
     add_loss = cfg.add_loss
     frontend = None
-    if raw:
+    if cfg.model == "rawnet":
+        # raw-waveform model: there is no feature surface to export
+        if not raw:
+            raise ValueError(
+                "rawnet consumes raw waveforms; export it with --raw"
+            )
+        from asvspoof2021_air_tpu.models.rawnet import RAWNET2_DEFAULT_ARGS
+        from asvspoof2021_air_tpu.train.frontend import WaveformFrontend
+
+        nb_samp = (cfg.rawnet_args or RAWNET2_DEFAULT_ARGS)["nb_samp"]
+        frontend = WaveformFrontend(n_samples=nb_samp, augmenter=None)
+    elif raw:
         from asvspoof2021_air_tpu.train.frontend import OnDeviceFrontend
 
         frontend = OnDeviceFrontend(

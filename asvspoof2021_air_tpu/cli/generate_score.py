@@ -53,6 +53,34 @@ def load_system(model_dir: str, checkpoint: str = "best"):
     return model, variables, loss_mod, loss_vars, config
 
 
+def write_fused_score_file(member_files, output: str) -> str:
+    """Average member score files into a fused file in the SAME layout the
+    single-system path writes (2-column ``fname score`` for challenge
+    tasks, 3-column ``fname score key`` for labeled 19* tasks — the layout
+    external consumers/submissions expect). Members are written by the same
+    sequential iterator over the same dataset, so rows align 1:1."""
+    import numpy as np
+
+    from asvspoof2021_air_tpu.metrics.evaluate import read_score_file
+
+    frames = [read_score_file(p) for p in member_files]
+    base = frames[0]
+    for fr in frames[1:]:
+        if not np.array_equal(fr["fname"], base["fname"]):
+            raise ValueError(
+                "member score files disagree on trial order; cannot fuse"
+            )
+    fused = np.mean([fr["score"] for fr in frames], axis=0)
+    os.makedirs(os.path.dirname(os.path.abspath(output)), exist_ok=True)
+    with open(output, "w") as f:
+        for i, fname in enumerate(base["fname"]):
+            if base["key"] is not None:
+                f.write(f"{fname} {fused[i]} {base['key'][i]}\n")
+            else:
+                f.write(f"{fname} {fused[i]}\n")
+    return output
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("generate model scores")
     p.add_argument("--model_folder", type=str, default="./models")
@@ -88,8 +116,6 @@ def main(argv=None):
     if _cfg.ensemble > 1:
         # score each ensemble member, then avg-fuse into the headline file
         # (the reference's score_fusion.py:21-28 workflow in one command)
-        from asvspoof2021_air_tpu.fusion import avg_fuse
-
         member_files = []
         for i, (mvars, mloss) in enumerate(zip(variables, loss_vars)):
             f = test_on_asvspoof2021(
@@ -107,7 +133,7 @@ def main(argv=None):
         else:
             out = os.path.join(out_dir, f"{args.model_name}_{args.task}",
                                "score.txt")
-        avg_fuse(member_files, output=out)
+        write_fused_score_file(member_files, out)
         print(f"wrote {out} (avg fusion of {len(member_files)} members)")
         return
     out = test_on_asvspoof2021(

@@ -241,6 +241,10 @@ def g722_roundtrip(wave, kbps: int = 64) -> np.ndarray:
     (/root/reference/channel_simulation/simulated_channel.py:36)."""
     lib = get_lib()
     _configure_g722(lib)
+    if int(kbps) not in _G722_MODES:
+        raise ValueError(
+            f"G.722 has embedded modes 64/56/48 kbps, got {kbps}"
+        )
     x = _as_f32(wave)
     out = np.empty_like(x)
     lib.g722_roundtrip(_ptr(x), _ptr(out), x.size, _G722_MODES[int(kbps)])
@@ -263,6 +267,10 @@ def g722_decode(codes: bytes, kbps: int = 64) -> np.ndarray:
     """Decode a G.722 bitstream to 16 kHz float audio at the given mode."""
     lib = get_lib()
     _configure_g722(lib)
+    if int(kbps) not in _G722_MODES:
+        raise ValueError(
+            f"G.722 has embedded modes 64/56/48 kbps, got {kbps}"
+        )
     buf = np.frombuffer(codes, np.uint8)
     out = np.empty(buf.size * 2, np.float32)
     n = lib.g722_decode(

@@ -60,6 +60,31 @@ def build_task_dataset(task: str, paths: Dict[str, str], feature: str = "LFCC"):
     raise ValueError(f"unknown task {task!r}; choices: {TASKS}")
 
 
+def score_rule(add_loss: Optional[str], emb, logits, loss_module=None,
+               loss_vars=None):
+    """The per-loss scoring rule, shared by batch scoring, raw scoring, the
+    training eval step's conventions, and serving export.
+
+    ocsoftmax/ang_iso and p2sgrad use the loss module's score output;
+    amsoftmax uses softmax over its cosine logits; isolate/iso_sq score by
+    distance to the learned center (the rule the training loop selects
+    models with, /root/reference/main_train.py:526-577); anything else
+    falls back to -softmax(logits)[:, 0]
+    (/root/reference/generate_score.py:102-111)."""
+    if add_loss in ("ocsoftmax", "ang_iso", "p2sgrad"):
+        labels = jnp.zeros((emb.shape[0],), jnp.int32)
+        _loss, score = loss_module.apply(loss_vars, emb, labels)
+        return score
+    if add_loss == "amsoftmax":
+        labels = jnp.zeros((emb.shape[0],), jnp.int32)
+        outputs, _m = loss_module.apply(loss_vars, emb, labels)
+        return jax.nn.softmax(outputs, axis=1)[:, 0]
+    if add_loss in ("isolate", "iso_sq"):
+        center = loss_vars["params"]["center"]
+        return jnp.linalg.norm(emb - center, axis=1)
+    return -jax.nn.softmax(logits, axis=1)[:, 0]
+
+
 def make_score_fn(model, variables, loss_module=None, loss_vars=None,
                   add_loss: Optional[str] = None) -> Callable:
     """Jitted batched scorer: feats (B, T, F) -> raw score (B,) following the
@@ -67,18 +92,7 @@ def make_score_fn(model, variables, loss_module=None, loss_vars=None,
 
     def score_fn(feats):
         emb, logits = model.apply(variables, feats, False)
-        score = -jax.nn.softmax(logits, axis=1)[:, 0]
-        if add_loss == "ocsoftmax":
-            labels = jnp.zeros((feats.shape[0],), jnp.int32)
-            _loss, score = loss_module.apply(loss_vars, emb, labels)
-        elif add_loss == "amsoftmax":
-            labels = jnp.zeros((feats.shape[0],), jnp.int32)
-            outputs, _m = loss_module.apply(loss_vars, emb, labels)
-            score = jax.nn.softmax(outputs, axis=1)[:, 0]
-        elif add_loss == "p2sgrad":
-            labels = jnp.zeros((feats.shape[0],), jnp.int32)
-            _loss, score = loss_module.apply(loss_vars, emb, labels)
-        return score
+        return score_rule(add_loss, emb, logits, loss_module, loss_vars)
 
     return jax.jit(score_fn)
 
@@ -168,15 +182,7 @@ def score_raw_to_file(
     def score_fn(batch_dev, fe_params):
         feats = frontend(batch_dev, jax.random.PRNGKey(0), fe_params)
         emb, logits = model.apply(variables, feats, False)
-        score = -jax.nn.softmax(logits, axis=1)[:, 0]
-        if add_loss in ("ocsoftmax", "p2sgrad"):
-            labels0 = jnp.zeros((feats.shape[0],), jnp.int32)
-            _l, score = loss_module.apply(loss_vars, emb, labels0)
-        elif add_loss == "amsoftmax":
-            labels0 = jnp.zeros((feats.shape[0],), jnp.int32)
-            outputs, _m = loss_module.apply(loss_vars, emb, labels0)
-            score = jax.nn.softmax(outputs, axis=1)[:, 0]
-        return score
+        return score_rule(add_loss, emb, logits, loss_module, loss_vars)
 
     jitted = jax.jit(score_fn)
     fe_params = getattr(frontend, "params", None)

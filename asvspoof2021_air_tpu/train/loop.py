@@ -121,6 +121,18 @@ class TrainConfig:
     ensemble: int = 1
 
 
+def _fused_host_scores(score) -> np.ndarray:
+    """Eval-step scores to host: ensemble steps return a (n_members, B)
+    member axis, fused by averaging (train/ensemble.fuse_scores); single
+    systems return (B,) untouched."""
+    sc = np.asarray(score)
+    if sc.ndim == 2:
+        from asvspoof2021_air_tpu.train.ensemble import fuse_scores
+
+        return fuse_scores(sc)
+    return sc
+
+
 def _prepare_out_fold(config: TrainConfig) -> None:
     """(/root/reference/main_train.py:106-136)"""
     if config.test_only or config.continue_training:
@@ -470,10 +482,7 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                                               frontend_params)
             for k, v in metrics.items():
                 dev_log[k].append(float(v))
-            sc = np.asarray(score)
-            if sc.ndim == 2:  # ensemble: (n_members, B) -> fused avg score
-                sc = sc.mean(axis=0)
-            scores.append(sc)
+            scores.append(_fused_host_scores(score))
             labels.append(batch["label"])
             if config.visualize:
                 dev_feats.append(np.asarray(feats))
@@ -512,10 +521,7 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                     _m, score, _f = eval_step(state, device_batch,
                                               frontend_params)
                     take = min(remaining, config.batch_size)
-                    sc = np.asarray(score)
-                    if sc.ndim == 2:
-                        sc = sc.mean(axis=0)
-                    e_scores.append(sc[:take])
+                    e_scores.append(_fused_host_scores(score)[:take])
                     e_labels.append(batch["label"][:take])
                     if collect_eval_feats:
                         e_feats.append(np.asarray(_f)[:take])
@@ -532,10 +538,7 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
                     _m, score, _f = eval_step(state, device_batch,
                                               frontend_params)
                     valid = batch["valid"]
-                    sc = np.asarray(score)
-                    if sc.ndim == 2:
-                        sc = sc.mean(axis=0)
-                    e_scores.append(sc[valid])
+                    e_scores.append(_fused_host_scores(score)[valid])
                     e_labels.append(batch["label"][valid])
                     if collect_eval_feats:
                         e_feats.append(np.asarray(_f)[valid])

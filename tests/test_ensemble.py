@@ -232,19 +232,18 @@ def test_ensemble_train_loop_and_scoring(tmp_path):
     assert fused.exists()
     for i in range(2):
         assert (scores_dir / f"run_member{i}_19dev_score.txt").exists()
-    # fused score = mean of member scores per trial (avg_fuse sums; the
-    # constant factor does not change ranking)
+    # fused score = MEAN of member scores per trial, same 3-column layout
+    # and row order as the member files (external consumers parse it like
+    # any single-system 19* score file)
     from asvspoof2021_air_tpu.metrics.evaluate import read_score_file
 
     f = read_score_file(str(fused))
     m0 = read_score_file(str(scores_dir / "run_member0_19dev_score.txt"))
     m1 = read_score_file(str(scores_dir / "run_member1_19dev_score.txt"))
-    order = np.argsort(f["fname"])
-    o0 = np.argsort(m0["fname"])
+    assert f["key"] is not None and f["sysid"] is None  # 3-column layout
+    np.testing.assert_array_equal(f["fname"], m0["fname"])
     np.testing.assert_allclose(
-        f["score"][order],
-        (m0["score"][o0] + m1["score"][np.argsort(m1["fname"])]),
-        rtol=1e-5, atol=1e-6,
+        f["score"], (m0["score"] + m1["score"]) / 2.0, rtol=1e-5, atol=1e-6
     )
 
 
@@ -277,3 +276,34 @@ def test_ensemble_composes_with_on_the_fly_and_multistep(tmp_path):
                     dev_set=SyntheticRawDataset(seed=1))
     assert summary["epochs"] == 1
     assert np.isfinite(summary["dev_loss"])
+
+
+def test_write_fused_score_file_layouts(tmp_path):
+    """The fused headline file keeps the single-system layout: 2-column for
+    unlabeled challenge tasks (nested dir created on demand), 3-column for
+    labeled 19* tasks; scores are member means."""
+    from asvspoof2021_air_tpu.cli.generate_score import write_fused_score_file
+
+    # labeled 3-column members
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("f1 0.5 bonafide\nf2 -0.5 spoof\n")
+    b.write_text("f1 0.7 bonafide\nf2 -0.1 spoof\n")
+    out = tmp_path / "fused" / "labeled.txt"
+    write_fused_score_file([str(a), str(b)], str(out))
+    assert out.read_text() == "f1 0.6 bonafide\nf2 -0.3 spoof\n"
+
+    # unlabeled 2-column members -> nested challenge-style path
+    c = tmp_path / "c.txt"
+    d = tmp_path / "d.txt"
+    c.write_text("f1 1.0\nf2 2.0\n")
+    d.write_text("f1 3.0\nf2 4.0\n")
+    out2 = tmp_path / "deep" / "nested" / "score.txt"
+    write_fused_score_file([str(c), str(d)], str(out2))
+    assert out2.read_text() == "f1 2.0\nf2 3.0\n"
+
+    # disagreeing trial order is rejected, not silently misfused
+    e = tmp_path / "e.txt"
+    e.write_text("f2 1.0\nf1 2.0\n")
+    with pytest.raises(ValueError):
+        write_fused_score_file([str(c), str(e)], str(tmp_path / "x.txt"))

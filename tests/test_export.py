@@ -26,10 +26,12 @@ def _make_run(tmp_path, name, **cfg_kwargs):
     training — the scoring CLI/export contract only needs the artifacts."""
     out = tmp_path / name
     os.makedirs(out, exist_ok=True)
-    config = TrainConfig(
+    base = dict(
         out_fold=str(out), model="lcnn", add_loss="ang_iso",
-        batch_size=B, feat_len=32, feat_dim=60, enc_dim=16, **cfg_kwargs,
+        batch_size=B, feat_len=32, feat_dim=60, enc_dim=16,
     )
+    base.update(cfg_kwargs)
+    config = TrainConfig(**base)
     _model, _loss, state, _ts, _es = setup_training(config, steps_per_epoch=1)
     save_checkpoint(str(out / "best"), state)
     with open(out / "args.json", "w") as f:
@@ -104,3 +106,56 @@ def test_export_raw_waveform_scoring(tmp_path):
     scores = np.asarray(back.call(wave, lengths))
     assert scores.shape == (2,)
     assert np.isfinite(scores).all()
+
+
+def test_export_isolate_scoring_rule(tmp_path):
+    """isolate/iso_sq runs export with the distance-to-center rule the run
+    was model-selected with — not the softmax fallback."""
+    run = _make_run(tmp_path, "iso", add_loss="isolate")
+    art = str(tmp_path / "iso.stablehlo")
+    export_system(run, art, batch_size=B, check=True)
+
+    from jax import export as jax_export
+
+    from asvspoof2021_air_tpu.cli.generate_score import load_system
+    from asvspoof2021_air_tpu.scoring import make_score_fn
+
+    with open(art, "rb") as f:
+        back = jax_export.deserialize(f.read())
+    g = np.random.default_rng(4)
+    feats = g.standard_normal((B, 32, 60)).astype(np.float32)
+    got = np.asarray(back.call(feats))
+    model, variables, loss_mod, loss_vars, _cfg = load_system(run)
+    want = np.asarray(
+        make_score_fn(model, variables, loss_mod, loss_vars, "isolate")(feats)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert (got >= 0).all()  # distances, not softmax scores
+
+
+def test_export_rawnet(tmp_path):
+    """rawnet exports via --raw with its waveform front-end; feature-mode
+    export is rejected with a clear error."""
+    tiny = {
+        "nb_samp": 6400, "first_conv": 129, "in_channels": 1,
+        "filts": [4, [4, 4], [4, 8], [8, 8]], "blocks": [2, 4],
+        "nb_fc_node": 16, "gru_node": 16, "nb_gru_layer": 1, "nb_classes": 2,
+    }
+    run = _make_run(tmp_path, "rawnet_run", model="rawnet", add_loss=None,
+                    on_the_fly=True, rawnet_args=tiny)
+    art = str(tmp_path / "rawnet.stablehlo")
+    with pytest.raises(ValueError, match="--raw"):
+        export_system(run, art, batch_size=2)
+    meta = export_system(run, art, batch_size=2, raw=True, wave_seconds=0.4,
+                         check=True)
+    assert meta["mode"] == "raw"
+
+    from jax import export as jax_export
+
+    with open(art, "rb") as f:
+        back = jax_export.deserialize(f.read())
+    n = meta["signature"]["wave"][1]
+    g = np.random.default_rng(5)
+    wave = g.standard_normal((2, n)).astype(np.float32)
+    scores = np.asarray(back.call(wave, np.full((2,), n, np.int32)))
+    assert scores.shape == (2,) and np.isfinite(scores).all()
