@@ -138,30 +138,48 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
     return ah.telephony_channel(wave, "g726_16k" if low else "g726_24k", sr)
 
 
+def _degrade_one_file(task) -> int:
+    """Worker: run all sampled codecs for one source file (used by both the
+    serial path and the --jobs process pool)."""
+    f, codecs, output_path, target_sr = task
+    wave, _sr = read_wav(f, target_sr)
+    stem = os.path.basename(f).split(".")[0]
+    for codec in codecs:
+        # per-(utterance, codec) erasure seed: loss patterns must differ
+        # across files, like the acoustic-simulator's random loss
+        out = apply_codec(wave, codec, target_sr,
+                          erasure_seed=zlib.crc32(stem.encode()))
+        write_wav(os.path.join(output_path, f"{stem}_{codec}.wav"),
+                  out, target_sr)
+    return len(codecs)
+
+
 def channel_degrade(input_path: str, output_path: str, target_sr: int = 16000,
-                    mode: str = "parallel", seed: int = 0) -> int:
-    """(/root/reference/channel_simulation/simulated_channel.py:13-56)"""
+                    mode: str = "parallel", seed: int = 0,
+                    jobs: int = 1) -> int:
+    """(/root/reference/channel_simulation/simulated_channel.py:13-56)
+
+    The reference shells out one subprocess per (file, codec), serially;
+    here the codecs run in-process, and ``jobs`` fans the per-file work out
+    over a process pool (codec sampling stays seeded on the main process,
+    so outputs are identical for any jobs value)."""
     rng = random.Random(seed)
     files = load_filelist(input_path)
     os.makedirs(output_path, exist_ok=True)
-    n = 0
+    tasks = []
     for f in files:
-        wave, sr = read_wav(f, target_sr)
-        stem = os.path.basename(f).split(".")[0]
         if mode == "random":
             codecs = [rng.choice(LANDLINE + VOIP + CELLULAR + COMMON)]
         else:
             codecs = (rng.sample(LANDLINE, 7) + rng.sample(VOIP, 6)
                       + rng.sample(CELLULAR, 6) + rng.sample(COMMON, 2))
-        for codec in codecs:
-            # per-(utterance, codec) erasure seed: loss patterns must differ
-            # across files, like the acoustic-simulator's random loss
-            out = apply_codec(wave, codec, target_sr,
-                              erasure_seed=zlib.crc32(stem.encode()))
-            write_wav(os.path.join(output_path, f"{stem}_{codec}.wav"),
-                      out, target_sr)
-            n += 1
-    return n
+        tasks.append((f, codecs, output_path, target_sr))
+    if jobs <= 1:
+        return sum(_degrade_one_file(t) for t in tasks)
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=jobs) as pool:
+        return sum(pool.map(_degrade_one_file, tasks))
 
 
 def compression_degrade(input_path: str, output_path: str,
@@ -272,6 +290,10 @@ def main(argv=None):
                    choices=["random", "parallel"])
     p.add_argument("--ir_dir", type=str, default="")
     p.add_argument("--seed", type=int, default=688)
+    p.add_argument("-j", "--jobs", type=int, default=1,
+                   help="process-pool workers for channel mode (outputs are "
+                        "identical for any value; sampling stays seeded on "
+                        "the main process)")
     args = p.parse_args(argv)
 
     if args.mode == "make-irs":
@@ -282,7 +304,7 @@ def main(argv=None):
         p.error("-i/--input is required for this mode")
     if args.mode == "channel":
         n = channel_degrade(args.input, args.output, args.sample_rate,
-                            args.sampling, args.seed)
+                            args.sampling, args.seed, jobs=args.jobs)
     elif args.mode == "compression":
         n = compression_degrade(args.input, args.output, args.sample_rate,
                                 args.sampling, args.seed)

@@ -256,3 +256,21 @@ def test_degrade_preprocess_augtrain_score_chain(tmp_path, monkeypatch):
         fields = ln.split()
         assert len(fields) == 3 and fields[2] in ("bonafide", "spoof")
         assert np.isfinite(float(fields[1]))
+
+
+def test_channel_degrade_jobs_identical(wav_corpus, tmp_path):
+    """--jobs parallel degradation produces byte-identical outputs to the
+    serial path (codec sampling stays on the main process)."""
+    import filecmp
+
+    from asvspoof2021_air_tpu.cli.degrade import channel_degrade
+
+    serial = tmp_path / "serial"
+    par = tmp_path / "par"
+    n1 = channel_degrade(wav_corpus, str(serial), mode="random", seed=7)
+    n2 = channel_degrade(wav_corpus, str(par), mode="random", seed=7, jobs=3)
+    assert n1 == n2
+    files = sorted(os.listdir(serial))
+    assert files == sorted(os.listdir(par))
+    for f in files:
+        assert filecmp.cmp(serial / f, par / f, shallow=False), f
