@@ -274,3 +274,61 @@ def test_channel_degrade_jobs_identical(wav_corpus, tmp_path):
     assert files == sorted(os.listdir(par))
     for f in files:
         assert filecmp.cmp(serial / f, par / f, shallow=False), f
+
+
+def test_preprocess_other_corpora_routes(tmp_path):
+    """The preprocess CLI routes the non-2019 raw corpora the reference's
+    preprocess.py covers (/root/reference/preprocess.py dataset blocks):
+    ASVspoof2015 (per-speaker subdirs + cm_* protocols), VCC2020
+    (bonafide/spoof trees), and unlabeled 2021-eval."""
+    from asvspoof2021_air_tpu.cli.preprocess import main as pre_main
+
+    g = np.random.default_rng(3)
+
+    def wav(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_wav(path, (0.2 * g.standard_normal(8000))
+                  .astype(np.float32).clip(-1, 1))
+
+    # --- ASVspoof2015 layout ---
+    db15 = tmp_path / "db2015"
+    proto15 = tmp_path / "proto2015"
+    os.makedirs(proto15)
+    lines = []
+    for i, (tag, label) in enumerate([("human", "human"), ("S3", "spoof")]):
+        wav(str(db15 / "train" / f"SPK{i}" / f"T{i:03d}.wav"))
+        lines.append(f"SPK{i} T{i:03d} {tag} {label}")
+    (proto15 / "cm_train.trn").write_text("\n".join(lines) + "\n")
+    out15 = tmp_path / "f2015"
+    pre_main(["--dataset", "2015", "-d", str(db15),
+              "--path_to_protocol", str(proto15), "--part", "train",
+              "-o", str(out15), "--batch_size", "2"])
+    files = sorted(os.listdir(out15 / "train" / "LFCC"))
+    assert len(files) == 2
+    assert files[0].endswith("_human_human.npy")
+    assert files[1].endswith("_S3_spoof.npy")
+    feat = np.load(out15 / "train" / "LFCC" / files[0])
+    assert 60 in feat.shape  # 60-dim LFCC in the cache layout
+
+    # --- VCC2020 layout ---
+    bona = tmp_path / "vcc_bona"
+    spoof = tmp_path / "vcc_spoof"
+    wav(str(bona / "SEF1" / "wavs" / "E10001.wav"))
+    wav(str(spoof / "sysA" / "SEF1" / "E10002.wav"))
+    outv = tmp_path / "fvcc"
+    pre_main(["--dataset", "vcc2020", "--path_to_bonafide", str(bona),
+              "--path_to_spoof", str(spoof), "-o", str(outv),
+              "--batch_size", "2"])
+    vfiles = sorted(os.listdir(outv / "train" / "LFCC"))
+    assert len(vfiles) == 2
+    assert any("_-_bonafide" in f for f in vfiles)
+    assert any("_sysA_spoof" in f for f in vfiles)
+
+    # --- 2021 eval layout (unlabeled) ---
+    db21 = tmp_path / "db2021"
+    wav(str(db21 / "flac" / "LA_E_0001.wav"))
+    out21 = tmp_path / "f2021"
+    pre_main(["--dataset", "2021eval", "-d", str(db21), "-o", str(out21),
+              "--batch_size", "2"])
+    efiles = sorted(os.listdir(out21 / "train" / "LFCC"))
+    assert len(efiles) == 1 and "LA_E_0001" in efiles[0]
