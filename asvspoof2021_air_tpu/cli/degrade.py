@@ -182,38 +182,72 @@ def channel_degrade(input_path: str, output_path: str, target_sr: int = 16000,
         return sum(pool.map(_degrade_one_file, tasks))
 
 
+def _compress_one_file(task) -> int:
+    f, opt_levels, output_path, target_sr = task
+    wave, _sr = read_wav(f, target_sr)
+    stem = os.path.basename(f).split(".")[0]
+    for opt, level in opt_levels:
+        out = ah.rms_normalize(wave, level)
+        kind, rate = opt.split("[")
+        kbps = float(rate.rstrip("]").rstrip("k"))
+        out = ah.mdct_codec(out, kbps, kind, target_sr)
+        write_wav(os.path.join(output_path, f"{stem}_{opt}.wav"),
+                  out, target_sr)
+    return len(opt_levels)
+
+
 def compression_degrade(input_path: str, output_path: str,
                         target_sr: int = 16000, mode: str = "parallel",
-                        seed: int = 0) -> int:
+                        seed: int = 0, jobs: int = 1) -> int:
     """(/root/reference/channel_simulation/simulated_compression.py:6-34):
     RMS normalization to a random level then lossy transform-codec
     compression (native MDCT band quantization at the mode's bitrate —
-    mp3-granule or aac frame sizes; not MPEG bit-compatible)."""
+    mp3-granule or aac frame sizes; not MPEG bit-compatible). ``jobs``
+    fans per-file work over a process pool with sampling kept on the main
+    process (outputs identical for any value)."""
     rng = random.Random(seed)
     files = load_filelist(input_path)
     os.makedirs(output_path, exist_ok=True)
-    n = 0
+    tasks = []
     for f in files:
-        wave, sr = read_wav(f, target_sr)
-        stem = os.path.basename(f).split(".")[0]
         opts = COMPRESSION if mode == "parallel" else [rng.choice(COMPRESSION)]
-        for opt in opts:
-            level = rng.choice(RMS_LEVELS)
-            out = ah.rms_normalize(wave, level)
-            kind, rate = opt.split("[")
-            kbps = float(rate.rstrip("]").rstrip("k"))
-            out = ah.mdct_codec(out, kbps, kind, target_sr)
-            write_wav(os.path.join(output_path, f"{stem}_{opt}.wav"),
-                      out, target_sr)
-            n += 1
-    return n
+        opt_levels = [(opt, rng.choice(RMS_LEVELS)) for opt in opts]
+        tasks.append((f, opt_levels, output_path, target_sr))
+    if jobs <= 1:
+        return sum(_compress_one_file(t) for t in tasks)
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=jobs) as pool:
+        return sum(pool.map(_compress_one_file, tasks))
+
+
+def _device_one_file(task) -> int:
+    f, ir_paths, output_path, target_sr = task
+    wave, _sr = read_wav(f, target_sr)
+    stem = os.path.basename(f).split(".")[0]
+    for ir_path in ir_paths:
+        if ir_path.endswith(".npy"):
+            ir = np.load(ir_path).astype(np.float32).ravel()
+        else:
+            ir, _ = read_wav(ir_path, target_sr)
+        out = ah.fft_convolve(wave, ir)
+        peak = np.abs(out).max()
+        if peak > 1.0:
+            out = out / peak
+        ir_stem = os.path.splitext(os.path.basename(ir_path))[0]
+        write_wav(os.path.join(output_path, f"{stem}{ir_stem}.wav"),
+                  out, target_sr)
+    return len(ir_paths)
 
 
 def device_degrade(input_path: str, output_path: str, ir_dir: str,
                    target_sr: int = 16000, mode: str = "parallel",
-                   n_device: int = 27, n_space: int = 3, seed: int = 0) -> int:
+                   n_device: int = 27, n_space: int = 3, seed: int = 0,
+                   jobs: int = 1) -> int:
     """(/root/reference/channel_simulation/simulated_device.py:20-61):
-    convolve with recorded device/space IRs (wav or .npy files in ir_dir)."""
+    convolve with recorded device/space IRs (wav or .npy files in ir_dir).
+    ``jobs`` fans per-file work over a process pool with IR sampling kept
+    on the main process (outputs identical for any value)."""
     rng = random.Random(seed)
     files = load_filelist(input_path)
     irs = sorted(
@@ -222,25 +256,16 @@ def device_degrade(input_path: str, output_path: str, ir_dir: str,
     if not irs:
         raise ValueError(f"no IR files in {ir_dir}")
     os.makedirs(output_path, exist_ok=True)
-    n = 0
+    tasks = []
     for f in files:
-        wave, sr = read_wav(f, target_sr)
-        stem = os.path.basename(f).split(".")[0]
         k = min(n_device, len(irs)) if mode == "parallel" else 1
-        for ir_path in rng.sample(irs, k):
-            if ir_path.endswith(".npy"):
-                ir = np.load(ir_path).astype(np.float32).ravel()
-            else:
-                ir, _ = read_wav(ir_path, target_sr)
-            out = ah.fft_convolve(wave, ir)
-            peak = np.abs(out).max()
-            if peak > 1.0:
-                out = out / peak
-            ir_stem = os.path.splitext(os.path.basename(ir_path))[0]
-            write_wav(os.path.join(output_path, f"{stem}{ir_stem}.wav"),
-                      out, target_sr)
-            n += 1
-    return n
+        tasks.append((f, rng.sample(irs, k), output_path, target_sr))
+    if jobs <= 1:
+        return sum(_device_one_file(t) for t in tasks)
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=jobs) as pool:
+        return sum(pool.map(_device_one_file, tasks))
 
 
 def make_irs(output_path: str, target_sr: int = 16000, seed: int = 0) -> int:
@@ -291,9 +316,9 @@ def main(argv=None):
     p.add_argument("--ir_dir", type=str, default="")
     p.add_argument("--seed", type=int, default=688)
     p.add_argument("-j", "--jobs", type=int, default=1,
-                   help="process-pool workers for channel mode (outputs are "
-                        "identical for any value; sampling stays seeded on "
-                        "the main process)")
+                   help="process-pool workers (outputs are identical for "
+                        "any value; sampling stays seeded on the main "
+                        "process)")
     args = p.parse_args(argv)
 
     if args.mode == "make-irs":
@@ -307,10 +332,11 @@ def main(argv=None):
                             args.sampling, args.seed, jobs=args.jobs)
     elif args.mode == "compression":
         n = compression_degrade(args.input, args.output, args.sample_rate,
-                                args.sampling, args.seed)
+                                args.sampling, args.seed, jobs=args.jobs)
     else:
         n = device_degrade(args.input, args.output, args.ir_dir,
-                           args.sample_rate, args.sampling, seed=args.seed)
+                           args.sample_rate, args.sampling, seed=args.seed,
+                           jobs=args.jobs)
     print(f"wrote {n} degraded files to {args.output}")
 
 

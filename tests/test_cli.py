@@ -324,11 +324,47 @@ def test_preprocess_other_corpora_routes(tmp_path):
     assert any("_-_bonafide" in f for f in vfiles)
     assert any("_sysA_spoof" in f for f in vfiles)
 
-    # --- 2021 eval layout (unlabeled) ---
+    # --- 2021 eval layout (unlabeled; the real corpus ships FLAC, decoded
+    # by the native decoder) ---
+    from tests.flac_encoder import encode_flac
+
     db21 = tmp_path / "db2021"
     wav(str(db21 / "flac" / "LA_E_0001.wav"))
+    pcm = (g.standard_normal(8000) * 6000).astype(np.int32)
+    os.makedirs(db21 / "flac", exist_ok=True)
+    with open(db21 / "flac" / "LA_E_0002.flac", "wb") as fh:
+        fh.write(encode_flac(pcm))
     out21 = tmp_path / "f2021"
     pre_main(["--dataset", "2021eval", "-d", str(db21), "-o", str(out21),
               "--batch_size", "2"])
     efiles = sorted(os.listdir(out21 / "train" / "LFCC"))
-    assert len(efiles) == 1 and "LA_E_0001" in efiles[0]
+    assert len(efiles) == 2
+    assert "LA_E_0001" in efiles[0] and "LA_E_0002" in efiles[1]
+
+
+def test_compression_and_device_degrade_jobs_identical(wav_corpus, tmp_path):
+    """--jobs parity for the compression and device modes too."""
+    import filecmp
+
+    from asvspoof2021_air_tpu.ops.augment import synthetic_ir_bank
+
+    ir_dir = tmp_path / "irs"
+    ir_dir.mkdir()
+    bank = synthetic_ir_bank(3, 256)
+    for i in range(3):
+        np.save(str(ir_dir / f"dev{i}-16000.npy"), bank[i])
+
+    for fn, kwargs in (
+        (compression_degrade, {}),
+        (lambda i, o, **k: device_degrade(i, o, str(ir_dir), n_device=2, **k),
+         {}),
+    ):
+        serial = tmp_path / f"s{fn.__name__ if hasattr(fn, '__name__') else 'dev'}"
+        par = tmp_path / f"p{fn.__name__ if hasattr(fn, '__name__') else 'dev'}"
+        n1 = fn(wav_corpus, str(serial), mode="random", seed=5, **kwargs)
+        n2 = fn(wav_corpus, str(par), mode="random", seed=5, jobs=2, **kwargs)
+        assert n1 == n2
+        files = sorted(os.listdir(serial))
+        assert files == sorted(os.listdir(par))
+        for f in files:
+            assert filecmp.cmp(serial / f, par / f, shallow=False), f

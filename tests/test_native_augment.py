@@ -104,3 +104,26 @@ def test_telephony_channel_end_to_end():
         assert y.shape == x.shape
         c = np.corrcoef(y[800:-800], x[800:-800])[0, 1]
         assert c > 0.8, (codec, c)
+
+
+def test_g722_decoder_arbitrary_bytes_safe():
+    """All 256 G.722 code values are valid table indices: decoding random
+    bytes must produce bounded, finite audio (no crash, no overflow)."""
+    from asvspoof2021_air_tpu.data import augment_host as ah
+
+    g = np.random.default_rng(0)
+    codes = g.integers(0, 256, 4000, dtype=np.uint8).tobytes()
+    for kbps in (64, 56, 48):
+        out = ah.g722_decode(codes, kbps)
+        assert out.shape == (8000,)
+        assert np.isfinite(out).all()
+        assert np.abs(out).max() <= 2.1  # int16-range samples over 16384
+
+
+def test_g722_invalid_mode_rejected():
+    from asvspoof2021_air_tpu.data import augment_host as ah
+
+    with pytest.raises(ValueError, match="64/56/48"):
+        ah.g722_roundtrip(np.zeros(100, np.float32), 32)
+    with pytest.raises(ValueError, match="64/56/48"):
+        ah.g722_decode(b"\x00" * 10, 128)
