@@ -307,3 +307,32 @@ def test_write_fused_score_file_layouts(tmp_path):
     e.write_text("f2 1.0\nf1 2.0\n")
     with pytest.raises(ValueError):
         write_fused_score_file([str(c), str(e)], str(tmp_path / "x.txt"))
+
+
+def test_ensemble_composes_with_adv_aug(tmp_path):
+    """--ensemble composes with ADV_AUG: each member carries its own GRL
+    channel classifier, trained on its own detached embeddings."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train_loop import SyntheticAugDataset
+
+    from asvspoof2021_air_tpu.train.loop import TrainConfig, train
+
+    cfg = TrainConfig(
+        out_fold=str(tmp_path / "ens_adv"),
+        model="lcnn",
+        add_loss="ang_iso",
+        num_epochs=2,
+        batch_size=8,
+        feat_len=112,
+        feat_dim=60,
+        ratio=0.5,
+        enc_dim=32,
+        ADV_AUG=True,
+        LA_aug=True,
+        ensemble=2,
+    )
+    summary = train(cfg, train_set=SyntheticAugDataset(seed=0),
+                    dev_set=SyntheticAugDataset(seed=1))
+    assert summary["epochs"] == 2
+    assert np.isfinite(summary["dev_loss"])
