@@ -138,6 +138,18 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
     return ah.telephony_channel(wave, "g726_16k" if low else "g726_24k", sr)
 
 
+def _map_tasks(worker, tasks, jobs: int) -> int:
+    """Run per-file degrade tasks serially or over a process pool; sampling
+    already happened on the main process, so outputs are identical for any
+    jobs value."""
+    if jobs <= 1:
+        return sum(worker(t) for t in tasks)
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=jobs) as pool:
+        return sum(pool.map(worker, tasks))
+
+
 def _degrade_one_file(task) -> int:
     """Worker: run all sampled codecs for one source file (used by both the
     serial path and the --jobs process pool)."""
@@ -174,12 +186,7 @@ def channel_degrade(input_path: str, output_path: str, target_sr: int = 16000,
             codecs = (rng.sample(LANDLINE, 7) + rng.sample(VOIP, 6)
                       + rng.sample(CELLULAR, 6) + rng.sample(COMMON, 2))
         tasks.append((f, codecs, output_path, target_sr))
-    if jobs <= 1:
-        return sum(_degrade_one_file(t) for t in tasks)
-    from concurrent.futures import ProcessPoolExecutor
-
-    with ProcessPoolExecutor(max_workers=jobs) as pool:
-        return sum(pool.map(_degrade_one_file, tasks))
+    return _map_tasks(_degrade_one_file, tasks, jobs)
 
 
 def _compress_one_file(task) -> int:
@@ -213,12 +220,7 @@ def compression_degrade(input_path: str, output_path: str,
         opts = COMPRESSION if mode == "parallel" else [rng.choice(COMPRESSION)]
         opt_levels = [(opt, rng.choice(RMS_LEVELS)) for opt in opts]
         tasks.append((f, opt_levels, output_path, target_sr))
-    if jobs <= 1:
-        return sum(_compress_one_file(t) for t in tasks)
-    from concurrent.futures import ProcessPoolExecutor
-
-    with ProcessPoolExecutor(max_workers=jobs) as pool:
-        return sum(pool.map(_compress_one_file, tasks))
+    return _map_tasks(_compress_one_file, tasks, jobs)
 
 
 def _device_one_file(task) -> int:
@@ -260,12 +262,7 @@ def device_degrade(input_path: str, output_path: str, ir_dir: str,
     for f in files:
         k = min(n_device, len(irs)) if mode == "parallel" else 1
         tasks.append((f, rng.sample(irs, k), output_path, target_sr))
-    if jobs <= 1:
-        return sum(_device_one_file(t) for t in tasks)
-    from concurrent.futures import ProcessPoolExecutor
-
-    with ProcessPoolExecutor(max_workers=jobs) as pool:
-        return sum(pool.map(_device_one_file, tasks))
+    return _map_tasks(_device_one_file, tasks, jobs)
 
 
 def make_irs(output_path: str, target_sr: int = 16000, seed: int = 0) -> int:

@@ -84,9 +84,6 @@ def export_system(model_dir: str, output: str, batch_size: int = 64,
     model, variables, loss_mod, loss_vars, cfg = load_system(
         model_dir, checkpoint
     )
-    if cfg.ensemble == 1:
-        variables, loss_vars = [variables], [loss_vars]
-
     add_loss = cfg.add_loss
     frontend = None
     if cfg.model == "rawnet":
@@ -108,11 +105,9 @@ def export_system(model_dir: str, output: str, batch_size: int = 64,
             feature=cfg.feat,
         )
 
-    fn = build_score_fn(
-        model, variables if cfg.ensemble > 1 else variables[0],
-        loss_mod, loss_vars if cfg.ensemble > 1 else loss_vars[0],
-        add_loss, cfg.ensemble, frontend,
-    )
+    # load_system returns member lists for ensembles, plain trees otherwise
+    fn = build_score_fn(model, variables, loss_mod, loss_vars, add_loss,
+                        cfg.ensemble, frontend)
 
     if raw:
         n_samples = max(int(wave_seconds * 16000), frontend.min_samples())

@@ -21,8 +21,7 @@ from asvspoof2021_air_tpu.data.pipeline import SequentialIterator
 from asvspoof2021_air_tpu.visualize import visualize_dev_and_eval
 
 
-def _extract(model, variables, dataset, batch_size, feat_len, padding,
-             limit=5000):
+def _make_embed(model, variables):
     import jax
 
     @jax.jit
@@ -30,6 +29,10 @@ def _extract(model, variables, dataset, batch_size, feat_len, padding,
         emb, _logits = model.apply(variables, feats, False)
         return emb
 
+    return embed
+
+
+def _extract(embed, dataset, batch_size, feat_len, padding, limit=5000):
     feats_out, labels_out = [], []
     n = 0
     for batch in SequentialIterator(dataset, batch_size, feat_len, padding):
@@ -65,20 +68,21 @@ def main(argv=None):
     if cfg.ensemble > 1:  # visualize member 0, like the training loop
         variables, loss_vars = variables[0], loss_vars[0]
 
+    embed = _make_embed(model, variables)  # one jit shared by both parts
     dev_set = ASVspoof2019FeatureDataset(
         args.access_type, args.ori_features, "dev", cfg.feat
     )
     dev_feat, dev_labels = _extract(
-        model, variables, dev_set, args.batch_size, cfg.feat_len,
-        cfg.padding, args.sample,
+        embed, dev_set, args.batch_size, cfg.feat_len, cfg.padding,
+        args.sample,
     )
     if args.eval_part:
         eval_set = ASVspoof2019FeatureDataset(
             args.access_type, args.ori_features, args.eval_part, cfg.feat
         )
         eval_feat, eval_labels = _extract(
-            model, variables, eval_set, args.batch_size, cfg.feat_len,
-            cfg.padding, args.sample,
+            embed, eval_set, args.batch_size, cfg.feat_len, cfg.padding,
+            args.sample,
         )
     else:
         eval_feat, eval_labels = dev_feat, dev_labels

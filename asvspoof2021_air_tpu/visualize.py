@@ -80,19 +80,3 @@ def visualize_dev_and_eval(
     return out
 
 
-def get_embeddings(eval_step, state, iterator) -> tuple:
-    """Collect embeddings/labels over a dataset iterator using a jitted eval
-    step (capability of /root/reference/visualize.py:67-89)."""
-    feats, labels = [], []
-    for batch in iterator:
-        device_batch = {k: v for k, v in batch.items()
-                        if k not in ("fname", "valid")}
-        _m, _s, emb = eval_step(state, device_batch)
-        valid = batch.get("valid")
-        emb = np.asarray(emb)
-        lab = np.asarray(batch["label"])
-        if valid is not None:
-            emb, lab = emb[valid], lab[valid]
-        feats.append(emb)
-        labels.append(lab)
-    return np.concatenate(feats), np.concatenate(labels)
