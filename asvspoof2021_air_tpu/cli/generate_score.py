@@ -53,12 +53,15 @@ def load_system(model_dir: str, checkpoint: str = "best"):
     return model, variables, loss_mod, loss_vars, config
 
 
-def write_fused_score_file(member_files, output: str) -> str:
-    """Average member score files into a fused file in the SAME layout the
+def write_fused_score_file(member_files, output: str,
+                           weights=None) -> str:
+    """Combine member score files into a fused file in the SAME layout the
     single-system path writes (2-column ``fname score`` for challenge
     tasks, 3-column ``fname score key`` for labeled 19* tasks — the layout
     external consumers/submissions expect). Members are written by the same
-    sequential iterator over the same dataset, so rows align 1:1."""
+    sequential iterator over the same dataset, so rows align 1:1.
+    ``weights`` (default: equal = average fusion) weight each member's
+    scores."""
     import numpy as np
 
     from asvspoof2021_air_tpu.metrics.evaluate import read_score_file
@@ -70,7 +73,10 @@ def write_fused_score_file(member_files, output: str) -> str:
             raise ValueError(
                 "member score files disagree on trial order; cannot fuse"
             )
-    fused = np.mean([fr["score"] for fr in frames], axis=0)
+    if weights is None:
+        weights = [1.0 / len(frames)] * len(frames)
+    fused = np.sum([w * fr["score"] for w, fr in zip(weights, frames)],
+                   axis=0)
     os.makedirs(os.path.dirname(os.path.abspath(output)), exist_ok=True)
     with open(output, "w") as f:
         for i, fname in enumerate(base["fname"]):
@@ -93,6 +99,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, default="best",
                    help="'best' or a checkpoint epoch path under "
                         "<model>/checkpoint/<N>")
+    p.add_argument("--fusion", type=str, default="avg",
+                   choices=["avg", "wght"],
+                   help="ensemble member fusion: average, or EER-derived "
+                        "entropy weights (labeled 19* tasks only)")
     p.add_argument("--ori_features", type=str, default="")
     p.add_argument("--aug_features", type=str, default="")
     p.add_argument("--la_eval", type=str, default="")
@@ -133,8 +143,22 @@ def main(argv=None):
         else:
             out = os.path.join(out_dir, f"{args.model_name}_{args.task}",
                                "score.txt")
-        write_fused_score_file(member_files, out)
-        print(f"wrote {out} (avg fusion of {len(member_files)} members)")
+        weights = None
+        if args.fusion == "wght":
+            # EER-derived entropy weights (reference score_fusion.py:31-89);
+            # needs labeled members, i.e. a 19* task
+            from asvspoof2021_air_tpu.fusion import entropy_weights
+            from asvspoof2021_air_tpu.metrics.evaluate import (
+                eer_from_score_file,
+            )
+
+            eers = [eer_from_score_file(f) for f in member_files]
+            weights = entropy_weights(eers)
+            print(f"member EERs {['%.4f' % e for e in eers]} -> "
+                  f"weights {['%.3f' % w for w in weights]}")
+        write_fused_score_file(member_files, out, weights)
+        print(f"wrote {out} ({args.fusion} fusion of "
+              f"{len(member_files)} members)")
         return
     out = test_on_asvspoof2021(
         args.task, model, variables, paths, out_dir, args.model_name,

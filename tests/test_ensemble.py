@@ -336,3 +336,54 @@ def test_ensemble_composes_with_adv_aug(tmp_path):
                     dev_set=SyntheticAugDataset(seed=1))
     assert summary["epochs"] == 2
     assert np.isfinite(summary["dev_loss"])
+
+
+def test_ensemble_weighted_fusion_cli(tmp_path):
+    """--fusion wght weights members by their own EER-derived entropy
+    weights (reference score_fusion.py:31-89) instead of a plain average."""
+    from asvspoof2021_air_tpu.cli.generate_score import (
+        main as score_main,
+        write_fused_score_file,
+    )
+    from asvspoof2021_air_tpu.train.loop import TrainConfig, train
+
+    feats = tmp_path / "feats"
+    _write_feature_corpus(str(feats), "train", 16, 0)
+    _write_feature_corpus(str(feats), "dev", 16, 1)
+    out = tmp_path / "runw"
+    train(TrainConfig(
+        out_fold=str(out), path_to_features=str(feats), model="lcnn",
+        add_loss="ang_iso", num_epochs=1, batch_size=8, feat_len=20,
+        enc_dim=32, ratio=1.0, ensemble=2, seed=5,
+    ))
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        score_main([
+            "--model_folder", str(tmp_path), "-n", "runw", "-t", "19dev",
+            "-l", "ocsoftmax", "--ori_features", str(feats),
+            "--batch_size", "8", "--fusion", "wght",
+        ])
+    finally:
+        os.chdir(cwd)
+    scores_dir = tmp_path / "scores"
+    fused = scores_dir / "runw_19dev_score.txt"
+    assert fused.exists()
+
+    # weighted combination of the member files reproduces the fused file
+    from asvspoof2021_air_tpu.fusion import entropy_weights
+    from asvspoof2021_air_tpu.metrics.evaluate import (
+        eer_from_score_file,
+        read_score_file,
+    )
+
+    members = [str(scores_dir / f"runw_member{i}_19dev_score.txt")
+               for i in range(2)]
+    ws = entropy_weights([eer_from_score_file(m) for m in members])
+    ref = tmp_path / "ref.txt"
+    write_fused_score_file(members, str(ref), ws)
+    np.testing.assert_allclose(
+        read_score_file(str(fused))["score"],
+        read_score_file(str(ref))["score"], rtol=1e-6,
+    )
