@@ -14,16 +14,23 @@ batch 1, single host CPU core, XLA CPU backend — measured on this machine
 scoring rate here (the reference additionally pays torch.load feature IO per
 utterance with num_workers=0, /root/reference/main_train.py:63).
 
+Each measurement stage runs in its own subprocess: on the axon backend,
+interleaving many jitted programs in one process thrashes the relay's
+executable cache and inflates every timing (documented in
+.claude/skills/verify/SKILL.md), while real training/serving runs one
+program in steady state — per-process isolation is the faithful
+methodology. `python bench.py --stage <name>` runs one stage in-process.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
-
-import jax
-import jax.numpy as jnp
 
 BASELINE_CPU_UTT_PER_SEC = 10.31  # see module docstring
 
@@ -31,22 +38,14 @@ B = 64
 WAVE_LEN = 119840  # 750 LFCC frames at 16 kHz (7.49 s)
 
 
-def main():
+def _flagship():
+    import jax
+    import jax.numpy as jnp
+
     from asvspoof2021_air_tpu.losses import build_loss
     from asvspoof2021_air_tpu.models import ECAPA_TDNN
     from asvspoof2021_air_tpu.ops.lfcc import LFCC
     from asvspoof2021_air_tpu.ops.lfcc_pallas import PallasLFCC
-    from asvspoof2021_air_tpu.train.state import (
-        create_train_state,
-        make_backbone_optimizer,
-        make_loss_optimizer,
-        step_decay_schedule,
-    )
-    from asvspoof2021_air_tpu.train.steps import (
-        StepConfig,
-        make_multi_step,
-        make_train_step,
-    )
 
     # Fused Pallas front-end on TPU; jnp fallback elsewhere.
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
@@ -64,46 +63,19 @@ def main():
     g = np.random.default_rng(0)
     wave = jnp.asarray(g.standard_normal((B, WAVE_LEN)), jnp.float32)
     labels = jnp.asarray((np.arange(B) % 2).astype(np.int32))
+    return on_tpu, lfcc, model, ocs, rng, wave, labels
 
-    variables = jax.jit(lambda w: model.init({"params": rng}, lfcc(w)[:2], False))(wave)
-    loss_vars = ocs.init(rng, jnp.zeros((B, 256)), labels)
 
-    # ---------------- inference ----------------
-    @jax.jit
-    def infer(w):
-        emb, logits = model.apply(variables, lfcc(w), False)
-        _loss, scores = ocs.apply(loss_vars, emb, labels)
-        return scores
+def _train_state(rng, model, lfcc, wave, labels, ocs):
+    import jax.numpy as jnp
 
-    jax.block_until_ready(infer(wave))  # compile
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = infer(wave)
-    jax.block_until_ready(out)
-    infer_dt = (time.perf_counter() - t0) / n_iter
-    infer_utt_s = B / infer_dt
+    from asvspoof2021_air_tpu.train.state import (
+        create_train_state,
+        make_backbone_optimizer,
+        make_loss_optimizer,
+        step_decay_schedule,
+    )
 
-    # Serving sweet spot: B=128 measured fastest per-utterance on v5e
-    # (train throughput is flat in batch — compute-bound — so only the
-    # inference point is re-measured at the larger batch).
-    wave128 = jnp.concatenate([wave, wave], axis=0)
-    labels128 = jnp.concatenate([labels, labels], axis=0)
-
-    @jax.jit
-    def infer128(w):
-        emb, logits = model.apply(variables, lfcc(w), False)
-        _loss, scores = ocs.apply(loss_vars, emb, labels128)
-        return scores
-
-    jax.block_until_ready(infer128(wave128))
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = infer128(wave128)
-    jax.block_until_ready(out)
-    infer128_utt_s = 2 * B / ((time.perf_counter() - t0) / n_iter)
-
-    # ---------------- training step ----------------
     sched = step_decay_schedule(5e-4, 0.5, 30, steps_per_epoch=100)
     btx = make_backbone_optimizer(sched)
     ltx = make_loss_optimizer(sched)
@@ -114,6 +86,65 @@ def main():
         example_labels=labels,
         backbone_tx=btx, loss_tx=ltx,
     )
+    return state, btx, ltx
+
+
+def stage_infer() -> dict:
+    import jax
+
+    _on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
+    variables = jax.jit(
+        lambda w: model.init({"params": rng}, lfcc(w)[:2], False)
+    )(wave)
+    loss_vars = ocs.init(rng, np.zeros((B, 256), np.float32), labels)
+
+    @jax.jit
+    def infer(w, lab):
+        emb, logits = model.apply(variables, lfcc(w), False)
+        _loss, scores = ocs.apply(loss_vars, emb, lab)
+        return scores
+
+    out = {}
+    import jax.numpy as jnp
+
+    for label, mult in (("b64", 1), ("b128", 2)):
+        w = jnp.concatenate([wave] * mult, axis=0)
+        lab = jnp.concatenate([labels] * mult, axis=0)
+        jax.block_until_ready(infer(w, lab))  # compile
+        n_iter = 20
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            o = infer(w, lab)
+        jax.block_until_ready(o)
+        dt = (time.perf_counter() - t0) / n_iter
+        out[label] = {"utt_s": mult * B / dt, "ms_per_batch": dt * 1000}
+    return out
+
+
+def _bench_train_step(step_fn, state, batches, n_train=4, K=8):
+    import jax
+
+    state, m = step_fn(state, batches, jax.random.PRNGKey(1), 0.0)
+    jax.block_until_ready(m["total_loss"])  # compile
+    t0 = time.perf_counter()
+    for _ in range(n_train):
+        state, m = step_fn(state, batches, jax.random.PRNGKey(1), 0.0)
+    jax.block_until_ready(m["total_loss"])
+    return (time.perf_counter() - t0) / (n_train * K)
+
+
+def stage_train() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from asvspoof2021_air_tpu.train.steps import (
+        StepConfig,
+        make_multi_step,
+        make_train_step,
+    )
+
+    _on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
+    state, btx, ltx = _train_state(rng, model, lfcc, wave, labels, ocs)
     step_fn = make_train_step(
         model, ocs, btx, ltx, StepConfig(add_loss="ang_iso"),
         frontend=lambda b, k, p=None: lfcc(b["wave"]),
@@ -128,30 +159,33 @@ def main():
         "wave": jnp.broadcast_to(wave, (K, B, WAVE_LEN)),
         "label": jnp.broadcast_to(labels, (K, B)),
     }
-    step_rng = jax.random.PRNGKey(1)
-    adv_gate = jnp.float32(0.0)
-    state, m = multi_step(state, batches, step_rng, adv_gate)
-    jax.block_until_ready(m["total_loss"])  # compile
-    n_train = 4
-    t0 = time.perf_counter()
-    for i in range(n_train):
-        state, m = multi_step(state, batches, step_rng, adv_gate)
-    jax.block_until_ready(m["total_loss"])
-    train_dt = (time.perf_counter() - t0) / (n_train * K)
-    train_utt_s = B / train_dt
+    dt = _bench_train_step(multi_step, state, batches, K=K)
+    return {"utt_s": B / dt, "ms_per_step": dt * 1000}
 
-    # ---------------- training step with on-device channel augmentation ----
+
+def stage_train_aug() -> dict:
+    import jax
+    import jax.numpy as jnp
+
     from asvspoof2021_air_tpu.ops.augment import (
         ChannelAugmenter,
         synthetic_ir_bank,
     )
     from asvspoof2021_air_tpu.train.frontend import OnDeviceFrontend
+    from asvspoof2021_air_tpu.train.steps import (
+        StepConfig,
+        make_multi_step,
+        make_train_step,
+    )
 
+    on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
+    state, btx, ltx = _train_state(rng, model, lfcc, wave, labels, ocs)
     fe = OnDeviceFrontend(
         feat_len=750, padding="repeat",
         augmenter=ChannelAugmenter(ir_bank=synthetic_ir_bank()),
         apply_ir=True, use_pallas=on_tpu,
     )
+    K = 8
     aug_step = jax.jit(
         make_multi_step(
             make_train_step(model, ocs, btx, ltx,
@@ -161,39 +195,62 @@ def main():
         donate_argnums=(0,),
     )
     aug_wave_len = fe.min_samples()
-    aug_batches = {
+    batches = {
         "wave": jnp.broadcast_to(wave[:, :aug_wave_len], (K, B, aug_wave_len)),
         "length": jnp.full((K, B), aug_wave_len, jnp.int32),
         "label": jnp.broadcast_to(labels, (K, B)),
     }
-    state2 = create_train_state(
-        rng, model, lfcc(wave[:2]),
-        loss_module=ocs,
-        example_feat=jnp.zeros((B, 256)),
-        example_labels=labels,
-        backbone_tx=btx, loss_tx=ltx,
-    )
-    state2, m = aug_step(state2, aug_batches, step_rng, adv_gate, fe.params)
-    jax.block_until_ready(m["total_loss"])
-    t0 = time.perf_counter()
-    for i in range(n_train):
-        state2, m = aug_step(state2, aug_batches, step_rng, adv_gate,
-                             fe.params)
-    jax.block_until_ready(m["total_loss"])
-    aug_dt = (time.perf_counter() - t0) / (n_train * K)
-    aug_utt_s = B / aug_dt
 
+    def step(state, b, k, gate):
+        return aug_step(state, b, k, gate, fe.params)
+
+    dt = _bench_train_step(step, state, batches, K=K)
+    return {"utt_s": B / dt, "ms_per_step": dt * 1000}
+
+
+STAGES = {"infer": stage_infer, "train": stage_train,
+          "train_aug": stage_train_aug}
+
+
+def _run_stage_subprocess(name: str) -> dict:
+    """Run one stage in a fresh process (isolated executable cache)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stage", name],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        timeout=1200,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"stage {name} rc={proc.returncode}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        print(json.dumps(STAGES[sys.argv[2]]()))
+        return
+
+    results = {}
+    for name in STAGES:
+        try:
+            results[name] = _run_stage_subprocess(name)
+        except Exception:
+            results[name] = STAGES[name]()  # in-process fallback
+
+    import jax
+
+    infer64 = results["infer"]["b64"]
     result = {
         "metric": "utterances/sec/chip, LFCC+ECAPA-512+OCSoftmax inference "
                   "(B=64, 7.49s audio, fused front-end, bf16 compute)",
-        "value": round(infer_utt_s, 1),
+        "value": round(infer64["utt_s"], 1),
         "unit": "utt/s/chip",
-        "vs_baseline": round(infer_utt_s / BASELINE_CPU_UTT_PER_SEC, 1),
-        "train_utt_s_per_chip": round(train_utt_s, 1),
-        "train_aug_utt_s_per_chip": round(aug_utt_s, 1),
-        "inference_b128_utt_s_per_chip": round(infer128_utt_s, 1),
-        "inference_ms_per_batch": round(infer_dt * 1000, 2),
-        "train_ms_per_step": round(train_dt * 1000, 2),
+        "vs_baseline": round(infer64["utt_s"] / BASELINE_CPU_UTT_PER_SEC, 1),
+        "train_utt_s_per_chip": round(results["train"]["utt_s"], 1),
+        "train_aug_utt_s_per_chip": round(results["train_aug"]["utt_s"], 1),
+        "inference_b128_utt_s_per_chip": round(
+            results["infer"]["b128"]["utt_s"], 1),
+        "inference_ms_per_batch": round(infer64["ms_per_batch"], 2),
+        "train_ms_per_step": round(results["train"]["ms_per_step"], 2),
         "batch_size": B,
         "device": str(jax.devices()[0]),
     }
