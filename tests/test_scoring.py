@@ -165,3 +165,55 @@ def test_all_eight_task_routes(tmp_path):
                     "19laaugdev": 10, "19lapaaugdev": 10,
                     "19dfaugdev": 10, "19dfpaaugdev": 10}[task]
         assert len(lines) == expected, (task, len(lines))
+
+
+def test_score_rule_consistent_with_eval_step():
+    """scoring.score_rule (batch scoring, raw scoring, export) and the
+    training eval step (model selection) must rank identically for every
+    add-loss: equal scores for the loss-module rules, opposite sign for the
+    CE fallback (the eval loop uses +softmax[:,0], the reference's file
+    scorer -softmax[:,0] before the writer negates again,
+    /root/reference/generate_score.py:102-119)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asvspoof2021_air_tpu.losses import build_loss
+    from asvspoof2021_air_tpu.models import build_model
+    from asvspoof2021_air_tpu.scoring import make_score_fn
+    from asvspoof2021_air_tpu.train.state import create_train_state
+    from asvspoof2021_air_tpu.train.steps import StepConfig, make_eval_step
+
+    B, T, F, ENC = 4, 16, 60, 16
+    g = np.random.default_rng(0)
+    feats_in = jnp.asarray(g.standard_normal((B, T, F)), jnp.float32)
+    batch = {"feat": feats_in,
+             "label": jnp.zeros((B,), jnp.int32)}
+    model = build_model("lcnn", enc_dim=ENC, nclasses=2, feat_dim=F,
+                        feat_len=T)
+
+    for add_loss in (None, "isolate", "iso_sq", "ang_iso", "p2sgrad"):
+        loss_mod = build_loss(add_loss, enc_dim=ENC)
+        state = create_train_state(
+            jax.random.PRNGKey(3), model, feats_in,
+            loss_module=loss_mod,
+            example_feat=jnp.zeros((B, ENC)),
+            example_labels=jnp.zeros((B,), jnp.int32),
+        )
+        eval_step = make_eval_step(model, loss_mod,
+                                   StepConfig(add_loss=add_loss))
+        _m, eval_score, _f = jax.jit(eval_step)(state, batch, None)
+
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        loss_vars = ({"params": state.loss_params}
+                     if state.loss_params is not None else None)
+        file_score = make_score_fn(model, variables, loss_mod, loss_vars,
+                                   add_loss)(feats_in)
+        if add_loss is None:
+            np.testing.assert_allclose(np.asarray(file_score),
+                                       -np.asarray(eval_score),
+                                       rtol=1e-5, atol=1e-6)
+        else:
+            np.testing.assert_allclose(np.asarray(file_score),
+                                       np.asarray(eval_score),
+                                       rtol=1e-5, atol=1e-6)
