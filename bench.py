@@ -14,12 +14,13 @@ batch 1, single host CPU core, XLA CPU backend — measured on this machine
 scoring rate here (the reference additionally pays torch.load feature IO per
 utterance with num_workers=0, /root/reference/main_train.py:63).
 
-Each measurement stage runs in its own subprocess: on the axon backend,
-interleaving many jitted programs in one process thrashes the relay's
-executable cache and inflates every timing (documented in
-.claude/skills/verify/SKILL.md), while real training/serving runs one
-program in steady state — per-process isolation is the faithful
-methodology. `python bench.py --stage <name>` runs one stage in-process.
+Measurement stages run sequentially in-process by default (setup compiles
+are shared, keeping total wall time bounded for the round driver).
+Interleaving jitted programs in one process costs ~5% on this backend's
+relay (executable-cache sensitivity, documented in
+.claude/skills/verify/SKILL.md); `--isolated` runs each stage in its own
+subprocess for clean-room numbers, and `--stage <name>` runs a single
+stage in-process.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -89,7 +90,10 @@ def _train_state(rng, model, lfcc, wave, labels, ocs):
     return state, btx, ltx
 
 
-def stage_infer() -> dict:
+def stage_infer(batch_mults=(1,)) -> dict:
+    """B=64 serving point; `python bench.py --stage infer_b128` additionally
+    measures B=128 (throughput is flat in batch from B=64 up — see
+    docs/PERFORMANCE.md — so the default run skips the extra compile)."""
     import jax
 
     _on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
@@ -107,17 +111,21 @@ def stage_infer() -> dict:
     out = {}
     import jax.numpy as jnp
 
-    for label, mult in (("b64", 1), ("b128", 2)):
+    for mult in batch_mults:
         w = jnp.concatenate([wave] * mult, axis=0)
         lab = jnp.concatenate([labels] * mult, axis=0)
         jax.block_until_ready(infer(w, lab))  # compile
         n_iter = 20
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            o = infer(w, lab)
-        jax.block_until_ready(o)
-        dt = (time.perf_counter() - t0) / n_iter
-        out[label] = {"utt_s": mult * B / dt, "ms_per_batch": dt * 1000}
+        for _attempt in range(3):  # re-measure implausible relay glitches
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                o = infer(w, lab)
+            jax.block_until_ready(o)
+            dt = (time.perf_counter() - t0) / n_iter
+            if dt * 1000 >= 2.0 * mult:
+                break
+        out[f"b{mult * B}"] = {"utt_s": mult * B / dt,
+                               "ms_per_batch": dt * 1000}
     return out
 
 
@@ -126,11 +134,19 @@ def _bench_train_step(step_fn, state, batches, n_train=4, K=8):
 
     state, m = step_fn(state, batches, jax.random.PRNGKey(1), 0.0)
     jax.block_until_ready(m["total_loss"])  # compile
-    t0 = time.perf_counter()
-    for _ in range(n_train):
-        state, m = step_fn(state, batches, jax.random.PRNGKey(1), 0.0)
-    jax.block_until_ready(m["total_loss"])
-    return (time.perf_counter() - t0) / (n_train * K)
+    # The relay very occasionally acks a burst without the device work
+    # having run, yielding a physically impossible step time (observed
+    # once: 1 ms/step for a >20 ms graph); re-measure on implausible
+    # readings instead of recording a glitch.
+    for _attempt in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_train):
+            state, m = step_fn(state, batches, jax.random.PRNGKey(1), 0.0)
+        jax.block_until_ready(m["total_loss"])
+        dt = (time.perf_counter() - t0) / (n_train * K)
+        if dt * 1000 >= 4.0:
+            break
+    return dt
 
 
 def stage_train() -> dict:
@@ -209,7 +225,8 @@ def stage_train_aug() -> dict:
 
 
 STAGES = {"infer": stage_infer, "train": stage_train,
-          "train_aug": stage_train_aug}
+          "train_aug": stage_train_aug,
+          "infer_b128": lambda: stage_infer(batch_mults=(1, 2))}
 
 
 def _run_stage_subprocess(name: str) -> dict:
@@ -228,13 +245,17 @@ def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
         print(json.dumps(STAGES[sys.argv[2]]()))
         return
+    isolated = "--isolated" in sys.argv[1:]
 
     results = {}
-    for name in STAGES:
-        try:
-            results[name] = _run_stage_subprocess(name)
-        except Exception:
-            results[name] = STAGES[name]()  # in-process fallback
+    for name in ("infer", "train", "train_aug"):
+        if isolated:
+            try:
+                results[name] = _run_stage_subprocess(name)
+                continue
+            except Exception:
+                pass
+        results[name] = STAGES[name]()
 
     import jax
 
@@ -247,8 +268,6 @@ def main():
         "vs_baseline": round(infer64["utt_s"] / BASELINE_CPU_UTT_PER_SEC, 1),
         "train_utt_s_per_chip": round(results["train"]["utt_s"], 1),
         "train_aug_utt_s_per_chip": round(results["train_aug"]["utt_s"], 1),
-        "inference_b128_utt_s_per_chip": round(
-            results["infer"]["b128"]["utt_s"], 1),
         "inference_ms_per_batch": round(infer64["ms_per_batch"], 2),
         "train_ms_per_step": round(results["train"]["ms_per_step"], 2),
         "batch_size": B,
