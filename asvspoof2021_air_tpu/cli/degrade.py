@@ -158,9 +158,10 @@ def _degrade_one_file(task) -> int:
     stem = os.path.basename(f).split(".")[0]
     for codec in codecs:
         # per-(utterance, codec) erasure seed: loss patterns must differ
-        # across files, like the acoustic-simulator's random loss
+        # across files AND across codecs of one file, like the
+        # acoustic-simulator's random loss
         out = apply_codec(wave, codec, target_sr,
-                          erasure_seed=zlib.crc32(stem.encode()))
+                          erasure_seed=zlib.crc32(f"{stem}:{codec}".encode()))
         write_wav(os.path.join(output_path, f"{stem}_{codec}.wav"),
                   out, target_sr)
     return len(codecs)

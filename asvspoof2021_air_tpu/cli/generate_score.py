@@ -94,7 +94,11 @@ def main(argv=None):
     p.add_argument("-s", "--score_dir", type=str, default="./scores")
     p.add_argument("-t", "--task", type=str, required=True, choices=TASKS)
     p.add_argument("-l", "--loss", default=None,
-                   choices=[None, "ocsoftmax", "amsoftmax", "p2sgrad"])
+                   choices=[None, "softmax", "ocsoftmax", "ang_iso",
+                            "isolate", "iso_sq", "amsoftmax", "p2sgrad"],
+                   help="scoring rule override; defaults to the run's "
+                        "trained add_loss from args.json ('softmax' forces "
+                        "the plain -softmax(logits) rule)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--checkpoint", type=str, default="best",
                    help="'best' or a checkpoint epoch path under "
@@ -123,6 +127,22 @@ def main(argv=None):
         "la_eval": args.la_eval,
         "df_eval": args.df_eval,
     }
+    # Score with the rule the run was trained/selected with (cfg.add_loss)
+    # unless -l overrides; keeps scoring consistent with the export path
+    # and the training eval step (scoring.score_rule).
+    trained = _cfg.add_loss if _cfg.add_loss not in (None, "None") else None
+    if args.loss is None:
+        score_loss = trained
+    elif args.loss == "softmax":
+        score_loss = None
+    else:
+        score_loss = args.loss
+        aliases = {"ocsoftmax": "ang_iso", "ang_iso": "ocsoftmax"}
+        if trained is not None and score_loss not in (
+            trained, aliases.get(trained)
+        ):
+            print(f"warning: scoring rule -l {score_loss} differs from the "
+                  f"run's trained add_loss {trained}", flush=True)
     if _cfg.ensemble > 1:
         # score each ensemble member, then avg-fuse into the headline file
         # (the reference's score_fusion.py:21-28 workflow in one command)
@@ -131,7 +151,7 @@ def main(argv=None):
             f = test_on_asvspoof2021(
                 args.task, model, mvars, paths, out_dir,
                 f"{args.model_name}_member{i}",
-                add_loss=args.loss, loss_module=loss_mod, loss_vars=mloss,
+                add_loss=score_loss, loss_module=loss_mod, loss_vars=mloss,
                 batch_size=args.batch_size, feature=_cfg.feat,
                 feat_len=_cfg.feat_len, padding=_cfg.padding,
             )
@@ -162,7 +182,7 @@ def main(argv=None):
         return
     out = test_on_asvspoof2021(
         args.task, model, variables, paths, out_dir, args.model_name,
-        add_loss=args.loss, loss_module=loss_mod, loss_vars=loss_vars,
+        add_loss=score_loss, loss_module=loss_mod, loss_vars=loss_vars,
         batch_size=args.batch_size, feature=_cfg.feat,
         feat_len=_cfg.feat_len, padding=_cfg.padding,
     )

@@ -83,7 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--on_device_aug", type=str2bool, nargs="?", const=True,
                    default=False,
                    help="per-utterance random channel simulation each step "
-                        "(on_the_fly mode)")
+                        "(on_the_fly mode); note dev monitoring stays clean "
+                        "in this mode — see README 'Deliberate behavioral "
+                        "deviations'")
     p.add_argument("--apply_ir", type=str2bool, nargs="?", const=True,
                    default=False,
                    help="also convolve a random impulse response (on_the_fly)")

@@ -568,8 +568,8 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
             if e_feats:
                 eval_feats_np = np.concatenate(e_feats)
                 eval_labels_np = np.concatenate(e_label_chunks)
-            else:
-                eval_feats_np, eval_labels_np = feats_np, labels
+            else:  # no --test_on_eval: dev-only figure, not duplicated panels
+                eval_feats_np, eval_labels_np = None, None
             visualize_dev_and_eval(
                 feats_np, labels, eval_feats_np, eval_labels_np, center,
                 seed=config.seed, out_fold=config.out_fold, epoch=epoch + 1,

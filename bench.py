@@ -39,6 +39,23 @@ B = 64
 WAVE_LEN = 119840  # 750 LFCC frames at 16 kHz (7.49 s)
 
 
+def _timed_attempts(measure, floor_ms: float, attempts: int = 3):
+    """Run `measure()` (returns seconds per unit) up to `attempts` times,
+    re-measuring while the reading is implausibly fast — the axon relay can
+    rarely ack a dispatch burst without the device work having run
+    (.claude/skills/verify/SKILL.md). Returns (dt_seconds, suspect): if no
+    attempt clears `floor_ms`, the MAX of the attempts is recorded (the
+    least-glitched reading) and suspect=True so BENCH json never contains a
+    physically impossible number flying under a plausible flag."""
+    dts = []
+    for _ in range(attempts):
+        dt = measure()
+        dts.append(dt)
+        if dt * 1000 >= floor_ms:
+            return dt, False
+    return max(dts), True
+
+
 def _flagship():
     import jax
     import jax.numpy as jnp
@@ -116,16 +133,19 @@ def stage_infer(batch_mults=(1,)) -> dict:
         lab = jnp.concatenate([labels] * mult, axis=0)
         jax.block_until_ready(infer(w, lab))  # compile
         n_iter = 20
-        for _attempt in range(3):  # re-measure implausible relay glitches
+
+        def measure():
             t0 = time.perf_counter()
             for _ in range(n_iter):
                 o = infer(w, lab)
             jax.block_until_ready(o)
-            dt = (time.perf_counter() - t0) / n_iter
-            if dt * 1000 >= 2.0 * mult:
-                break
+            return (time.perf_counter() - t0) / n_iter
+
+        dt, suspect = _timed_attempts(measure, floor_ms=2.0 * mult)
         out[f"b{mult * B}"] = {"utt_s": mult * B / dt,
                                "ms_per_batch": dt * 1000}
+        if suspect:
+            out[f"b{mult * B}"]["suspect_timing"] = True
     return out
 
 
@@ -134,19 +154,18 @@ def _bench_train_step(step_fn, state, batches, n_train=4, K=8):
 
     state, m = step_fn(state, batches, jax.random.PRNGKey(1), 0.0)
     jax.block_until_ready(m["total_loss"])  # compile
-    # The relay very occasionally acks a burst without the device work
-    # having run, yielding a physically impossible step time (observed
-    # once: 1 ms/step for a >20 ms graph); re-measure on implausible
-    # readings instead of recording a glitch.
-    for _attempt in range(3):
+    holder = {"state": state}
+
+    def measure():
         t0 = time.perf_counter()
+        s = holder["state"]
         for _ in range(n_train):
-            state, m = step_fn(state, batches, jax.random.PRNGKey(1), 0.0)
+            s, m = step_fn(s, batches, jax.random.PRNGKey(1), 0.0)
         jax.block_until_ready(m["total_loss"])
-        dt = (time.perf_counter() - t0) / (n_train * K)
-        if dt * 1000 >= 4.0:
-            break
-    return dt
+        holder["state"] = s
+        return (time.perf_counter() - t0) / (n_train * K)
+
+    return _timed_attempts(measure, floor_ms=4.0)
 
 
 def stage_train() -> dict:
@@ -175,8 +194,11 @@ def stage_train() -> dict:
         "wave": jnp.broadcast_to(wave, (K, B, WAVE_LEN)),
         "label": jnp.broadcast_to(labels, (K, B)),
     }
-    dt = _bench_train_step(multi_step, state, batches, K=K)
-    return {"utt_s": B / dt, "ms_per_step": dt * 1000}
+    dt, suspect = _bench_train_step(multi_step, state, batches, K=K)
+    out = {"utt_s": B / dt, "ms_per_step": dt * 1000}
+    if suspect:
+        out["suspect_timing"] = True
+    return out
 
 
 def stage_train_aug() -> dict:
@@ -220,8 +242,11 @@ def stage_train_aug() -> dict:
     def step(state, b, k, gate):
         return aug_step(state, b, k, gate, fe.params)
 
-    dt = _bench_train_step(step, state, batches, K=K)
-    return {"utt_s": B / dt, "ms_per_step": dt * 1000}
+    dt, suspect = _bench_train_step(step, state, batches, K=K)
+    out = {"utt_s": B / dt, "ms_per_step": dt * 1000}
+    if suspect:
+        out["suspect_timing"] = True
+    return out
 
 
 STAGES = {"infer": stage_infer, "train": stage_train,
@@ -252,10 +277,16 @@ def main():
         if isolated:
             try:
                 results[name] = _run_stage_subprocess(name)
+                results[name]["isolated"] = True
                 continue
-            except Exception:
-                pass
+            except Exception as e:
+                # fall back in-process, but say so — "clean-room" numbers
+                # must never silently come from the shared process
+                print(f"bench: isolated stage {name} failed ({e}); "
+                      f"falling back in-process", file=sys.stderr)
         results[name] = STAGES[name]()
+        if isolated:
+            results[name]["isolated"] = False
 
     import jax
 
@@ -273,6 +304,12 @@ def main():
         "batch_size": B,
         "device": str(jax.devices()[0]),
     }
+    if any(v.get("suspect_timing") for v in (infer64, results["train"],
+                                             results["train_aug"])):
+        result["suspect_timing"] = True
+    if isolated:
+        result["isolated"] = {n: results[n].get("isolated", False)
+                              for n in ("infer", "train", "train_aug")}
     print(json.dumps(result))
 
 

@@ -21,6 +21,22 @@ def test_visualize_writes_pdf(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_visualize_dev_only_fallback(tmp_path):
+    """Without eval embeddings (no --test_on_eval) the figure is dev-only —
+    the reference always plots real eval embeddings
+    (/root/reference/visualize.py:67-89); we must not silently duplicate
+    the dev points under an Eval title."""
+    g = np.random.default_rng(1)
+    dev = g.standard_normal((80, 16)).astype(np.float32)
+    dev_l = (np.arange(80) % 2)
+    center = g.standard_normal((1, 16)).astype(np.float32)
+    out = visualize_dev_and_eval(dev, dev_l, None, None, center,
+                                 out_fold=str(tmp_path), epoch=2, sample=80)
+    assert os.path.exists(out)
+    # a 2x1 dev-only figure is materially smaller than the 2x2 version
+    assert os.path.getsize(out) > 1000
+
+
 def test_prepare4matlab(tmp_path):
     p = tmp_path / "score.txt"
     p.write_text(
