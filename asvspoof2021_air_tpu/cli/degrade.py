@@ -198,7 +198,11 @@ def _compress_one_file(task) -> int:
         out = ah.rms_normalize(wave, level)
         kind, rate = opt.split("[")
         kbps = float(rate.rstrip("]").rstrip("k"))
-        out = ah.mdct_codec(out, kbps, kind, target_sr)
+        if kind == "mp3":
+            # real MPEG Layer III bitstream codec (native/augment/mp3.cc)
+            out = ah.mp3_codec(out, kbps, target_sr)
+        else:  # aac stays MDCT transform-class (documented in CODECS.md)
+            out = ah.mdct_codec(out, kbps, kind, target_sr)
         write_wav(os.path.join(output_path, f"{stem}_{opt}.wav"),
                   out, target_sr)
     return len(opt_levels)
@@ -208,9 +212,10 @@ def compression_degrade(input_path: str, output_path: str,
                         target_sr: int = 16000, mode: str = "parallel",
                         seed: int = 0, jobs: int = 1) -> int:
     """(/root/reference/channel_simulation/simulated_compression.py:6-34):
-    RMS normalization to a random level then lossy transform-codec
-    compression (native MDCT band quantization at the mode's bitrate —
-    mp3-granule or aac frame sizes; not MPEG bit-compatible). ``jobs``
+    RMS normalization to a random level then lossy compression: mp3 runs
+    a real from-scratch MPEG Layer III codec (valid standard bitstreams,
+    native/augment/mp3.cc); aac runs the native MDCT transform codec
+    (codec-class, not an MPEG-4 bitstream). ``jobs``
     fans per-file work over a process pool with sampling kept on the main
     process (outputs identical for any value)."""
     rng = random.Random(seed)

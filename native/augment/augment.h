@@ -85,6 +85,20 @@ void mdct_codec_roundtrip(const float* in, float* out, size_t n,
 void telephony_channel(const float* in, float* out, size_t n, int in_rate,
                        int codec);
 
+/* ---- MPEG Layer III (mp3) codec, from scratch (mp3.cc). 16 kHz mono is
+ * MPEG-2 LSF (8..160 kbps); 32/44.1/48 kHz are MPEG-1 (32..320 kbps).
+ * mp3_encode returns bytes written or -1; size `out` via mp3_encode_bound.
+ * mp3_decode returns samples written or -1. mp3_roundtrip is the
+ * compression-augmentation hop (encode+decode+delay alignment), matching
+ * /root/reference/channel_simulation/simulated_compression.py:11-13. */
+long mp3_encode(const float* in, size_t n, int sample_rate, int kbps,
+                uint8_t* out, size_t out_cap);
+size_t mp3_encode_bound(size_t n, int sample_rate, int kbps);
+long mp3_decode(const uint8_t* data, size_t size, float* out,
+                size_t max_samples, int* sample_rate_out);
+void mp3_roundtrip(const float* in, float* out, size_t n, int sample_rate,
+                   float bitrate_kbps);
+
 /* ---- FLAC decoding (native, no external deps). Returns samples written
  * PER CHANNEL into `out` (interleaved int32, sign-extended to the stream's
  * bit depth), or -1 on malformed input. */

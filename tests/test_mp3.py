@@ -1,0 +1,309 @@
+"""From-scratch MPEG Layer III codec (native/augment/mp3.cc).
+
+Covers the reference's mp3 compression-augmentation capability
+(/root/reference/channel_simulation/simulated_compression.py:11-13:
+mp3 at 8/16/32 kbps) with REAL standard bitstreams:
+- frame-structure validity (sync, version, bitrate, exact frame sizes)
+- self round-trip SNR at every reference bitrate
+- bit-reservoir engagement (main_data_begin > 0) and decodability
+- MPEG-1 (32/44.1 kHz) and MPEG-2 LSF (16 kHz) paths
+- cross-validation against the system MPEG libraries when present:
+  mpg123 decodes our streams error-free and sample-identical to our
+  decoder; our decoder matches mpg123 on LAME-encoded streams.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from asvspoof2021_air_tpu.data import augment_host as ah
+
+SR = 16000
+
+
+def tone_noise(n, sr=SR, seed=0):
+    g = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    return (0.4 * np.sin(2 * np.pi * 440 * t) +
+            0.2 * np.sin(2 * np.pi * 1320 * t + 0.3) +
+            0.05 * g.standard_normal(n)).astype(np.float32)
+
+
+def snr_db(ref, test):
+    n = min(len(ref), len(test))
+    e = test[:n] - ref[:n]
+    return 10 * np.log10(np.dot(ref[:n], ref[:n]) / (np.dot(e, e) + 1e-12))
+
+
+def parse_frames(data: bytes):
+    """Minimal frame walker; returns list of dicts per frame."""
+    frames = []
+    pos = 0
+    br2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+    br1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    sr1, sr2 = [44100, 48000, 32000], [22050, 24000, 16000]
+    while pos + 4 <= len(data):
+        b = data[pos:pos + 4]
+        assert b[0] == 0xFF and (b[1] & 0xE0) == 0xE0, \
+            f"lost sync at byte {pos}"
+        version = (b[1] >> 3) & 3
+        layer = (b[1] >> 1) & 3
+        assert layer == 1  # Layer III
+        bidx = (b[2] >> 4) & 0xF
+        sridx = (b[2] >> 2) & 3
+        padding = (b[2] >> 1) & 1
+        if version == 3:
+            sr, kbps, per_frame = sr1[sridx], br1[bidx], 144
+            side = 17
+        else:
+            sr, kbps, per_frame = sr2[sridx], br2[bidx], 72
+            side = 9
+        nbytes = per_frame * kbps * 1000 // sr + padding
+        # main_data_begin: first 9 (MPEG1) / 8 (MPEG2) bits of side info
+        si = data[pos + 4:pos + 4 + side]
+        if version == 3:
+            mdb = (si[0] << 1) | (si[1] >> 7)
+        else:
+            mdb = si[0]
+        frames.append({"sr": sr, "kbps": kbps, "bytes": nbytes,
+                       "mpeg": 1 if version == 3 else 2, "mdb": mdb})
+        pos += nbytes
+    assert pos == len(data), "trailing bytes after last frame"
+    return frames
+
+
+def test_mp3_stream_structure():
+    x = tone_noise(SR)
+    data = ah.mp3_encode(x, 32, SR)
+    frames = parse_frames(data)
+    assert len(frames) >= len(x) // 576
+    for f in frames:
+        assert f["sr"] == SR and f["kbps"] == 32 and f["mpeg"] == 2
+        assert f["bytes"] == 144  # 72 * 32000 / 16000
+
+
+@pytest.mark.parametrize("kbps,min_snr", [(8, 12), (16, 14), (32, 19)])
+def test_mp3_roundtrip_reference_bitrates(kbps, min_snr):
+    """The reference's three mp3 modes; SNR floors from the measured
+    no-psychoacoustics operating points (15.4/17.0/22.3 dB)."""
+    x = tone_noise(2 * SR)
+    y = ah.mp3_codec(x, kbps, SR)
+    assert y.shape == x.shape
+    assert snr_db(x, y) > min_snr
+    # delay-aligned: zero-lag must beat +-2-sample misalignments
+    assert snr_db(x, y) > snr_db(x[2:], y[:-2])
+    assert snr_db(x, y) > snr_db(x[:-2], y[2:])
+
+
+def test_mp3_decode_own_stream():
+    x = tone_noise(SR)
+    data = ah.mp3_encode(x, 32, SR)
+    pcm, sr = ah.mp3_decode(data)
+    assert sr == SR
+    assert len(pcm) >= len(x)
+    # codec delay is fixed at 1057 samples
+    assert snr_db(x[:SR - 1100], pcm[1057:1057 + SR - 1100]) > 19
+
+
+def test_mp3_bit_reservoir_engages_and_decodes():
+    """Quiet lead-in accumulates reservoir slack; a loud transient then
+    borrows it: some frame must carry main_data_begin > 0, and the stream
+    must still decode cleanly."""
+    g = np.random.default_rng(1)
+    x = np.zeros(SR, np.float32)
+    x[:SR // 2] = 0.01 * g.standard_normal(SR // 2)
+    x[SR // 2:] = 0.9 * g.standard_normal(SR - SR // 2)
+    data = ah.mp3_encode(x, 16, SR)
+    frames = parse_frames(data)
+    assert any(f["mdb"] > 0 for f in frames), \
+        "bit reservoir never engaged"
+    assert all(f["mdb"] <= 255 for f in frames)
+    pcm, sr = ah.mp3_decode(data)
+    assert sr == SR and len(pcm) >= len(x)
+
+
+def test_mp3_mpeg1_rates():
+    """MPEG-1 layout (2 granules, 17-byte side info) at 32 kHz."""
+    sr = 32000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+    data = ah.mp3_encode(x, 64, sr)
+    frames = parse_frames(data)
+    assert frames[0]["mpeg"] == 1 and frames[0]["sr"] == sr
+    assert frames[0]["bytes"] == 144 * 64 * 1000 // sr
+    pcm, out_sr = ah.mp3_decode(data)
+    assert out_sr == sr
+    assert snr_db(x[:sr - 1200], pcm[1057:1057 + sr - 1200]) > 18
+
+
+def test_mp3_in_compression_degrade(tmp_path):
+    """cli.degrade compression writes real-mp3-processed wavs."""
+    from asvspoof2021_air_tpu.cli.degrade import compression_degrade
+    from asvspoof2021_air_tpu.data.audio_io import read_wav, write_wav
+
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    os.makedirs(src)
+    x = tone_noise(SR)
+    write_wav(str(src / "LA_T_0000001.wav"), x, SR)
+    n = compression_degrade(str(src), str(dst), SR, mode="parallel")
+    assert n == 6  # 3 mp3 + 3 aac modes
+    y, sr = read_wav(str(dst / "LA_T_0000001_mp3[32k].wav"), SR)
+    assert sr == SR and len(y) == len(x)
+    # level-normalized + coded: correlated but not identical
+    c = np.corrcoef(x, y)[0, 1]
+    assert 0.8 < c < 0.99999
+    assert not np.allclose(x, y)
+
+
+# ---------------- cross-validation against system MPEG libraries --------
+
+
+def _load_mpg123():
+    try:
+        lib = ctypes.CDLL("libmpg123.so.0")
+    except OSError:
+        return None
+    lib.mpg123_init()
+    lib.mpg123_new.restype = ctypes.c_void_p
+    lib.mpg123_new.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+    lib.mpg123_param.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_long, ctypes.c_double]
+    lib.mpg123_format_none.argtypes = [ctypes.c_void_p]
+    lib.mpg123_format.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                  ctypes.c_int, ctypes.c_int]
+    lib.mpg123_open_feed.argtypes = [ctypes.c_void_p]
+    lib.mpg123_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_size_t]
+    lib.mpg123_read.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_ubyte),
+                                ctypes.c_size_t,
+                                ctypes.POINTER(ctypes.c_size_t)]
+    lib.mpg123_getformat.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_long),
+                                     ctypes.POINTER(ctypes.c_int),
+                                     ctypes.POINTER(ctypes.c_int)]
+    lib.mpg123_delete.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def mpg123_decode(data: bytes):
+    lib = _load_mpg123()
+    err = ctypes.c_int(0)
+    h = lib.mpg123_new(None, ctypes.byref(err))
+    lib.mpg123_param(ctypes.c_void_p(h), 4, 0x20, 0.0)  # ADD_FLAGS QUIET
+    lib.mpg123_format_none(ctypes.c_void_p(h))
+    for rate in (16000, 22050, 24000, 32000, 44100, 48000):
+        lib.mpg123_format(ctypes.c_void_p(h), rate, 3, 0x200)  # FLOAT_32
+    assert lib.mpg123_open_feed(ctypes.c_void_p(h)) == 0
+    lib.mpg123_feed(ctypes.c_void_p(h), data, len(data))
+    out = bytearray()
+    errs = 0
+    buf = (ctypes.c_ubyte * 65536)()
+    done = ctypes.c_size_t(0)
+    while True:
+        rc = lib.mpg123_read(ctypes.c_void_p(h), buf, 65536,
+                             ctypes.byref(done))
+        out += bytes(buf[:done.value])
+        if rc == -11:  # NEW_FORMAT
+            continue
+        if rc in (-10, -12):  # NEED_MORE / DONE
+            break
+        if rc != 0:
+            errs += 1
+            if errs > 16:
+                break
+    lib.mpg123_delete(ctypes.c_void_p(h))
+    return np.frombuffer(bytes(out), np.float32), errs
+
+
+needs_mpg123 = pytest.mark.skipif(_load_mpg123() is None,
+                                  reason="libmpg123 not present")
+
+
+@needs_mpg123
+def test_mp3_stream_decodes_on_reference_decoder():
+    """Standard-compliance check: the system's mpg123 must decode our
+    frames without a single error and agree with our decoder sample-for-
+    sample (>100 dB)."""
+    x = tone_noise(SR)
+    for kbps in (8, 16, 32):
+        data = ah.mp3_encode(x, kbps, SR)
+        ref, errs = mpg123_decode(data)
+        assert errs == 0, f"mpg123 errors at {kbps} kbps"
+        own, sr = ah.mp3_decode(data)
+        assert sr == SR
+        n = min(len(ref), len(own))
+        assert n > SR
+        assert snr_db(ref[:n], own[:n]) > 100
+
+
+@needs_mpg123
+def test_mp3_reservoir_stream_on_reference_decoder():
+    g = np.random.default_rng(1)
+    x = np.zeros(SR, np.float32)
+    x[SR // 2:] = 0.9 * g.standard_normal(SR - SR // 2)
+    data = ah.mp3_encode(x, 16, SR)
+    assert any(f["mdb"] > 0 for f in parse_frames(data))
+    ref, errs = mpg123_decode(data)
+    assert errs == 0 and len(ref) > SR // 2
+
+
+def _lame_encode_long(x, sr, kbps):
+    try:
+        lame = ctypes.CDLL("libmp3lame.so.0")
+    except OSError:
+        return None
+    lame.lame_init.restype = ctypes.c_void_p
+    for f in ("lame_set_in_samplerate", "lame_set_num_channels",
+              "lame_set_mode", "lame_set_brate", "lame_set_out_samplerate",
+              "lame_set_bWriteVbrTag", "lame_set_no_short_blocks"):
+        getattr(lame, f).argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lame.lame_init_params.argtypes = [ctypes.c_void_p]
+    lame.lame_encode_buffer.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_short),
+        ctypes.POINTER(ctypes.c_short), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+    lame.lame_encode_flush.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+    lame.lame_close.argtypes = [ctypes.c_void_p]
+    gf = lame.lame_init()
+    lame.lame_set_in_samplerate(gf, sr)
+    lame.lame_set_num_channels(gf, 1)
+    lame.lame_set_mode(gf, 3)
+    lame.lame_set_brate(gf, kbps)
+    lame.lame_set_out_samplerate(gf, sr)
+    lame.lame_set_bWriteVbrTag(gf, 0)
+    lame.lame_set_no_short_blocks(gf, 1)
+    if lame.lame_init_params(gf) < 0:
+        return None
+    s16 = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    nbuf = len(s16) * 5 // 4 + 7200
+    buf = (ctypes.c_ubyte * nbuf)()
+    n = lame.lame_encode_buffer(
+        gf, s16.ctypes.data_as(ctypes.POINTER(ctypes.c_short)), None,
+        len(s16), buf, nbuf)
+    out = bytes(buf[:n])
+    n2 = lame.lame_encode_flush(gf, buf, nbuf)
+    out += bytes(buf[:n2])
+    lame.lame_close(gf)
+    return out
+
+
+@needs_mpg123
+def test_own_decoder_matches_reference_on_lame_stream():
+    """Decode a third-party (LAME, long-block) stream: our decoder must
+    agree with mpg123 to >100 dB — evidence the LSF scalefactor path,
+    reservoir handling, and requantization are standard."""
+    x = tone_noise(2 * SR)
+    lame = _lame_encode_long(x, SR, 32)
+    if lame is None:
+        pytest.skip("libmp3lame not present")
+    ref, errs = mpg123_decode(lame)
+    own, sr = ah.mp3_decode(lame)
+    assert sr == SR and errs == 0
+    n = min(len(ref), len(own))
+    assert n > SR
+    assert snr_db(ref[:n], own[:n]) > 100
