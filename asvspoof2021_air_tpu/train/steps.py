@@ -65,6 +65,7 @@ def make_train_step(
     classifier_tx: Optional[optax.GradientTransformation] = None,
     classifier2=None,
     frontend: Optional[Callable] = None,
+    grad_axis: Optional[str] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -73,6 +74,14 @@ def make_train_step(
     `frontend` (for waveform batches) is any fn(batch_dict, rng) -> (B, T, F)
     features — e.g. train.frontend.OnDeviceFrontend fusing augmentation +
     LFCC + padding policy into the step. Returns (new_state, metrics).
+
+    `grad_axis`: set to a mesh axis name when the step runs INSIDE a
+    shard_map with the batch sharded over that axis (the member x data
+    2-D ensemble mesh). Gradients, BN batch statistics, and metrics are
+    then pmean'd over the axis (equal shard sizes => identical to the
+    full-batch step), and the per-sample RNG stream is decorrelated
+    across shards by folding in the axis index. Under plain GSPMD
+    sharding leave it None — XLA inserts the all-reduces itself.
     """
 
     def apply_model(params, batch_stats, x, rngs):
@@ -139,6 +148,9 @@ def make_train_step(
         # per-step fold_in is an eager device op costing ~2.5 ms/call on the
         # axon backend, and int(state.step) would force a D2H sync.
         rng = jax.random.fold_in(rng, state.step)
+        if grad_axis is not None:
+            # distinct per-sample draws on each data shard
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(grad_axis))
         rngs = {
             "dropout": rng,
             "noise": jax.random.fold_in(rng, 1),
@@ -163,6 +175,20 @@ def make_train_step(
             (total, (metrics, new_bs, feats)), (grads, loss_grads) = grad_fn(
                 state.params, state.loss_params
             )
+        if grad_axis is not None:
+            # Under shard_map, gradients w.r.t. the data-axis-replicated
+            # params arrive auto-PSUMMED over grad_axis (the replicated->
+            # varying transpose rule); divide by the axis size to get the
+            # full-batch MEAN gradient. Forward values (loss, metrics, BN
+            # moments) are still per-shard: pmean them.
+            inv = 1.0 / jax.lax.psum(1.0 + 0.0 * total, grad_axis)
+            scale = lambda t: jax.tree.map(lambda g: g * inv, t)
+            grads = scale(grads)
+            if loss_grads is not None:
+                loss_grads = scale(loss_grads)
+            new_bs = jax.lax.pmean(new_bs, grad_axis)
+            metrics = jax.lax.pmean(metrics, grad_axis)
+            total = jax.lax.pmean(total, grad_axis)
 
         updates, new_opt = backbone_tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -190,14 +216,19 @@ def make_train_step(
                 (closs, cout), cgrads = jax.value_and_grad(clf_loss, has_aux=True)(
                     state.clf_params
                 )
+                if grad_axis is not None:
+                    cgrads = scale(cgrads)  # auto-psummed: normalize
+                    closs = jax.lax.pmean(closs, grad_axis)
                 cupd, new_clf_opt = classifier_tx.update(
                     cgrads, state.clf_opt_state, state.clf_params
                 )
                 new_clf_params = optax.apply_updates(state.clf_params, cupd)
                 metrics["clf_loss"] = closs
-                metrics["clf_acc"] = jnp.mean(
+                acc = jnp.mean(
                     (jnp.argmax(cout, 1) == batch["channel"]).astype(jnp.float32)
                 )
+                metrics["clf_acc"] = (jax.lax.pmean(acc, grad_axis)
+                                      if grad_axis is not None else acc)
             else:
                 def clf1_loss(cp):
                     out = classifier.apply({"params": cp}, detached, False)
@@ -213,6 +244,10 @@ def make_train_step(
                 (c2loss, _), g2 = jax.value_and_grad(clf2_loss, has_aux=True)(
                     state.clf2_params
                 )
+                if grad_axis is not None:
+                    g1, g2 = scale(g1), scale(g2)  # auto-psummed
+                    c1loss, c2loss = jax.lax.pmean((c1loss, c2loss),
+                                                   grad_axis)
                 u1, new_clf_opt = classifier_tx.update(
                     g1, state.clf_opt_state, state.clf_params
                 )
@@ -222,9 +257,11 @@ def make_train_step(
                 )
                 new_clf2_params = optax.apply_updates(state.clf2_params, u2)
                 metrics["clf_loss"] = c1loss + c2loss
-                metrics["clf_acc"] = jnp.mean(
+                acc = jnp.mean(
                     (jnp.argmax(c1out, 1) == batch["channel"][:, 0]).astype(jnp.float32)
                 )
+                metrics["clf_acc"] = (jax.lax.pmean(acc, grad_axis)
+                                      if grad_axis is not None else acc)
 
         metrics["total_loss"] = total
         new_state = dataclasses.replace(
