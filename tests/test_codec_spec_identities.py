@@ -1,0 +1,126 @@
+"""Analytic spec-identity tests for the native codec tier (VERDICT r1
+item 7): properties that the public standards fix in closed form, checked
+over the ENTIRE code space rather than sampled signals.
+
+docs/CODECS.md holds the per-codec fidelity matrix these tests back."""
+
+import ctypes
+
+import numpy as np
+
+from asvspoof2021_air_tpu.data import augment_host as ah
+
+
+def _lib():
+    lib = ah.get_lib()
+    for f in ("g711_ulaw_decode_sample", "g711_alaw_decode_sample"):
+        getattr(lib, f).restype = ctypes.c_int16
+        getattr(lib, f).argtypes = [ctypes.c_uint8]
+    for f in ("g711_ulaw_encode_sample", "g711_alaw_encode_sample"):
+        getattr(lib, f).restype = ctypes.c_uint8
+        getattr(lib, f).argtypes = [ctypes.c_int16]
+    return lib
+
+
+def _ulaw_decode_closed_form(code: int) -> int:
+    """ITU-T G.711 mu-law expansion: value = ((2m+33) << seg) - 33 in the
+    14-bit magnitude domain (x4 in 16-bit), sign in bit 7."""
+    c = ~code & 0xFF
+    seg = (c >> 4) & 7
+    mant = c & 0xF
+    mag = (((mant << 3) + 0x84) << seg) - 0x84
+    return -mag if (c & 0x80) else mag
+
+
+def _alaw_decode_closed_form(code: int) -> int:
+    """ITU-T G.711 A-law expansion with the 0x55 toggle."""
+    c = code ^ 0x55
+    seg = (c >> 4) & 7
+    mant = c & 0xF
+    if seg == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (seg - 1)
+    return mag if (c & 0x80) else -mag
+
+
+def test_g711_ulaw_full_table_identity():
+    lib = _lib()
+    for code in range(256):
+        assert lib.g711_ulaw_decode_sample(code) == \
+            _ulaw_decode_closed_form(code), code
+
+
+def test_g711_alaw_full_table_identity():
+    lib = _lib()
+    for code in range(256):
+        assert lib.g711_alaw_decode_sample(code) == \
+            _alaw_decode_closed_form(code), code
+
+
+def test_g711_quantizer_idempotent_over_all_codes():
+    """encode(decode(c)) == c for every code (both laws): each
+    reconstruction level must lie inside its own decision interval — the
+    defining property of the standard quantizer. (mu-law 0x7F/0xFF both
+    decode to 0; re-encoding zero canonically yields 0xFF.)"""
+    lib = _lib()
+    for code in range(256):
+        d = lib.g711_ulaw_decode_sample(code)
+        re = lib.g711_ulaw_encode_sample(d)
+        if d == 0:
+            assert re in (0x7F, 0xFF)
+        else:
+            assert re == code, (code, d, re)
+        d = lib.g711_alaw_decode_sample(code)
+        assert lib.g711_alaw_encode_sample(d) == code, code
+
+
+def test_g711_segment_structure():
+    """Structural identities of the companding laws: within each segment
+    the quantization step is constant (8<<seg for mu-law; 16 for A-law
+    segment 0, then 16<<(seg-1)), and mu-law is odd-symmetric via bit 7."""
+    lib = _lib()
+    for code in range(128):
+        assert lib.g711_ulaw_decode_sample(code) == \
+            -lib.g711_ulaw_decode_sample(code ^ 0x80)
+    for seg in range(8):
+        u_vals = sorted(abs(lib.g711_ulaw_decode_sample((~((seg << 4) | m))
+                                                        & 0x7F))
+                        for m in range(16))
+        u_steps = np.diff(u_vals)
+        assert (u_steps == 8 << seg).all(), (seg, u_steps)
+        a_vals = sorted(abs(lib.g711_alaw_decode_sample(
+            (((seg << 4) | m) ^ 0x55) & 0x7F)) for m in range(16))
+        a_steps = np.diff(a_vals)
+        a_expect = 16 if seg == 0 else 16 << (seg - 1)
+        assert (a_steps == a_expect).all(), (seg, a_steps)
+
+
+def test_gsmfr_packing_invariants():
+    """GSM 06.10 frame layout: exactly 260 bits packed into 33 bytes per
+    160-sample frame, every frame led by the 0xD magic nibble
+    (/root/reference's external tool produces the same conventional 'GSM
+    library' packing)."""
+    g = np.random.default_rng(0)
+    x = (0.3 * g.standard_normal(8000)).astype(np.float32)
+    frames = ah.gsmfr_encode(x)
+    n_frames = int(np.ceil(len(x) / 160))
+    assert len(frames) == n_frames * 33
+    for i in range(n_frames):
+        assert frames[i * 33] >> 4 == 0xD, f"frame {i} lost the magic"
+    # stream decodes to n_frames * 160 samples
+    pcm = ah.gsmfr_decode(frames)
+    assert len(pcm) == n_frames * 160
+
+
+def test_g726_is_documented_as_algorithmic_class():
+    """The G.726 tier is a floating-point signal-flow implementation, NOT
+    the ITU fixed-point tables (native/augment/g726.cc header). Guard the
+    documentation honesty: CODECS.md must not claim bit-exactness."""
+    with open("docs/CODECS.md") as f:
+        text = f.read()
+    assert "G.726" in text
+    g726_row = [ln for ln in text.splitlines() if "g726" in ln.lower()]
+    assert g726_row, "CODECS.md lost its G.726 rows"
+    assert not any("bit-exact" in ln.lower() for ln in g726_row), \
+        "G.726 must be documented as algorithmic-class, not bit-exact"
