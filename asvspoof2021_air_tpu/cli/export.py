@@ -79,11 +79,39 @@ def build_score_fn(model, variables, loss_mod, loss_vars, add_loss,
 
 def export_system(model_dir: str, output: str, batch_size: int = 64,
                   raw: bool = False, wave_seconds: float = 7.49,
-                  checkpoint: str = "best", check: bool = False) -> dict:
-    """Export a trained run to a StableHLO artifact; returns the metadata."""
+                  checkpoint: str = "best", check: bool = False,
+                  quantize: str = "none") -> dict:
+    """Export a trained run to a StableHLO artifact; returns the metadata.
+
+    quantize='int8' stores matmul/conv weights as int8 with per-channel
+    scales (ops/quantize.py); dequantization is traced into the artifact
+    so XLA fuses it into the weight reads. --check then also reports the
+    score deviation vs the float system."""
     model, variables, loss_mod, loss_vars, cfg = load_system(
         model_dir, checkpoint
     )
+    float_variables = variables
+    if quantize == "int8":
+        from asvspoof2021_air_tpu.ops.quantize import (
+            dequantize_tree,
+            quantize_tree_int8,
+            quantized_bytes,
+        )
+
+        def q_tree(v):
+            qt = quantize_tree_int8(v)
+            return qt, quantized_bytes(qt)
+
+        if cfg.ensemble > 1:
+            quants = [q_tree(v) for v in variables]
+            qbytes = sum(b[0] for _, b in quants)
+            fbytes = sum(b[1] for _, b in quants)
+            variables = [dequantize_tree(qt) for qt, _ in quants]
+        else:
+            qt, (qbytes, fbytes) = q_tree(variables)
+            variables = dequantize_tree(qt)
+    elif quantize != "none":
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     add_loss = cfg.add_loss
     frontend = None
     if cfg.model == "rawnet":
@@ -154,6 +182,15 @@ def export_system(model_dir: str, output: str, batch_size: int = 64,
                 f"roundtrip check failed: max diff "
                 f"{np.abs(got - want).max()}"
             )
+        if quantize == "int8":
+            # deviation of the quantized scorer vs the float system
+            float_fn = build_score_fn(model, float_variables, loss_mod,
+                                      loss_vars, add_loss, cfg.ensemble,
+                                      frontend)
+            ref = np.asarray(jax.jit(float_fn)(*test_args))
+            quant_dev = float(np.abs(got - ref).max())
+        else:
+            quant_dev = None
 
     meta = {
         "platforms": list(exported.platforms),
@@ -168,7 +205,13 @@ def export_system(model_dir: str, output: str, batch_size: int = 64,
             "(/root/reference/generate_score.py:114-119)"
         ),
         "bytes": len(blob),
+        "quantize": quantize,
     }
+    if quantize == "int8":
+        meta["param_bytes_int8"] = qbytes
+        meta["param_bytes_f32"] = fbytes
+        if check:
+            meta["quantized_score_max_dev"] = quant_dev
     os.makedirs(os.path.dirname(os.path.abspath(output)), exist_ok=True)
     with open(output, "wb") as f:
         f.write(blob)
@@ -194,6 +237,11 @@ def main(argv=None):
     p.add_argument("--check", action="store_true",
                    help="deserialize and verify against the live function "
                         "before writing")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="weights-only int8 with per-channel scales "
+                        "(ops/quantize.py); --check reports the score "
+                        "deviation vs the float system")
     args = p.parse_args(argv)
 
     ckpt = args.checkpoint
@@ -203,6 +251,7 @@ def main(argv=None):
         os.path.join(args.model_folder, args.model_name), args.output,
         batch_size=args.batch_size, raw=args.raw,
         wave_seconds=args.wave_seconds, checkpoint=ckpt, check=args.check,
+        quantize=args.quantize,
     )
     print(json.dumps(meta))
 

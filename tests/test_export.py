@@ -159,3 +159,54 @@ def test_export_rawnet(tmp_path):
     wave = g.standard_normal((2, n)).astype(np.float32)
     scores = np.asarray(back.call(wave, np.full((2,), n, np.int32)))
     assert scores.shape == (2,) and np.isfinite(scores).all()
+
+
+def test_export_int8_quantized(tmp_path):
+    """Weights-only int8 export: artifact loads, scores track the float
+    system closely, and metadata records the ~4x parameter-byte shrink."""
+    run = _make_run(tmp_path, "q8", enc_dim=32)
+    art = str(tmp_path / "q8.stablehlo")
+    meta = export_system(run, art, batch_size=B, check=True,
+                        quantize="int8")
+    assert meta["quantize"] == "int8"
+    assert meta["param_bytes_int8"] < 0.35 * meta["param_bytes_f32"]
+    # per-channel int8 on a random-init scorer stays close to float
+    assert meta["quantized_score_max_dev"] < 0.05
+
+    from jax import export as jax_export
+
+    with open(art, "rb") as f:
+        back = jax_export.deserialize(f.read())
+    g = np.random.default_rng(2)
+    feats = g.standard_normal((B, 32, 60)).astype(np.float32)
+    scores = np.asarray(back.call(feats))
+    assert scores.shape == (B,) and np.isfinite(scores).all()
+
+
+def test_quantize_roundtrip_numerics():
+    """ops/quantize: per-channel int8 reconstructs kernels to <1% relative
+    error and keeps small/1-D leaves exact."""
+    from asvspoof2021_air_tpu.ops.quantize import (
+        dequantize_tree,
+        quantize_tree_int8,
+        quantized_bytes,
+    )
+
+    g = np.random.default_rng(0)
+    params = {
+        "dense": {"kernel": g.standard_normal((64, 128)).astype(np.float32),
+                  "bias": g.standard_normal((128,)).astype(np.float32)},
+        "conv": {"kernel": (10 * g.standard_normal((3, 32, 64))
+                            ).astype(np.float32)},
+    }
+    qt = quantize_tree_int8(params)
+    back = dequantize_tree(qt)
+    np.testing.assert_array_equal(np.asarray(back["dense"]["bias"]),
+                                  params["dense"]["bias"])
+    for k, orig in (("dense", params["dense"]["kernel"]),
+                    ("conv", params["conv"]["kernel"])):
+        rec = np.asarray(back[k]["kernel"])
+        rel = np.abs(rec - orig).max() / np.abs(orig).max()
+        assert rel < 0.01, (k, rel)
+    qb, fb = quantized_bytes(qt)
+    assert qb < 0.35 * fb
