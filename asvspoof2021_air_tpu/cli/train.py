@@ -83,12 +83,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--on_device_aug", type=str2bool, nargs="?", const=True,
                    default=False,
                    help="per-utterance random channel simulation each step "
-                        "(on_the_fly mode); note dev monitoring stays clean "
-                        "in this mode — see README 'Deliberate behavioral "
-                        "deviations'")
+                        "(on_the_fly mode); dev monitoring stays clean "
+                        "unless --dev_aug is set — see README 'Deliberate "
+                        "behavioral deviations'")
     p.add_argument("--apply_ir", type=str2bool, nargs="?", const=True,
                    default=False,
                    help="also convolve a random impulse response (on_the_fly)")
+    p.add_argument("--dev_aug", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="monitor dev loss on a fixed-draw AUGMENTED dev "
+                        "view (on_the_fly+on_device_aug): the on-the-fly "
+                        "analog of the reference's mixed valOri+valAug "
+                        "selection; scoring/test_on_eval stay clean")
     p.add_argument("--auto_resume", type=str2bool, nargs="?", const=True,
                    default=False,
                    help="resume from the latest epoch checkpoint in out_fold")

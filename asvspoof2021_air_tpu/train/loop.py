@@ -100,6 +100,9 @@ class TrainConfig:
     # jitted step (no feature cache at all) — the TPU-native fast path.
     on_the_fly: bool = False
     on_device_aug: bool = False      # per-utterance random channel each step
+    dev_aug: bool = False            # on-the-fly: fixed-draw augmented dev
+                                     # monitoring (mirrors the reference's
+                                     # mixed-dev selection, main_train.py:489)
     apply_ir: bool = False           # + random impulse response from the bank
     # Fault tolerance: resume from the latest epoch checkpoint in out_fold
     # if one exists (preemption recovery; the reference has no equivalent).
@@ -258,14 +261,22 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
         classifier=classifier, classifier_tx=ctx, classifier2=classifier2,
         frontend=frontend,
     )
-    # Evaluation runs clean: the reference validates and tests on
-    # unaugmented features (/root/reference/main_train.py:489-668), so the
-    # eval step gets an augmenter-free view of the front-end.
+    # Evaluation/scoring runs clean (the reference tests on unaugmented
+    # features, /root/reference/main_train.py:616-668) — the eval step gets
+    # an augmenter-free view of the front-end. Dev-loss MONITORING with
+    # --dev_aug additionally gets an augmented variant with deterministic
+    # draws (the eval step always passes a fixed key, so every epoch sees
+    # the same augmented dev set — the on-the-fly analog of the
+    # reference's mixed valOri+valAug monitoring, main_train.py:489-577).
     eval_frontend = (
         frontend.eval_view() if hasattr(frontend, "eval_view") else frontend
     )
     raw_eval_step = make_eval_step(model, loss_mod, step_cfg,
                                    frontend=eval_frontend)
+    raw_dev_eval_step = raw_eval_step
+    if config.dev_aug and config.on_device_aug and frontend is not None:
+        raw_dev_eval_step = make_eval_step(model, loss_mod, step_cfg,
+                                           frontend=frontend)
 
     if config.ensemble > 1:
         from asvspoof2021_air_tpu.train.ensemble import (
@@ -280,11 +291,20 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
                                                   frontend=frontend)
         raw_eval_step = make_ensemble_eval_step(raw_eval_step,
                                                 frontend=eval_frontend)
+        if raw_dev_eval_step is not raw_eval_step:
+            raw_dev_eval_step = make_ensemble_eval_step(raw_dev_eval_step,
+                                                        frontend=frontend)
     else:
         state = make_state(rng)
 
     train_step = jax.jit(raw_train_step, donate_argnums=(0,))
     eval_step = jax.jit(raw_eval_step)
+    # dev-monitoring variant rides along as an attribute so the public
+    # 5-tuple (used by scoring/export) stays stable
+    eval_step.dev_eval_step = (
+        jax.jit(raw_dev_eval_step) if raw_dev_eval_step is not raw_eval_step
+        else eval_step
+    )
     return model, loss_mod, state, train_step, eval_step
 
 
@@ -472,14 +492,17 @@ def train(config: TrainConfig, train_set=None, dev_set=None, eval_set=None,
         _close_profile()
 
         # ---- validation (/root/reference/main_train.py:489-601) ----
+        # --dev_aug monitors an augmented (fixed-draw) dev view; scoring
+        # and test_on_eval below always run clean
+        dev_step = getattr(eval_step, "dev_eval_step", eval_step)
         dev_log = defaultdict(list)
         scores, labels, dev_feats, dev_tags = [], [], [], []
         for batch in dev_iter.epoch():
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if k != "fname"}, mesh
             )
-            metrics, score, feats = eval_step(state, device_batch,
-                                              frontend_params)
+            metrics, score, feats = dev_step(state, device_batch,
+                                             frontend_params)
             for k, v in metrics.items():
                 dev_log[k].append(float(v))
             scores.append(_fused_host_scores(score))

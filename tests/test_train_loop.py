@@ -410,3 +410,60 @@ def test_rawnet_rejects_add_loss(tmp_path):
     with pytest.raises(ValueError, match="base CE"):
         train(cfg, train_set=SyntheticRawDataset(seed=0),
               dev_set=SyntheticRawDataset(seed=1))
+
+
+def test_dev_aug_monitoring_variant(tmp_path):
+    import dataclasses
+
+    """--dev_aug builds a separate dev-monitoring eval step that applies
+    the on-device augmenter with deterministic draws; the public eval step
+    (scoring/test_on_eval) stays clean."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asvspoof2021_air_tpu.ops.augment import (
+        ChannelAugmenter,
+        synthetic_ir_bank,
+    )
+    from asvspoof2021_air_tpu.train.frontend import OnDeviceFrontend
+    from asvspoof2021_air_tpu.train.loop import TrainConfig, setup_training
+
+    fe = OnDeviceFrontend(
+        feat_len=40, padding="repeat",
+        augmenter=ChannelAugmenter(ir_bank=synthetic_ir_bank(2, 64),
+                                   n_fft=8192),
+        apply_ir=False, use_pallas=False,
+    )
+    config = TrainConfig(
+        out_fold=str(tmp_path / "r"), model="lcnn", add_loss="ang_iso",
+        batch_size=4, feat_len=40, enc_dim=16,
+        on_the_fly=True, on_device_aug=True, dev_aug=True,
+    )
+    _m, _l, state, _ts, eval_step = setup_training(
+        config, steps_per_epoch=2, frontend=fe
+    )
+    dev_step = eval_step.dev_eval_step
+    assert dev_step is not eval_step
+
+    g = np.random.default_rng(0)
+    n = fe.min_samples()
+    batch = {
+        "wave": jnp.asarray(g.standard_normal((4, n)), jnp.float32),
+        "length": jnp.full((4,), n, jnp.int32),
+        "label": jnp.asarray([0, 1, 0, 1], jnp.int32),
+    }
+    m1, s1, _ = dev_step(state, batch, fe.params)
+    m2, s2, _ = dev_step(state, batch, fe.params)
+    mc, sc, _ = eval_step(state, batch, fe.params)
+    # deterministic draws: identical across calls (= across epochs)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    # and genuinely augmented: differs from the clean eval view
+    assert not np.allclose(np.asarray(s1), np.asarray(sc))
+
+    # without the flag the attribute is the clean step itself
+    config2 = dataclasses.replace(config, dev_aug=False,
+                                  out_fold=str(tmp_path / "r2"))
+    _m, _l, _s, _ts, ev2 = setup_training(config2, steps_per_epoch=2,
+                                          frontend=fe)
+    assert ev2.dev_eval_step is ev2
