@@ -249,8 +249,52 @@ def stage_train_aug() -> dict:
     return out
 
 
+def stage_infer_fused() -> dict:
+    """Serving path with the fused Pallas attention-pooling kernel
+    (serving/ecapa_fused.py): vs stage_infer this replaces the HBM-bound
+    attention/softmax/stats section with one VMEM-resident kernel.
+    Measured as the round-2 structural perf experiment (docs/
+    PERFORMANCE.md roofline section records the result either way)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asvspoof2021_air_tpu.serving import ecapa_apply_fused
+
+    on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
+    variables = jax.jit(
+        lambda w: model.init({"params": rng}, lfcc(w)[:2], False)
+    )(wave)
+    loss_vars = ocs.init(rng, np.zeros((B, 256), np.float32), labels)
+    dtype = jnp.bfloat16 if on_tpu else None
+
+    @jax.jit
+    def infer(w, lab):
+        emb, logits = ecapa_apply_fused(
+            variables, lfcc(w), C=512, model_scale=8, dtype=dtype,
+        )
+        _loss, scores = ocs.apply(loss_vars, emb, lab)
+        return scores
+
+    jax.block_until_ready(infer(wave, labels))  # compile
+    n_iter = 20
+
+    def measure():
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            o = infer(wave, labels)
+        jax.block_until_ready(o)
+        return (time.perf_counter() - t0) / n_iter
+
+    dt, suspect = _timed_attempts(measure, floor_ms=2.0)
+    out = {"utt_s": B / dt, "ms_per_batch": dt * 1000}
+    if suspect:
+        out["suspect_timing"] = True
+    return out
+
+
 STAGES = {"infer": stage_infer, "train": stage_train,
           "train_aug": stage_train_aug,
+          "infer_fused": stage_infer_fused,
           "infer_b128": lambda: stage_infer(batch_mults=(1, 2))}
 
 
