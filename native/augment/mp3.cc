@@ -10,9 +10,12 @@
  * inverse alias butterflies -> Shine-style rate control (all-zero
  * scalefactors, global_gain binary search) -> Huffman coding with
  * per-region table selection + count1 tables -> frame packing with a bit
- * reservoir.  Decoder: full long-block Layer III path including MPEG-1
- * and LSF scalefactor reading, so it decodes third-party (e.g. LAME
- * --noshort) streams as well as its own.
+ * reservoir.  Decoder: full Layer III mono path — long blocks, short
+ * blocks (sfb reorder, subblock gains, 12-point IMDCT), transition
+ * window types 1/3, MPEG-1 and LSF scalefactors incl. scfsi reuse, bit
+ * reservoir — verified sample-identical (>126 dB) against the system's
+ * reference decoder on default-settings LAME streams at every Layer III
+ * rate, as well as on its own streams.
  *
  * All ISO tables in mp3_tables.h were recovered and verified by black-box
  * probing of the system's reference MPEG decoder (tools/mp3_tables/).
@@ -77,7 +80,11 @@ const double kCi[8] = {-0.6, -0.535, -0.33, -0.185,
                        -0.095, -0.041, -0.0142, -0.0037};
 double kCs[8], kCa[8];
 double kMdctM[36][18];     /* cos(pi/72 (2i+1+18)(2k+1)) */
-double kMdctWin[36];       /* sin(pi/36 (i+0.5)) */
+double kMdctWin[36];       /* sin(pi/36 (i+0.5)) (block type 0) */
+double kWinStart[36];      /* block type 1 (long->short transition) */
+double kWinStop[36];       /* block type 3 (short->long transition) */
+double kMdctMS[12][6];     /* short: cos(pi/24 (2i+1+6)(2k+1)) */
+double kMdctWinS[12];      /* short: sin(pi/12 (i+0.5)) */
 double kSynthN[64][32];    /* cos((2k+1)(j+16)pi/64) */
 double kAnaM[32][64];      /* cos((2k+1)(j-16)pi/64) */
 bool g_init_done = false;
@@ -92,6 +99,23 @@ void init_tables() {
     kMdctWin[i] = std::sin(M_PI / 36.0 * (i + 0.5));
     for (int k = 0; k < 18; ++k)
       kMdctM[i][k] = std::cos(M_PI / 72.0 * (2 * i + 1 + 18) * (2 * k + 1));
+  }
+  for (int i = 0; i < 36; ++i) {
+    /* ISO transition windows: start = long rise, flat, short fall;
+     * stop = mirrored */
+    if (i < 18) kWinStart[i] = std::sin(M_PI / 36.0 * (i + 0.5));
+    else if (i < 24) kWinStart[i] = 1.0;
+    else if (i < 30) kWinStart[i] = std::sin(M_PI / 12.0 * (i - 18 + 0.5));
+    else kWinStart[i] = 0.0;
+    if (i < 6) kWinStop[i] = 0.0;
+    else if (i < 12) kWinStop[i] = std::sin(M_PI / 12.0 * (i - 6 + 0.5));
+    else if (i < 18) kWinStop[i] = 1.0;
+    else kWinStop[i] = std::sin(M_PI / 36.0 * (i + 0.5));
+  }
+  for (int i = 0; i < 12; ++i) {
+    kMdctWinS[i] = std::sin(M_PI / 12.0 * (i + 0.5));
+    for (int k = 0; k < 6; ++k)
+      kMdctMS[i][k] = std::cos(M_PI / 24.0 * (2 * i + 1 + 6) * (2 * k + 1));
   }
   for (int j = 0; j < 64; ++j)
     for (int k = 0; k < 32; ++k)
@@ -720,10 +744,12 @@ class Mp3Decoder {
     r.pos = begin * 8;
     for (int gi = 0; gi < f->granules; ++gi) {
       double xr[576];
-      if (!decode_granule(&r, f, gi, xr)) {
+      int btype = 0;
+      if (!decode_granule(&r, f, gi, xr, &btype)) {
         std::memset(xr, 0, sizeof(xr));
+        btype = 0;
       }
-      synth_granule(xr, out);
+      synth_granule(xr, btype, out);
     }
     /* trim reservoir (keep the max addressable backlog) */
     size_t keep = 512;
@@ -733,18 +759,54 @@ class Mp3Decoder {
     }
   }
 
-  bool decode_granule(BitReader* r, FrameInfo* f, int gi, double* xr) {
+  bool decode_granule(BitReader* r, FrameInfo* f, int gi, double* xr,
+                      int* btype_out) {
     const SideGranule& g = f->gr[gi];
     size_t limit = r->pos + g.part2_3_length;
+    bool short_block = g.window_switching && g.block_type == 2;
+    *btype_out = g.window_switching ? g.block_type : 0;
     int scalefac[22] = {0};
-    /* ---- scalefactors (long blocks) ---- */
-    if (g.block_type == 2) {
-      /* short blocks unsupported: skip granule (encoder never emits them;
-       * third-party streams are decoded with --noshort in tests) */
+    int scalefac_s[13][3] = {{0}};
+    if (short_block && g.mixed) {
+      /* mixed blocks: not emitted by this encoder nor by LAME defaults */
       r->pos = limit;
       return false;
     }
-    if (f->mpeg == 1) {
+    if (short_block && f->mpeg == 1) {
+      /* 12 short bands x 3 windows, band-major (scfsi does not apply) */
+      int s1 = kSlen1[g.scalefac_compress], s2 = kSlen2[g.scalefac_compress];
+      for (int b = 0; b < 12; ++b) {
+        int sl = b < 6 ? s1 : s2;
+        for (int w = 0; w < 3; ++w)
+          scalefac_s[b][w] = sl ? static_cast<int>(r->get(sl)) : 0;
+      }
+    } else if (short_block) {
+      /* LSF short: the slen partitions scale to 36 scalefactors */
+      int sfc = g.scalefac_compress;
+      int slen[4], nr[4];
+      if (sfc < 400) {
+        slen[0] = (sfc >> 4) / 5; slen[1] = (sfc >> 4) % 5;
+        slen[2] = (sfc & 15) >> 2; slen[3] = sfc & 3;
+        nr[0] = 9; nr[1] = 9; nr[2] = 9; nr[3] = 9;
+      } else if (sfc < 500) {
+        int c = sfc - 400;
+        slen[0] = (c >> 2) / 5; slen[1] = (c >> 2) % 5;
+        slen[2] = c & 3; slen[3] = 0;
+        nr[0] = 9; nr[1] = 9; nr[2] = 12; nr[3] = 6;
+      } else {
+        int c = sfc - 500;
+        slen[0] = c / 3; slen[1] = c % 3; slen[2] = 0; slen[3] = 0;
+        nr[0] = 18; nr[1] = 18; nr[2] = 0; nr[3] = 0;
+      }
+      int idx = 0;
+      for (int part = 0; part < 4; ++part)
+        for (int i = 0; i < nr[part] && idx < 36; ++i, ++idx)
+          scalefac_s[idx / 3][idx % 3] =
+              slen[part] ? static_cast<int>(r->get(slen[part])) : 0;
+    } else if (f->mpeg == 1) {
+      /* scfsi reuse applies to any LONG-layout granule 1 — including the
+       * window-switching transition types 1/3 (LAME emits this); only
+       * short blocks always re-read */
       int s1 = kSlen1[g.scalefac_compress], s2 = kSlen2[g.scalefac_compress];
       for (int b = 0; b < 11; ++b) {
         if (gi == 1 && f->scfsi[b < 6 ? 0 : 1]) {
@@ -798,10 +860,20 @@ class Mp3Decoder {
     const int16_t* sfb = mp3tab::kSfbLong[f->mpeg - 1][f->sr_idx];
     int ix[576] = {0};
     int bv2 = g.big_values * 2;
-    int b1 = std::min<int>(sfb[g.region0_count + 1], bv2);
-    int b2 = std::min<int>(
-        sfb[std::min(g.region0_count + g.region1_count + 2, 22)], bv2);
-    int bounds[4] = {0, b1, b2, bv2};
+    int bounds[4];
+    if (g.window_switching) {
+      /* fixed regions, no region2: short blocks end region0 at 36 stored
+       * coefficients; transition types 1/3 at sfbLong[8] (both measured
+       * by probing the reference decoder, tools/mp3_tables/learn_short) */
+      int r0 = short_block ? mp3tab::kShortRegion0 : sfb[8];
+      int b1 = std::min<int>(r0, bv2);
+      bounds[0] = 0; bounds[1] = b1; bounds[2] = bv2; bounds[3] = bv2;
+    } else {
+      int b1 = std::min<int>(sfb[g.region0_count + 1], bv2);
+      int b2 = std::min<int>(
+          sfb[std::min(g.region0_count + g.region1_count + 2, 22)], bv2);
+      bounds[0] = 0; bounds[1] = b1; bounds[2] = b2; bounds[3] = bv2;
+    }
     for (int reg = 0; reg < 3; ++reg) {
       int tno = g.table_select[reg];
       const mp3tab::HuffTable& h = mp3tab::kHuff[tno];
@@ -844,6 +916,31 @@ class Mp3Decoder {
     /* ---- requantize ---- */
     double gain = std::pow(2.0, (g.global_gain - 210) / 4.0);
     double sf_mult = g.scalefac_scale ? 1.0 : 0.5;
+    if (short_block) {
+      /* stored order is scalefactor-band-major (W lines of window 0,
+       * then 1, then 2); requantize with the per-window gain and reorder
+       * into window-major spectra xr[w*192 + line] for the short IMDCT */
+      const int16_t* sfbS = mp3tab::kSfbShort[f->mpeg - 1][f->sr_idx];
+      double wgain[3];
+      for (int w = 0; w < 3; ++w)
+        wgain[w] = gain * std::pow(2.0, -2.0 * g.subblock_gain[w]);
+      std::memset(xr, 0, sizeof(double) * 576);
+      int pos = 0;
+      for (int b = 0; b < 13 && pos < 576; ++b) {
+        int W = sfbS[b + 1] - sfbS[b];
+        for (int w = 0; w < 3; ++w) {
+          /* band 12 (beyond the scalefactored range) uses scalefac 0 */
+          int sf = b < 12 ? scalefac_s[b][w] : 0;
+          double sc = wgain[w] * std::pow(2.0, -sf_mult * sf);
+          for (int l = 0; l < W; ++l, ++pos) {
+            double v = std::pow(std::fabs(static_cast<double>(ix[pos])),
+                                4.0 / 3.0);
+            xr[w * 192 + sfbS[b] + l] = (ix[pos] < 0 ? -v : v) * sc;
+          }
+        }
+      }
+      return true;
+    }
     int band = 0;
     for (int i = 0; i < 576; ++i) {
       while (band < 21 && i >= sfb[band + 1]) ++band;
@@ -856,27 +953,45 @@ class Mp3Decoder {
     return true;
   }
 
-  void synth_granule(const double* xr_in, vector<float>* out) {
+  void synth_granule(const double* xr_in, int btype, vector<float>* out) {
     double xr[576];
     std::memcpy(xr, xr_in, sizeof(xr));
-    /* alias reduction */
-    for (int b = 1; b < 32; ++b) {
-      for (int j = 0; j < 8; ++j) {
-        int lo = 18 * b - 1 - j, hi = 18 * b + j;
-        double a = xr[lo], c = xr[hi];
-        xr[lo] = a * kCs[j] - c * kCa[j];
-        xr[hi] = c * kCs[j] + a * kCa[j];
+    if (btype != 2) {
+      /* alias reduction (long and transition windows only) */
+      for (int b = 1; b < 32; ++b) {
+        for (int j = 0; j < 8; ++j) {
+          int lo = 18 * b - 1 - j, hi = 18 * b + j;
+          double a = xr[lo], c = xr[hi];
+          xr[lo] = a * kCs[j] - c * kCa[j];
+          xr[hi] = c * kCs[j] + a * kCa[j];
+        }
       }
     }
     /* IMDCT + overlap-add -> S[18][32] */
     double S[18][32];
+    const double* win = btype == 1 ? kWinStart
+                        : (btype == 3 ? kWinStop : kMdctWin);
     for (int sb = 0; sb < 32; ++sb) {
       double z[36];
-      for (int i = 0; i < 36; ++i) {
-        double acc = 0;
-        for (int k = 0; k < 18; ++k)
-          acc += kMdctM[i][k] * xr[sb * 18 + k];
-        z[i] = acc * kMdctWin[i];
+      if (btype == 2) {
+        /* three 12-point IMDCTs (6 lines each per window), short-sine
+         * windowed, composed at 6-sample offsets starting at 6 */
+        for (int i = 0; i < 36; ++i) z[i] = 0.0;
+        for (int w = 0; w < 3; ++w) {
+          const double* X = xr + w * 192 + sb * 6;
+          for (int i = 0; i < 12; ++i) {
+            double acc = 0;
+            for (int k = 0; k < 6; ++k) acc += kMdctMS[i][k] * X[k];
+            z[6 + 6 * w + i] += acc * kMdctWinS[i];
+          }
+        }
+      } else {
+        for (int i = 0; i < 36; ++i) {
+          double acc = 0;
+          for (int k = 0; k < 18; ++k)
+            acc += kMdctM[i][k] * xr[sb * 18 + k];
+          z[i] = acc * win[i];
+        }
       }
       for (int i = 0; i < 18; ++i) {
         S[i][sb] = z[i] + overlap_[sb][i];

@@ -307,3 +307,66 @@ def test_own_decoder_matches_reference_on_lame_stream():
     n = min(len(ref), len(own))
     assert n > SR
     assert snr_db(ref[:n], own[:n]) > 100
+
+
+@needs_mpg123
+def test_own_decoder_matches_reference_on_default_lame_stream():
+    """DEFAULT LAME settings (short blocks, transition windows, scfsi
+    reuse, bit reservoir all active — forced by a transient-heavy signal):
+    our decoder must agree with the reference decoder to >100 dB. Covers
+    the short-block path end to end (sfbIndexShort tables, stored-order
+    reorder, subblock gains, 12-point IMDCT, window types 1/2/3)."""
+    import ctypes as Ct
+
+    lame = Ct.CDLL("libmp3lame.so.0")
+    lame.lame_init.restype = Ct.c_void_p
+    for f in ("lame_set_in_samplerate", "lame_set_num_channels",
+              "lame_set_mode", "lame_set_brate", "lame_set_out_samplerate",
+              "lame_set_bWriteVbrTag"):
+        getattr(lame, f).argtypes = [Ct.c_void_p, Ct.c_int]
+    lame.lame_init_params.argtypes = [Ct.c_void_p]
+    lame.lame_encode_buffer.argtypes = [
+        Ct.c_void_p, Ct.POINTER(Ct.c_short), Ct.POINTER(Ct.c_short),
+        Ct.c_int, Ct.POINTER(Ct.c_ubyte), Ct.c_int]
+    lame.lame_encode_flush.argtypes = [
+        Ct.c_void_p, Ct.POINTER(Ct.c_ubyte), Ct.c_int]
+    lame.lame_close.argtypes = [Ct.c_void_p]
+
+    def encode(x, sr, kbps):
+        gf = lame.lame_init()
+        lame.lame_set_in_samplerate(gf, sr)
+        lame.lame_set_num_channels(gf, 1)
+        lame.lame_set_mode(gf, 3)
+        lame.lame_set_brate(gf, kbps)
+        lame.lame_set_out_samplerate(gf, sr)
+        lame.lame_set_bWriteVbrTag(gf, 0)
+        assert lame.lame_init_params(gf) >= 0
+        s16 = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+        nbuf = len(s16) * 5 // 4 + 7200
+        buf = (Ct.c_ubyte * nbuf)()
+        n = lame.lame_encode_buffer(
+            gf, s16.ctypes.data_as(Ct.POINTER(Ct.c_short)), None,
+            len(s16), buf, nbuf)
+        out = bytes(buf[:n])
+        n2 = lame.lame_encode_flush(gf, buf, nbuf)
+        out += bytes(buf[:n2])
+        lame.lame_close(gf)
+        return out
+
+    g = np.random.default_rng(7)
+    for sr, kbps in ((16000, 32), (32000, 64), (44100, 128)):
+        x = 0.05 * g.standard_normal(int(sr * 1.2))
+        for k in range(6):  # clicks force short-block switching
+            p = 2000 + k * int(sr * 0.17)
+            if p + 200 < len(x):
+                x[p:p + 200] += (np.sin(2 * np.pi * 3000 *
+                                        np.arange(200) / sr)
+                                 * np.exp(-np.arange(200) / 30) * 0.8)
+        stream = encode(x, sr, kbps)
+        ref, errs = mpg123_decode(stream)
+        assert errs == 0
+        own, out_sr = ah.mp3_decode(stream)
+        assert out_sr == sr
+        n = min(len(ref), len(own))
+        assert n > sr // 2
+        assert snr_db(ref[:n], own[:n]) > 100, (sr, kbps)

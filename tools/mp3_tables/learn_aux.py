@@ -13,6 +13,7 @@ the bit stream; supplying M complete codes with EXACT part2_3_length
 errors out (silence) iff M < needed.  Binary search the smallest M with
 output -> boundary = 2*M.
 """
+import os
 import sys
 import numpy as np
 

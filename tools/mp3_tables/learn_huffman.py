@@ -13,6 +13,7 @@ Non-aligned nodes are internal (Huffman trees are full): expand.
 Resolution picks candidates with k == signs + linbits*(#15s); table-level
 validation: prefix-free, Kraft sum == 1, full (xlen x ylen) coverage.
 """
+import os
 import sys
 import numpy as np
 

@@ -11,7 +11,9 @@ subband sample sequences.  Build the design matrix from our own IMDCT
 model and solve least squares; the residual validates the model
 conventions.
 """
+import os
 import sys
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
