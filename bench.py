@@ -310,7 +310,34 @@ def _run_stage_subprocess(name: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def _start_watchdog(seconds: float):
+    """The axon TPU relay can wedge for hours (device calls hang on the
+    tunnel socket, .claude/skills/verify/SKILL.md). Rather than hanging
+    the round driver, print an explicit error JSON and exit non-zero if
+    the benchmark has not finished in time."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "utterances/sec/chip, LFCC+ECAPA-512+OCSoftmax "
+                      "inference",
+            "value": 0,
+            "unit": "utt/s/chip",
+            "vs_baseline": 0,
+            "error": f"benchmark watchdog fired after {seconds:.0f}s — "
+                     "TPU backend unreachable (wedged relay?)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    _start_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1500")))
     if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
         print(json.dumps(STAGES[sys.argv[2]]()))
         return
