@@ -228,17 +228,34 @@ bool granule_encode(const int* ix, const int16_t* sfb, GranuleData* out) {
   int big_values = c1 / 2;
   if (big_values > 288) return false;
 
-  int r0 = 7, r1 = 7;
-  int b1 = std::min<int>(sfb[r0 + 1], c1);
-  int b2 = std::min<int>(sfb[r0 + r1 + 2], c1);
-  int bounds[4] = {0, b1, b2, c1};
-  int sel[3], cost = 0;
-  for (int r = 0; r < 3; ++r) {
-    int c;
-    sel[r] = best_table(ix, bounds[r], bounds[r + 1], &c);
-    if (sel[r] < 0) return false;
-    cost += c;
+  /* region partition search: boundaries snap to scalefactor bands; the
+   * best (region0_count, region1_count) split lets each region use a
+   * cheaper Huffman table */
+  static const int kR0R1[][2] = {{7, 7}, {4, 3}, {2, 2}, {9, 5},
+                                 {12, 3}, {15, 5}, {0, 1}, {5, 10}};
+  int r0 = 7, r1 = 7, sel[3] = {0, 0, 0}, cost = -1;
+  int bounds[4] = {0, 0, 0, c1};
+  for (const auto& cand : kR0R1) {
+    int b1 = std::min<int>(sfb[cand[0] + 1], c1);
+    int b2 = std::min<int>(sfb[std::min(cand[0] + cand[1] + 2, 22)], c1);
+    int cb[4] = {0, b1, b2, c1};
+    int csel[3], ccost = 0;
+    bool ok = true;
+    for (int r = 0; r < 3; ++r) {
+      int c;
+      csel[r] = best_table(ix, cb[r], cb[r + 1], &c);
+      if (csel[r] < 0) { ok = false; break; }
+      ccost += c;
+    }
+    if (!ok) continue;
+    if (cost < 0 || ccost < cost) {
+      cost = ccost;
+      r0 = cand[0]; r1 = cand[1];
+      for (int r = 0; r < 3; ++r) sel[r] = csel[r];
+      for (int r = 0; r < 4; ++r) bounds[r] = cb[r];
+    }
   }
+  if (cost < 0) return false;
   /* count1 table choice */
   int costA = 0, costB = 0;
   for (int q = 0; q < n_quads; ++q) {
