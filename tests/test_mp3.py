@@ -370,3 +370,56 @@ def test_own_decoder_matches_reference_on_default_lame_stream():
         n = min(len(ref), len(own))
         assert n > sr // 2
         assert snr_db(ref[:n], own[:n]) > 100, (sr, kbps)
+
+
+def test_mp3_decoder_robust_to_garbage_and_truncation():
+    """Malformed input must never crash or hang: random bytes, truncated
+    valid streams, and bit-flipped frames all decode to something (or
+    return -1) without memory errors."""
+    g = np.random.default_rng(3)
+    junk = bytes(g.integers(0, 256, 4096, dtype=np.uint8))
+    try:
+        pcm, sr = ah.mp3_decode(junk)
+        assert len(pcm) >= 0
+    except ValueError:
+        pass  # "malformed" is an acceptable answer
+    x = tone_noise(SR)
+    data = ah.mp3_encode(x, 32, SR)
+    for cut in (1, 7, len(data) // 3, len(data) - 5):
+        try:
+            pcm, sr = ah.mp3_decode(data[:cut])
+        except ValueError:
+            continue
+        assert np.isfinite(pcm).all()
+    flipped = bytearray(data)
+    for pos in g.integers(40, len(data), 64):
+        flipped[pos] ^= 1 << int(g.integers(0, 8))
+    pcm, sr = ah.mp3_decode(bytes(flipped))
+    assert np.isfinite(pcm).all()
+
+
+def test_mp3_tiny_and_empty_inputs():
+    y = ah.mp3_codec(np.zeros(100, np.float32), 16, SR)
+    assert y.shape == (100,)
+    data = ah.mp3_encode(np.zeros(576, np.float32), 8, SR)
+    assert len(data) > 0
+    parse_frames(data)
+
+
+def test_mp3_tables_header_regenerates_identically(tmp_path):
+    """gen_header.py is deterministic over the committed learned JSONs —
+    the committed mp3_tables.h is exactly what the tools produce."""
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    tools = tmp_path / "tools" / "mp3_tables"
+    shutil.copytree("tools/mp3_tables", tools)
+    native = tmp_path / "native" / "augment"
+    os.makedirs(native)
+    subprocess.run([_sys.executable, "gen_header.py"], cwd=tools, check=True)
+    with open(native / "mp3_tables.h") as f:
+        regenerated = f.read()
+    with open("native/augment/mp3_tables.h") as f:
+        committed = f.read()
+    assert regenerated == committed
