@@ -220,10 +220,12 @@ def make_member_data_parallel_step(train_step_sync: Callable,
     step).
 
     `train_step_sync` MUST be built with make_train_step(...,
-    grad_axis='data') — the inner pmean is what keeps a member's replicas
-    identical across its data shards. With equal shard sizes the update
-    is exactly the full-batch update (tested to float tolerance on the
-    virtual mesh).
+    grad_axis='data') — the inner gradient sync is what keeps a member's
+    replicas identical across its data shards. For BN-free models the
+    update equals the full-batch update exactly (tested to float
+    tolerance on the virtual mesh); BN models run per-replica batch
+    normalization over their local shard with synced running statistics
+    (see make_train_step's grad_axis note).
 
     The batch arrives replicated across 'model' and sharded over 'data';
     an 8-chip pod training a 2-member ensemble then also spreads each

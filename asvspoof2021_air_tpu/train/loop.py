@@ -289,11 +289,14 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
         raw_train_step = make_ensemble_train_step(raw_train_step,
                                                   config.ensemble,
                                                   frontend=frontend)
+        dev_differs = raw_dev_eval_step is not raw_eval_step
         raw_eval_step = make_ensemble_eval_step(raw_eval_step,
                                                 frontend=eval_frontend)
-        if raw_dev_eval_step is not raw_eval_step:
+        if dev_differs:
             raw_dev_eval_step = make_ensemble_eval_step(raw_dev_eval_step,
                                                         frontend=frontend)
+        else:
+            raw_dev_eval_step = raw_eval_step
     else:
         state = make_state(rng)
 

@@ -77,11 +77,17 @@ def make_train_step(
 
     `grad_axis`: set to a mesh axis name when the step runs INSIDE a
     shard_map with the batch sharded over that axis (the member x data
-    2-D ensemble mesh). Gradients, BN batch statistics, and metrics are
-    then pmean'd over the axis (equal shard sizes => identical to the
-    full-batch step), and the per-sample RNG stream is decorrelated
-    across shards by folding in the axis index. Under plain GSPMD
-    sharding leave it None — XLA inserts the all-reduces itself.
+    2-D ensemble mesh). Gradients and metrics are pmean'd over the axis,
+    and the per-sample RNG stream is decorrelated across shards by
+    folding in the axis index. For BN-free models the update is exactly
+    the full-batch update (equal shard sizes). BatchNorm models use
+    LOCAL-shard batch moments in the forward (per-replica BN, the
+    standard data-parallel design) with the running statistics pmean'd
+    for cross-shard consistency — so the update matches a full-batch
+    step up to the BN local-vs-global moment difference (and the pmean
+    of per-shard variances omits the between-shard mean variance).
+    Under plain GSPMD sharding leave it None — XLA computes global batch
+    moments and inserts the all-reduces itself.
     """
 
     def apply_model(params, batch_stats, x, rngs):

@@ -231,8 +231,9 @@ bool granule_encode(const int* ix, const int16_t* sfb, GranuleData* out) {
   /* region partition search: boundaries snap to scalefactor bands; the
    * best (region0_count, region1_count) split lets each region use a
    * cheaper Huffman table */
+  /* region1_count is a 3-bit field: candidates must keep r1 <= 7 */
   static const int kR0R1[][2] = {{7, 7}, {4, 3}, {2, 2}, {9, 5},
-                                 {12, 3}, {15, 5}, {0, 1}, {5, 10}};
+                                 {12, 3}, {15, 5}, {0, 1}, {5, 7}};
   int r0 = 7, r1 = 7, sel[3] = {0, 0, 0}, cost = -1;
   int bounds[4] = {0, 0, 0, c1};
   for (const auto& cand : kR0R1) {
@@ -876,7 +877,9 @@ class Mp3Decoder {
     /* ---- Huffman data ---- */
     const int16_t* sfb = mp3tab::kSfbLong[f->mpeg - 1][f->sr_idx];
     int ix[576] = {0};
-    int bv2 = g.big_values * 2;
+    /* big_values is a 9-bit field (max 511) but only 288 pairs fit the
+     * spectrum; clamp so hostile streams cannot write past ix[576] */
+    int bv2 = std::min(g.big_values, 288) * 2;
     int bounds[4];
     if (g.window_switching) {
       /* fixed regions, no region2: short blocks end region0 at 36 stored

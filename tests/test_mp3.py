@@ -423,3 +423,36 @@ def test_mp3_tables_header_regenerates_identically(tmp_path):
     with open("native/augment/mp3_tables.h") as f:
         committed = f.read()
     assert regenerated == committed
+
+
+def test_mp3_high_bitrate_roundtrip():
+    """High-rate round trip: at 160 kbps the codec must be near-
+    transparent (>30 dB). Regression guard for the region-candidate bug
+    where an unrepresentable region1_count desynced the declared and
+    packed region boundaries (caught by review, round 2)."""
+    x = tone_noise(2 * SR, seed=2)
+    y = ah.mp3_codec(x, 160, SR)
+    assert snr_db(x, y) > 30
+
+
+def test_mp3_decoder_rejects_oversized_big_values():
+    """A hostile frame can declare big_values up to 511 (9-bit field) =
+    1022 coefficients; the decoder must clamp to the 576-line spectrum
+    (stack-overflow regression guard, caught by ASan in review)."""
+    # MPEG-2 16 kHz 32 kbps frame: header + side info declaring
+    # big_values=511, part2_3_length=4095, table 1, then all-ones data
+    def bits(v, n):
+        return format(v, f"0{n}b")
+    s = bits(0x7FF, 11) + "10" + "01" + "1" + bits(4, 4) + "10" + "0" + "0"
+    s += "11" + "00" + "0" + "1" + "00"
+    s += bits(0, 8) + "0"                      # main_data_begin, private
+    s += bits(4095, 12) + bits(511, 9) + bits(210, 8) + bits(0, 9)
+    s += "0" + bits(1, 5) * 3 + bits(7, 4) + bits(7, 3) + "0" + "0"
+    frame_len = 72 * 32000 // 16000
+    s += "1" * (frame_len * 8 - len(s))
+    data = bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8)) * 4
+    try:
+        pcm, sr = ah.mp3_decode(data)
+        assert np.isfinite(pcm).all()
+    except ValueError:
+        pass

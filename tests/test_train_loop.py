@@ -467,3 +467,12 @@ def test_dev_aug_monitoring_variant(tmp_path):
     _m, _l, _s, _ts, ev2 = setup_training(config2, steps_per_epoch=2,
                                           frontend=fe)
     assert ev2.dev_eval_step is ev2
+
+    # ensembles must keep the clean dev step too when dev_aug is off
+    # (regression: the identity check used to run after the ensemble wrap,
+    # silently re-wrapping the dev step with the augmenting frontend)
+    config3 = dataclasses.replace(config, dev_aug=False, ensemble=2,
+                                  out_fold=str(tmp_path / "r3"))
+    _m, _l, _s, _ts, ev3 = setup_training(config3, steps_per_epoch=2,
+                                          frontend=fe)
+    assert ev3.dev_eval_step is ev3
