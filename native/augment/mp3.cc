@@ -181,12 +181,19 @@ PairCost huff_cost(int tno, const int* ix, int lo, int hi) {
 
 const int kNonEsc[13] = {1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15};
 
+int table_capacity(int tno) {
+  const mp3tab::HuffTable& h = mp3tab::kHuff[tno];
+  if (h.codes == nullptr) return -1;
+  return h.linbits ? 15 + ((1 << h.linbits) - 1) : h.xlen - 1;
+}
+
 int best_table(const int* ix, int lo, int hi, int* cost_out) {
   int mx = 0;
   for (int i = lo; i < hi; ++i) mx = std::max(mx, std::abs(ix[i]));
   if (hi <= lo || mx == 0) { *cost_out = 0; return 0; }
   int best = -1, best_cost = 0;
   for (int t = 0; t < 13; ++t) {
+    if (table_capacity(kNonEsc[t]) < mx) continue;
     PairCost c = huff_cost(kNonEsc[t], ix, lo, hi);
     if (c.ok && (best < 0 || c.bits < best_cost)) {
       best = kNonEsc[t];
@@ -194,6 +201,7 @@ int best_table(const int* ix, int lo, int hi, int* cost_out) {
     }
   }
   for (int t = 16; t < 32; ++t) {
+    if (table_capacity(t) < mx) continue;
     PairCost c = huff_cost(t, ix, lo, hi);
     if (c.ok && (best < 0 || c.bits < best_cost)) {
       best = t;
@@ -236,6 +244,20 @@ bool granule_encode(const int* ix, const int16_t* sfb, GranuleData* out) {
                                  {12, 3}, {15, 5}, {0, 1}, {5, 7}};
   int r0 = 7, r1 = 7, sel[3] = {0, 0, 0}, cost = -1;
   int bounds[4] = {0, 0, 0, c1};
+  /* candidates share boundaries: memoize (lo,hi) -> (table, bits) */
+  struct Memo { int lo, hi, tno, bits; };
+  Memo memo[24];
+  int n_memo = 0;
+  auto region_best = [&](int lo, int hi, int* c) {
+    for (int m = 0; m < n_memo; ++m)
+      if (memo[m].lo == lo && memo[m].hi == hi) {
+        *c = memo[m].bits;
+        return memo[m].tno;
+      }
+    int tno = best_table(ix, lo, hi, c);
+    if (n_memo < 24) memo[n_memo++] = {lo, hi, tno, *c};
+    return tno;
+  };
   for (const auto& cand : kR0R1) {
     int b1 = std::min<int>(sfb[cand[0] + 1], c1);
     int b2 = std::min<int>(sfb[std::min(cand[0] + cand[1] + 2, 22)], c1);
@@ -244,7 +266,7 @@ bool granule_encode(const int* ix, const int16_t* sfb, GranuleData* out) {
     bool ok = true;
     for (int r = 0; r < 3; ++r) {
       int c;
-      csel[r] = best_table(ix, cb[r], cb[r + 1], &c);
+      csel[r] = region_best(cb[r], cb[r + 1], &c);
       if (csel[r] < 0) { ok = false; break; }
       ccost += c;
     }

@@ -15,7 +15,12 @@ Run: python tools/perf/roofline.py [--json]
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 
 import numpy as np
 
