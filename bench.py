@@ -343,8 +343,18 @@ def main():
         return
     isolated = "--isolated" in sys.argv[1:]
 
+    import jax
+
+    # The fused Pallas attention-pooling serving path (serving/ecapa_fused)
+    # is the production serving configuration on TPU (~3% faster end to end,
+    # numerically verified vs the standard forward in
+    # tests/test_attn_pool_pallas.py); measure both and headline the best.
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    stage_names = (("infer", "infer_fused", "train", "train_aug") if on_tpu
+                   else ("infer", "train", "train_aug"))
+
     results = {}
-    for name in ("infer", "train", "train_aug"):
+    for name in stage_names:
         if isolated:
             try:
                 results[name] = _run_stage_subprocess(name)
@@ -359,29 +369,48 @@ def main():
         if isolated:
             results[name]["isolated"] = False
 
-    import jax
-
-    infer64 = results["infer"]["b64"]
-    result = {
-        "metric": "utterances/sec/chip, LFCC+ECAPA-512+OCSoftmax inference "
-                  "(B=64, 7.49s audio, fused front-end, bf16 compute)",
-        "value": round(infer64["utt_s"], 1),
-        "unit": "utt/s/chip",
-        "vs_baseline": round(infer64["utt_s"] / BASELINE_CPU_UTT_PER_SEC, 1),
-        "train_utt_s_per_chip": round(results["train"]["utt_s"], 1),
-        "train_aug_utt_s_per_chip": round(results["train_aug"]["utt_s"], 1),
-        "inference_ms_per_batch": round(infer64["ms_per_batch"], 2),
-        "train_ms_per_step": round(results["train"]["ms_per_step"], 2),
-        "batch_size": B,
-        "device": str(jax.devices()[0]),
-    }
-    if any(v.get("suspect_timing") for v in (infer64, results["train"],
-                                             results["train_aug"])):
-        result["suspect_timing"] = True
+    result = _assemble_result(results, str(jax.devices()[0]))
     if isolated:
         result["isolated"] = {n: results[n].get("isolated", False)
-                              for n in ("infer", "train", "train_aug")}
+                              for n in stage_names}
     print(json.dumps(result))
+
+
+def _assemble_result(results: dict, device: str) -> dict:
+    """Fold per-stage measurements into the ONE-line driver JSON. The
+    headline is the best non-suspect serving path (standard forward vs the
+    fused Pallas attention-pooling serving graph)."""
+    infer64 = results["infer"]["b64"]
+    serving = {"standard": infer64}
+    if "infer_fused" in results:
+        serving["fused_attn_pool"] = results["infer_fused"]
+    viable = {k: v for k, v in serving.items()
+              if not v.get("suspect_timing")} or serving
+    best_name = max(viable, key=lambda k: viable[k]["utt_s"])
+    best = serving[best_name]
+    result = {
+        "metric": "utterances/sec/chip, LFCC+ECAPA-512+OCSoftmax inference "
+                  "(B=64, 7.49s audio, fused front-end, bf16 compute, "
+                  "best serving path)",
+        "value": round(best["utt_s"], 1),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(best["utt_s"] / BASELINE_CPU_UTT_PER_SEC, 1),
+        "train_utt_s_per_chip": round(results["train"]["utt_s"], 1),
+        "train_aug_utt_s_per_chip": round(results["train_aug"]["utt_s"], 1),
+        "inference_ms_per_batch": round(best["ms_per_batch"], 2),
+        "train_ms_per_step": round(results["train"]["ms_per_step"], 2),
+        "serving_path": best_name,
+        "infer_standard_utt_s": round(infer64["utt_s"], 1),
+        "batch_size": B,
+        "device": device,
+    }
+    if "infer_fused" in results:
+        result["infer_fused_utt_s"] = round(
+            results["infer_fused"]["utt_s"], 1)
+    if any(v.get("suspect_timing") for v in (best, infer64, results["train"],
+                                             results["train_aug"])):
+        result["suspect_timing"] = True
+    return result
 
 
 if __name__ == "__main__":

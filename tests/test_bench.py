@@ -20,6 +20,38 @@ def test_timed_attempts_retries_then_accepts():
     assert dt == 0.0205 and suspect is False
 
 
+def _results(fused=None):
+    r = {
+        "infer": {"b64": {"utt_s": 8000.0, "ms_per_batch": 8.0}},
+        "train": {"utt_s": 2650.0, "ms_per_step": 24.1},
+        "train_aug": {"utt_s": 2140.0, "ms_per_step": 29.9},
+    }
+    if fused is not None:
+        r["infer_fused"] = fused
+    return r
+
+
+def test_assemble_headlines_faster_fused_path():
+    out = bench._assemble_result(
+        _results({"utt_s": 8150.0, "ms_per_batch": 7.85}), "tpu0")
+    assert out["value"] == 8150.0
+    assert out["serving_path"] == "fused_attn_pool"
+    assert out["infer_standard_utt_s"] == 8000.0
+    assert "suspect_timing" not in out
+
+
+def test_assemble_ignores_suspect_fused_reading():
+    fused = {"utt_s": 90000.0, "ms_per_batch": 0.7, "suspect_timing": True}
+    out = bench._assemble_result(_results(fused), "tpu0")
+    assert out["value"] == 8000.0 and out["serving_path"] == "standard"
+
+
+def test_assemble_without_fused_stage_uses_standard():
+    out = bench._assemble_result(_results(), "cpu0")
+    assert out["value"] == 8000.0 and out["serving_path"] == "standard"
+    assert "infer_fused_utt_s" not in out
+
+
 def test_timed_attempts_flags_persistent_glitch():
     """If every attempt stays below the plausibility floor, the max is
     recorded and suspect=True — BENCH json must never contain a physically
