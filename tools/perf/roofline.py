@@ -190,13 +190,21 @@ def measure(fn, args, n_iter=30, flops=0):
         jax.block_until_ready(o)
         return (time.perf_counter() - t0) / n_iter
 
+    return _guarded_timing(one, floor)
+
+
+def _guarded_timing(one, floor, max_attempts=8, want=3):
+    """Collect timing attempts from `one()` until `want` clear the
+    plausibility `floor` (seconds); return (min plausible, False). If none
+    of `max_attempts` clears it, return (max attempt, True) — the
+    least-glitched reading, flagged suspect."""
     plausible, attempts = [], []
-    for _ in range(8):
+    for _ in range(max_attempts):
         dt = one()
         attempts.append(dt)
         if dt >= floor:
             plausible.append(dt)
-            if len(plausible) >= 3:
+            if len(plausible) >= want:
                 break
     if plausible:
         return min(plausible), False
