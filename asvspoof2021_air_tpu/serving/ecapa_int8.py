@@ -1,0 +1,155 @@
+"""Int8-quantized ECAPA serving forward (framework-original).
+
+The reference serves float32 torch graphs (/root/reference/test.py:24-49);
+this path targets the TPU v5e MXU's 2x int8 throughput (394 vs 197
+TOP/s): the matmul-dominant stages — the res2 1x1 convs (32% of graph
+FLOPs) and the MFA projection (48%) — run as int8 x int8 -> int32 dots
+with per-output-channel symmetric weight scales and per-tensor dynamic
+activation scales, while everything range-sensitive or FLOP-light (stem,
+64-wide chains, SE gates, attention, pooling, head) stays in bf16/f32.
+
+Weights are quantized INSIDE the jitted graph from the ordinary float
+variables tree (one (K, N) elementwise pass per layer, amortized to
+noise next to the (B*T, K, N) dot), so this function serves the exact
+checkpoint a trained ECAPA_TDNN produced — no separate quantized
+artifact needed. `ops/quantize.py` remains the storage-size story;
+this module is the compute story.
+
+Accuracy: embedding cosine vs the f32 graph is pinned by
+tests/test_ecapa_int8.py. Throughput: measured either way in
+docs/PERFORMANCE.md ("int8 serving" experiment).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from asvspoof2021_air_tpu.models.common import BN_EPS
+from asvspoof2021_air_tpu.ops.attn_pool_pallas import fused_attention_pooling
+from asvspoof2021_air_tpu.serving.ecapa_fused import _Head
+
+
+def _bn_inf(p, bs, x, dtype):
+    """Inference BatchNorm from params/batch_stats subtrees."""
+    inv = p["scale"] / jnp.sqrt(bs["var"] + BN_EPS)
+    return x * inv.astype(dtype) + (p["bias"] - bs["mean"] * inv).astype(dtype)
+
+
+def _quant_w(w):
+    """Per-output-channel symmetric int8 weight quantization.
+
+    w: (K, N) float -> (int8 (K, N), f32 scale (N,)); computed in-graph,
+    constant-foldable when weights are donated/closed over."""
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
+    return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s
+
+
+def _qdot(x, w8, ws, dtype):
+    """x (..., K) float @ int8 weights -> dtype, int32 accumulation.
+
+    Activation scale is per-tensor and dynamic (one max-reduce per call);
+    the quant math runs in f32 so bf16 inputs don't double-round."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    x8 = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x8, w8, (((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(dtype) * (s * ws).astype(dtype)
+
+
+def _conv1d(x, kernel, bias, dtype, *, pad, dilation=1):
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(dtype), (1,), [(pad, pad)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return out + bias.astype(dtype)
+
+
+def _block_int8(p, bs, x, dilation, dtype, scale=8):
+    """Bottle2neck (models/ecapa.py:27-68) with int8 1x1 convs."""
+    residual = x
+    w8, ws = _quant_w(p["Conv_0"]["kernel"][0])
+    out = _qdot(x, w8, ws, dtype) + p["Conv_0"]["bias"].astype(dtype)
+    out = jax.nn.relu(out)
+    out = _bn_inf(p["BatchNorm_0"], bs["BatchNorm_0"], out, dtype)
+
+    groups = jnp.split(out, scale, axis=-1)
+    outs, sp = [], None
+    for i in range(scale - 1):
+        sp = groups[i] if i == 0 else sp + groups[i]
+        sp = _conv1d(sp, p[f"Conv_{i + 1}"]["kernel"],
+                     p[f"Conv_{i + 1}"]["bias"], dtype,
+                     pad=dilation, dilation=dilation)
+        sp = jax.nn.relu(sp)
+        sp = _bn_inf(p[f"BatchNorm_{i + 1}"], bs[f"BatchNorm_{i + 1}"],
+                     sp, dtype)
+        outs.append(sp)
+    outs.append(groups[-1])
+    out = jnp.concatenate(outs, axis=-1)
+
+    w8, ws = _quant_w(p[f"Conv_{scale}"]["kernel"][0])
+    out = _qdot(out, w8, ws, dtype) + p[f"Conv_{scale}"]["bias"].astype(dtype)
+    out = jax.nn.relu(out)
+    out = _bn_inf(p[f"BatchNorm_{scale}"], bs[f"BatchNorm_{scale}"],
+                  out, dtype)
+
+    se_p, se_bs = p["SEModule1D_0"], bs["SEModule1D_0"]
+    y = jnp.mean(out, axis=1)
+    y = y @ se_p["Dense_0"]["kernel"].astype(dtype) \
+        + se_p["Dense_0"]["bias"].astype(dtype)
+    y = jax.nn.relu(y)
+    y = _bn_inf(se_p["BatchNorm_0"], se_bs["BatchNorm_0"], y, dtype)
+    y = y @ se_p["Dense_1"]["kernel"].astype(dtype) \
+        + se_p["Dense_1"]["bias"].astype(dtype)
+    y = jax.nn.sigmoid(y)
+    return out * y[:, None, :] + residual
+
+
+def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
+                     enc_dim: int = 256, n_out: int = 2,
+                     dtype=jnp.bfloat16, interpret: bool = False):
+    """(embedding, logits) for ECAPA inference with int8 matmul compute,
+    from the SAME variables tree a trained ECAPA_TDNN produced.
+
+    Mirrors serving/ecapa_fused.ecapa_apply_fused (fused Pallas
+    attention-pooling middle section) with the trunk's 1x1/MFA matmuls
+    quantized. Module-name aliasing against models/ecapa.py is pinned by
+    tests/test_ecapa_int8.py."""
+    p, bs = variables["params"], variables["batch_stats"]
+    x = _conv1d(feats.astype(dtype), p["Conv_0"]["kernel"],
+                p["Conv_0"]["bias"], dtype, pad=2)
+    x = jax.nn.relu(x)
+    x = _bn_inf(p["BatchNorm_0"], bs["BatchNorm_0"], x, dtype)
+
+    x1 = _block_int8(p["Bottle2neck_0"], bs["Bottle2neck_0"], x, 2, dtype,
+                     scale=model_scale)
+    x2 = _block_int8(p["Bottle2neck_1"], bs["Bottle2neck_1"], x1, 3, dtype,
+                     scale=model_scale)
+    x3 = _block_int8(p["Bottle2neck_2"], bs["Bottle2neck_2"], x2, 4, dtype,
+                     scale=model_scale)
+
+    # MFA as three int8 dots (each slice gets its own activation scale);
+    # the (B, T, 3C) concat never materializes (models/ecapa.py:109-123)
+    C = x1.shape[-1]
+    w4 = p["mfa_kernel"]
+    acc = None
+    for xi, sl in ((x1, slice(0, C)), (x2, slice(C, 2 * C)),
+                   (x3, slice(2 * C, 3 * C))):
+        w8, ws = _quant_w(w4[sl])
+        term = _qdot(xi, w8, ws, dtype)
+        acc = term if acc is None else acc + term
+    x = jax.nn.relu(acc + p["mfa_bias"].astype(dtype))
+
+    bn_vars = {
+        "scale": p["BatchNorm_1"]["scale"],
+        "bias": p["BatchNorm_1"]["bias"],
+        "mean": bs["BatchNorm_1"]["mean"],
+        "var": bs["BatchNorm_1"]["var"],
+    }
+    pooled = fused_attention_pooling(
+        x, p["attn_kernel"], p["attn_bias"], bn_vars,
+        p["Conv_1"]["kernel"], p["Conv_1"]["bias"], interpret=interpret)
+    head = _Head(enc_dim=enc_dim, n_out=n_out, dtype=dtype)
+    return head.apply(variables, pooled)

@@ -292,9 +292,54 @@ def stage_infer_fused() -> dict:
     return out
 
 
+def stage_infer_int8() -> dict:
+    """Serving path with int8 matmul compute on the trunk's 1x1/MFA
+    matmuls (serving/ecapa_int8.py) + the fused pooling kernel: probes
+    whether the v5e's 2x int8 MXU throughput survives the added
+    quantize/dequantize traffic end to end. Numerics pinned by
+    tests/test_ecapa_int8.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from asvspoof2021_air_tpu.serving.ecapa_int8 import ecapa_apply_int8
+
+    on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
+    variables = jax.jit(
+        lambda w: model.init({"params": rng}, lfcc(w)[:2], False)
+    )(wave)
+    loss_vars = ocs.init(rng, np.zeros((B, 256), np.float32), labels)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    @jax.jit
+    def infer(w, lab):
+        emb, logits = ecapa_apply_int8(
+            variables, lfcc(w), model_scale=8, dtype=dtype,
+            interpret=not on_tpu,
+        )
+        _loss, scores = ocs.apply(loss_vars, emb, lab)
+        return scores
+
+    jax.block_until_ready(infer(wave, labels))  # compile
+    n_iter = 20
+
+    def measure():
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            o = infer(wave, labels)
+        jax.block_until_ready(o)
+        return (time.perf_counter() - t0) / n_iter
+
+    dt, suspect = _timed_attempts(measure, floor_ms=1.5)
+    out = {"utt_s": B / dt, "ms_per_batch": dt * 1000}
+    if suspect:
+        out["suspect_timing"] = True
+    return out
+
+
 STAGES = {"infer": stage_infer, "train": stage_train,
           "train_aug": stage_train_aug,
           "infer_fused": stage_infer_fused,
+          "infer_int8": stage_infer_int8,
           "infer_b128": lambda: stage_infer(batch_mults=(1, 2))}
 
 
@@ -345,12 +390,15 @@ def main():
 
     import jax
 
-    # The fused Pallas attention-pooling serving path (serving/ecapa_fused)
-    # is the production serving configuration on TPU (~3% faster end to end,
-    # numerically verified vs the standard forward in
-    # tests/test_attn_pool_pallas.py); measure both and headline the best.
+    # Serving has three configurations on TPU: the standard bf16 forward,
+    # the fused Pallas attention-pooling path (serving/ecapa_fused), and
+    # the int8-compute path (serving/ecapa_int8, 2x MXU throughput on the
+    # 1x1/MFA matmuls). All are numerically pinned against the standard
+    # forward (tests/test_attn_pool_pallas.py, tests/test_ecapa_int8.py);
+    # measure each and headline the best.
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    stage_names = (("infer", "infer_fused", "train", "train_aug") if on_tpu
+    stage_names = (("infer", "infer_fused", "infer_int8", "train",
+                    "train_aug") if on_tpu
                    else ("infer", "train", "train_aug"))
 
     results = {}
@@ -384,14 +432,15 @@ def _assemble_result(results: dict, device: str) -> dict:
     serving = {"standard": infer64}
     if "infer_fused" in results:
         serving["fused_attn_pool"] = results["infer_fused"]
+    if "infer_int8" in results:
+        serving["int8"] = results["infer_int8"]
     viable = {k: v for k, v in serving.items()
               if not v.get("suspect_timing")} or serving
     best_name = max(viable, key=lambda k: viable[k]["utt_s"])
     best = serving[best_name]
     result = {
         "metric": "utterances/sec/chip, LFCC+ECAPA-512+OCSoftmax inference "
-                  "(B=64, 7.49s audio, fused front-end, bf16 compute, "
-                  "best serving path)",
+                  "(B=64, 7.49s audio, fused front-end, best serving path)",
         "value": round(best["utt_s"], 1),
         "unit": "utt/s/chip",
         "vs_baseline": round(best["utt_s"] / BASELINE_CPU_UTT_PER_SEC, 1),
@@ -407,6 +456,9 @@ def _assemble_result(results: dict, device: str) -> dict:
     if "infer_fused" in results:
         result["infer_fused_utt_s"] = round(
             results["infer_fused"]["utt_s"], 1)
+    if "infer_int8" in results:
+        result["infer_int8_utt_s"] = round(
+            results["infer_int8"]["utt_s"], 1)
     if any(v.get("suspect_timing") for v in (best, infer64, results["train"],
                                              results["train_aug"])):
         result["suspect_timing"] = True

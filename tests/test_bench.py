@@ -20,7 +20,7 @@ def test_timed_attempts_retries_then_accepts():
     assert dt == 0.0205 and suspect is False
 
 
-def _results(fused=None):
+def _results(fused=None, int8=None):
     r = {
         "infer": {"b64": {"utt_s": 8000.0, "ms_per_batch": 8.0}},
         "train": {"utt_s": 2650.0, "ms_per_step": 24.1},
@@ -28,6 +28,8 @@ def _results(fused=None):
     }
     if fused is not None:
         r["infer_fused"] = fused
+    if int8 is not None:
+        r["infer_int8"] = int8
     return r
 
 
@@ -50,6 +52,25 @@ def test_assemble_without_fused_stage_uses_standard():
     out = bench._assemble_result(_results(), "cpu0")
     assert out["value"] == 8000.0 and out["serving_path"] == "standard"
     assert "infer_fused_utt_s" not in out
+    assert "infer_int8_utt_s" not in out
+
+
+def test_assemble_headlines_fastest_int8_path():
+    out = bench._assemble_result(
+        _results(fused={"utt_s": 8150.0, "ms_per_batch": 7.85},
+                 int8={"utt_s": 8770.0, "ms_per_batch": 7.30}), "tpu0")
+    assert out["value"] == 8770.0 and out["serving_path"] == "int8"
+    assert out["infer_fused_utt_s"] == 8150.0
+    assert out["infer_int8_utt_s"] == 8770.0
+
+
+def test_assemble_suspect_int8_falls_back_to_next_best():
+    out = bench._assemble_result(
+        _results(fused={"utt_s": 8150.0, "ms_per_batch": 7.85},
+                 int8={"utt_s": 70000.0, "ms_per_batch": 0.9,
+                       "suspect_timing": True}), "tpu0")
+    assert out["value"] == 8150.0
+    assert out["serving_path"] == "fused_attn_pool"
 
 
 def test_timed_attempts_flags_persistent_glitch():

@@ -1,0 +1,81 @@
+"""Int8-compute ECAPA serving forward (serving/ecapa_int8.py): the
+quantized graph must track the f32 model.apply inference output from the
+SAME variables tree — embedding direction preserved, logits close.
+
+Quantization is lossy by design, so the gate is cosine similarity and a
+loose absolute tolerance rather than elementwise parity (the bf16 path's
+own cosine gate is >=0.9996; int8 per-tensor activations land near that).
+Real-TPU throughput is measured by bench.py --stage infer_int8."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asvspoof2021_air_tpu.models.ecapa import ECAPA_TDNN
+from asvspoof2021_air_tpu.serving.ecapa_int8 import (
+    _quant_w, ecapa_apply_int8)
+
+
+def _cosine(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    num = np.sum(a * b, axis=-1)
+    den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    return num / np.maximum(den, 1e-30)
+
+
+def test_weight_quant_roundtrip_error_is_bounded():
+    g = np.random.default_rng(0)
+    w = jnp.asarray(g.standard_normal((64, 32)) * 0.1, jnp.float32)
+    w8, s = _quant_w(w)
+    assert w8.dtype == jnp.int8
+    back = np.asarray(w8, np.float32) * np.asarray(s)
+    # symmetric per-channel quant: max error is half an LSB of each column
+    lsb = np.asarray(s)
+    assert np.all(np.abs(back - np.asarray(w)) <= 0.5 * lsb + 1e-9)
+
+
+@pytest.mark.parametrize("model_scale", [4, 8])
+def test_int8_forward_tracks_f32_model(model_scale):
+    B, T, C, enc = 3, 48, 64, 32
+    model = ECAPA_TDNN(C=C, model_scale=model_scale, n_out=2, n_feat=60,
+                       enc_dim=enc)
+    g = np.random.default_rng(1)
+    feats = jnp.asarray(g.standard_normal((B, T, 60)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    # randomize BN stats so stat folding is actually exercised
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * jnp.asarray(
+            np.random.default_rng(2).standard_normal(v.shape), v.dtype),
+        variables,
+    )
+
+    want_feat, want_logits = model.apply(variables, feats, False)
+    got_feat, got_logits = ecapa_apply_int8(
+        variables, feats, model_scale=model_scale, enc_dim=enc,
+        dtype=jnp.float32, interpret=True,
+    )
+
+    cos = _cosine(np.asarray(got_feat), np.asarray(want_feat))
+    assert np.all(cos > 0.999), cos
+    # logits drive score ordering; direction and rough magnitude must hold
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(want_logits), atol=0.05, rtol=0.1)
+
+
+def test_int8_forward_is_jittable_and_deterministic():
+    B, T, C, enc = 2, 48, 64, 32
+    model = ECAPA_TDNN(C=C, model_scale=4, n_out=2, n_feat=60, enc_dim=enc)
+    g = np.random.default_rng(3)
+    feats = jnp.asarray(g.standard_normal((B, T, 60)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, feats, False)
+
+    fn = jax.jit(lambda v, f: ecapa_apply_int8(
+        v, f, model_scale=4, enc_dim=enc, dtype=jnp.float32,
+        interpret=True))
+    e1, l1 = fn(variables, feats)
+    e2, l2 = fn(variables, feats)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
