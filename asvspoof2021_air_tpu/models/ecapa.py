@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -115,13 +116,17 @@ class ECAPA_TDNN(nn.Module):
         )
         b4 = self.param("mfa_bias", nn.initializers.zeros, (1536,))
         dt = self.dtype or x1.dtype
-        x = (
-            jnp.einsum("btc,cd->btd", x1, w4[:C].astype(dt))
-            + jnp.einsum("btc,cd->btd", x2, w4[C:2 * C].astype(dt))
-            + jnp.einsum("btc,cd->btd", x3, w4[2 * C:].astype(dt))
-            + b4.astype(dt)
-        )
-        x = nn.relu(x)
+        # named_scope markers carry through to HLO op metadata so device
+        # profiles (tools/perf/trace_roofline.py) can attribute fusions
+        # to pipeline stages; they do not change the computation.
+        with jax.named_scope("mfa"):
+            x = (
+                jnp.einsum("btc,cd->btd", x1, w4[:C].astype(dt))
+                + jnp.einsum("btc,cd->btd", x2, w4[C:2 * C].astype(dt))
+                + jnp.einsum("btc,cd->btd", x3, w4[2 * C:].astype(dt))
+                + b4.astype(dt)
+            )
+            x = nn.relu(x)
 
         T = x.shape[1]
         attn_output = 1536 if self.encoder_type == "ECA" else 1
@@ -130,35 +135,38 @@ class ECAPA_TDNN(nn.Module):
             ((3 * 1536) if self.context else 1536, 128),
         )
         ba = self.param("attn_bias", nn.initializers.zeros, (128,))
-        if self.context:
-            # context attention over cat(x, mean, std): the mean/std halves
-            # of the kernel act on time-constant rows, so the (B, T, 4608)
-            # concat + broadcast collapses to one matmul over x plus a tiny
-            # per-utterance bias term.
-            mean = jnp.mean(x, axis=1)                              # (B, 1536)
-            std = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, ddof=1), 1e-4))
-            const = (
-                mean.astype(dt) @ wa[1536:3072].astype(dt)
-                + std.astype(dt) @ wa[3072:].astype(dt)
-            )                                                       # (B, 128)
-            w = (
-                jnp.einsum("btc,cd->btd", x, wa[:1536].astype(dt))
-                + const[:, None, :] + ba.astype(dt)
-            )
-        else:
-            w = jnp.einsum("btc,cd->btd", x, wa.astype(dt)) + ba.astype(dt)
-        w = nn.relu(w)
-        w = batch_norm(train, self.dtype)(w)
-        w = nn.Conv(attn_output, (1,), dtype=self.dtype)(w)
-        w = nn.softmax(w.astype(jnp.float32), axis=1).astype(w.dtype)
+        with jax.named_scope("context_attention"):
+            if self.context:
+                # context attention over cat(x, mean, std): the mean/std
+                # halves of the kernel act on time-constant rows, so the
+                # (B, T, 4608) concat + broadcast collapses to one matmul
+                # over x plus a tiny per-utterance bias term.
+                mean = jnp.mean(x, axis=1)                          # (B, 1536)
+                std = jnp.sqrt(jnp.clip(jnp.var(x, axis=1, ddof=1), 1e-4))
+                const = (
+                    mean.astype(dt) @ wa[1536:3072].astype(dt)
+                    + std.astype(dt) @ wa[3072:].astype(dt)
+                )                                                   # (B, 128)
+                w = (
+                    jnp.einsum("btc,cd->btd", x, wa[:1536].astype(dt))
+                    + const[:, None, :] + ba.astype(dt)
+                )
+            else:
+                w = jnp.einsum("btc,cd->btd", x, wa.astype(dt)) + ba.astype(dt)
+            w = nn.relu(w)
+            w = batch_norm(train, self.dtype)(w)
+            w = nn.Conv(attn_output, (1,), dtype=self.dtype)(w)
+            w = nn.softmax(w.astype(jnp.float32), axis=1).astype(w.dtype)
 
-        # attentive statistics accumulate in f32 (sums over T frames)
-        xf = x.astype(jnp.float32)
-        wf = w.astype(jnp.float32)
-        mu = jnp.sum(xf * wf, axis=1)
-        sg = jnp.sqrt(jnp.clip(jnp.sum((xf ** 2) * wf, axis=1) - mu ** 2, 1e-4))
+        with jax.named_scope("attentive_stats"):
+            # attentive statistics accumulate in f32 (sums over T frames)
+            xf = x.astype(jnp.float32)
+            wf = w.astype(jnp.float32)
+            mu = jnp.sum(xf * wf, axis=1)
+            sg = jnp.sqrt(
+                jnp.clip(jnp.sum((xf ** 2) * wf, axis=1) - mu ** 2, 1e-4))
 
-        x = jnp.concatenate([mu, sg], axis=1)  # (B, 3072)
+            x = jnp.concatenate([mu, sg], axis=1)  # (B, 3072)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = batch_norm(train, self.dtype)(x)

@@ -7,13 +7,20 @@ accumulate) is worth building; otherwise record the negative in
 docs/PERFORMANCE.md and stay bf16 (weights-only int8 remains a storage
 option, ops/quantize.py).
 
-Run on TPU: python tools/perf/int8_probe.py
+Timing uses the roofline module's glitch-guarded measurement (duration-
+scaled loops + per-dtype physical plausibility floors). On the axon relay
+run `--isolated` — one (shape, impl) program per process — for numbers
+that aren't poisoned by executable-cache thrash.
+
+Run on TPU: python tools/perf/int8_probe.py --isolated
 """
 
+import argparse
+import importlib.util
 import json
 import os
+import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", ".."))
@@ -23,76 +30,112 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_spec = importlib.util.spec_from_file_location(
+    "roofline", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "roofline.py"))
+roofline = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("roofline", roofline)
+_spec.loader.exec_module(roofline)
+
+PEAK_TOPS = {"bf16": 197e12, "int8": 394e12}
+
 # (M, K, N): the flagship graph's big matmuls at B=64, T=750
 SHAPES = [
     (48000, 512, 512),    # res2 1x1 convs
     (48000, 512, 1536),   # MFA
     (48000, 1536, 128),   # attention in
 ]
+IMPLS = ("bf16", "int8", "int8_dyn")
 
 
-def bench(fn, args, flops, n_iter=30):
-    jitted = jax.jit(fn)
-    jax.block_until_ready(jitted(*args))
-    best = None
-    for _ in range(5):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n_iter):
-            o = jitted(*args)
-        jax.block_until_ready(o)
-        dt = (time.perf_counter() - t0) / n_iter
-        # plausibility floor: half the bf16-peak time (axon relay glitch)
-        if dt >= 0.5 * flops / 394e12:
-            best = dt if best is None else min(best, dt)
-    return best
-
-
-def main():
+def _build(case, impl):
+    """(fn, args, flops, peak) for one (shape, impl) measurement."""
+    M, K, N = SHAPES[case]
     g = np.random.default_rng(0)
-    rows = []
-    for M, K, N in SHAPES:
-        x = g.standard_normal((M, K))
-        w = g.standard_normal((K, N))
-        flops = 2 * M * K * N
+    x = g.standard_normal((M, K))
+    w = g.standard_normal((K, N))
+    flops = 2 * M * K * N
+    x8 = jnp.asarray(np.clip(np.round(x * 20), -127, 127), jnp.int8)
+    w8 = jnp.asarray(np.clip(np.round(w * 20), -127, 127), jnp.int8)
 
-        xb = jnp.asarray(x, jnp.bfloat16)
-        wb = jnp.asarray(w, jnp.bfloat16)
-        x8 = jnp.asarray(np.clip(np.round(x * 20), -127, 127), jnp.int8)
-        w8 = jnp.asarray(np.clip(np.round(w * 20), -127, 127), jnp.int8)
-
-        def dot_bf16(a, b):
+    if impl == "bf16":
+        def fn(a, b):
             return jax.lax.dot_general(
                 a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-
-        def dot_int8(a, b):
+        return fn, (jnp.asarray(x, jnp.bfloat16),
+                    jnp.asarray(w, jnp.bfloat16)), flops, PEAK_TOPS["bf16"]
+    if impl == "int8":
+        def fn(a, b):
             return jax.lax.dot_general(
                 a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
+        return fn, (x8, w8), flops, PEAK_TOPS["int8"]
+    # quantize-on-the-fly variant: what a serving graph actually pays
+    # (dynamic per-tensor activation quant fused before the dot)
+    def fn(a, b8):
+        s = jnp.max(jnp.abs(a)) / 127.0
+        a8 = jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            a8, b8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * s
+    return fn, (jnp.asarray(x, jnp.float32), w8), flops, PEAK_TOPS["int8"]
 
-        t_bf16 = bench(dot_bf16, (xb, wb), flops)
-        t_int8 = bench(dot_int8, (x8, w8), flops)
-        # quantize-on-the-fly variant: what a serving graph actually pays
-        # (dynamic per-tensor activation quant fused before the dot)
-        def dot_int8_dyn(a, b8):
-            s = jnp.max(jnp.abs(a)) / 127.0
-            a8 = jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                a8, b8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return acc.astype(jnp.float32) * s
 
-        t_dyn = bench(dot_int8_dyn, (xb.astype(jnp.float32), w8), flops)
+def _measure_one(case, impl):
+    fn, args, flops, peak = _build(case, impl)
+    dt, suspect = roofline.measure(fn, args, flops=flops,
+                                   peak_tflops=peak / 1e12)
+    row = {"case": case, "impl": impl, "ms": round(dt * 1e3, 3)}
+    if suspect:
+        row["suspect_timing"] = True
+    return row
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--case", type=int, default=None)
+    p.add_argument("--impl", choices=IMPLS, default=None)
+    p.add_argument("--isolated", action="store_true")
+    args = p.parse_args()
+
+    if args.case is not None:
+        print(json.dumps(_measure_one(args.case, args.impl)))
+        return
+
+    cells = {}
+    for case in range(len(SHAPES)):
+        for impl in IMPLS:
+            if args.isolated:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--case", str(case), "--impl", impl],
+                    capture_output=True, text=True, timeout=600)
+                if proc.returncode != 0:
+                    cells[case, impl] = {"error":
+                                         proc.stderr.strip().splitlines()[-1:]}
+                    continue
+                cells[case, impl] = json.loads(
+                    proc.stdout.strip().splitlines()[-1])
+            else:
+                cells[case, impl] = _measure_one(case, impl)
+
+    rows = []
+    for case, shape in enumerate(SHAPES):
+        def ms(impl):
+            c = cells[case, impl]
+            return None if ("error" in c or c.get("suspect_timing")) \
+                else c["ms"]
+        b, i8, dyn = ms("bf16"), ms("int8"), ms("int8_dyn")
         rows.append({
-            "shape": [M, K, N],
-            "bf16_ms": None if t_bf16 is None else round(t_bf16 * 1e3, 3),
-            "int8_ms": None if t_int8 is None else round(t_int8 * 1e3, 3),
-            "int8_dyn_ms": None if t_dyn is None else round(t_dyn * 1e3, 3),
-            "speedup_int8": (None if not (t_bf16 and t_int8)
-                             else round(t_bf16 / t_int8, 2)),
-            "speedup_dyn": (None if not (t_bf16 and t_dyn)
-                            else round(t_bf16 / t_dyn, 2)),
+            "shape": list(shape),
+            "bf16_ms": b, "int8_ms": i8, "int8_dyn_ms": dyn,
+            "speedup_int8": round(b / i8, 2) if b and i8 else None,
+            "speedup_dyn": round(b / dyn, 2) if b and dyn else None,
+            "suspect_cells": [impl for impl in IMPLS
+                              if cells[case, impl].get("suspect_timing")
+                              or "error" in cells[case, impl]],
         })
     print(json.dumps(rows))
 

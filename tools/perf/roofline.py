@@ -15,7 +15,9 @@ Run: python tools/perf/roofline.py [--json]
 
 import argparse
 import json
+import math
 import os
+import subprocess
 import sys
 import time
 
@@ -166,29 +168,74 @@ def stage_defs():
     return stages
 
 
-def measure(fn, args, n_iter=30, flops=0):
-    """Time fn (jitted) per call, guarded against the axon relay's
+MIN_PROGRAM_S = 0.04   # each compiled program spans at least this device time
+
+
+def _chain(fn, k):
+    """One compiled program = k serialized invocations of fn.
+
+    lax.scan re-runs fn k times; an optimization_barrier threads each
+    iteration's output into the next carry so XLA can neither batch the
+    iterations nor dead-code any of them, while the carry value (and thus
+    fn's input) is bit-identical every iteration. This is how sub-ms
+    kernels become measurable here: the axon relay's per-dispatch timing is
+    unreliable below a few ms REGARDLESS of loop length or process
+    isolation (measured 2026-08-17 — isolated sub-ms stage readings came
+    back at up to 28x chip peak), while multi-ms programs (the full fused
+    graph, bench.py stages) time correctly."""
+    def fk(*args):
+        x, rest = args[0], args[1:]
+
+        def body(carry, _):
+            c, acc = carry
+            out = fn(c, *rest)
+            # barrier the outputs so no consumer-driven simplification
+            # (e.g. slice-into-dot) can shrink fn's work, then keep one
+            # element of EVERY leaf live via the returned accumulator —
+            # an unused barrier result is itself dead-code-eliminated
+            # (observed: the whole dot vanished from the compiled HLO)
+            out = jax.lax.optimization_barrier(out)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + leaf.ravel()[:1].astype(jnp.float32)[0]
+            # opaque carry: XLA cannot prove the next iteration's input
+            # unchanged, so fn cannot be hoisted out of the loop
+            return (jax.lax.optimization_barrier(c), acc), None
+
+        (x, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), None,
+                                   length=k)
+        return x, acc
+    return fk
+
+
+def measure(fn, args, n_iter=30, flops=0, peak_tflops=None):
+    """Device seconds per invocation of fn, measured as one k-way chained
+    program (see _chain) and guarded against the axon relay's
     ack-without-execution glitch (.claude/skills/verify/SKILL.md): a reading
     is only plausible if it clears half the physical floor — the max of the
     compute-bound time (flops / chip peak) and the memory-bound time
     (input+output bytes / HBM bandwidth). Implausible readings are
     re-measured; if none of 8 attempts clears the floor, the max attempt is
     returned with suspect=True. Returns (seconds_per_call, suspect)."""
+    del n_iter  # superseded by program chaining
+    peak = (peak_tflops or PEAK_BF16_TFLOPS) * 1e12
     jitted = jax.jit(fn)
     out = jitted(*args)
     jax.block_until_ready(out)
     bytes_moved = sum(a.nbytes for a in jax.tree_util.tree_leaves(args))
     bytes_moved += sum(o.nbytes for o in jax.tree_util.tree_leaves(out))
-    floor = 0.5 * max(flops / (PEAK_BF16_TFLOPS * 1e12),
-                      bytes_moved / (HBM_GBPS * 1e9))
+    physical = max(flops / peak, bytes_moved / (HBM_GBPS * 1e9), 1e-7)
+    floor = 0.5 * physical
+    k = min(4096, max(1, int(math.ceil(MIN_PROGRAM_S / physical))))
+    chained = jax.jit(_chain(fn, k))
+    jax.block_until_ready(chained(*args))
 
     def one():
         t0 = time.perf_counter()
         o = None
-        for _ in range(n_iter):
-            o = jitted(*args)
+        for _ in range(3):
+            o = chained(*args)
         jax.block_until_ready(o)
-        return (time.perf_counter() - t0) / n_iter
+        return (time.perf_counter() - t0) / (3 * k)
 
     return _guarded_timing(one, floor)
 
@@ -247,35 +294,31 @@ def full_graph():
     return infer, (wave, labels), xla_flops
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--json", action="store_true")
-    args = p.parse_args()
+def _measure_stage(spec, on_tpu):
+    """One per-stage row; run at most one of these per process on TPU."""
+    name, flops, builder = spec[0], spec[1], spec[2]
+    reps = spec[3] if len(spec) > 3 else 1
+    if not on_tpu:
+        return {"stage": name, "gflop": round(gf(flops), 2)}
+    fn, fargs = builder()
+    dt, suspect = measure(fn, fargs, flops=flops / reps)
+    dt *= reps
+    tflops = flops / dt / 1e12
+    row = {"stage": name, "gflop": round(gf(flops), 2),
+           "ms": round(dt * 1000, 3),
+           "tflops": round(tflops, 1),
+           "pct_peak": round(100 * tflops / PEAK_BF16_TFLOPS, 1)}
+    if suspect:
+        row["suspect_timing"] = True
+    return row
 
-    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    rows = []
-    total_flops = 0
-    for spec in stage_defs():
-        name, flops, builder = spec[0], spec[1], spec[2]
-        reps = spec[3] if len(spec) > 3 else 1
-        total_flops += flops
-        if on_tpu:
-            fn, fargs = builder()
-            dt, suspect = measure(fn, fargs, flops=flops / reps)
-            dt *= reps
-            tflops = flops / dt / 1e12
-            row = {"stage": name, "gflop": round(gf(flops), 2),
-                   "ms": round(dt * 1000, 3),
-                   "tflops": round(tflops, 1),
-                   "pct_peak": round(100 * tflops / PEAK_BF16_TFLOPS, 1)}
-            if suspect:
-                row["suspect_timing"] = True
-            rows.append(row)
-        else:
-            rows.append({"stage": name, "gflop": round(gf(flops), 2)})
 
+FULL_STAGE = "FULL fused graph (XLA)"
+
+
+def _measure_full(on_tpu, total_flops):
     infer, iargs, xla_flops = full_graph()
-    full = {"stage": "FULL fused graph (XLA)",
+    full = {"stage": FULL_STAGE,
             "gflop": round(gf(xla_flops), 2) if np.isfinite(xla_flops)
             else None,
             "analytic_gflop": round(gf(total_flops), 2)}
@@ -285,12 +328,63 @@ def main():
         full.update({"ms": round(dt * 1000, 3),
                      "tflops": round(tflops, 1),
                      "pct_peak": round(100 * tflops / PEAK_BF16_TFLOPS, 1),
-                     "utt_s": round(B / dt, 0),
-                     "stage_sum_ms": round(
-                         sum(r["ms"] for r in rows), 3)})
-        if suspect or any(r.get("suspect_timing") for r in rows):
+                     "utt_s": round(B / dt, 0)})
+        if suspect:
             full["suspect_timing"] = True
-    rows.append(full)
+    return full
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--stage", default=None,
+                   help="measure ONE stage (name from stage_defs, or "
+                        "'full') and print its JSON row")
+    p.add_argument("--isolated", action="store_true",
+                   help="run each stage in its own subprocess (one compiled "
+                        "program per process — the only reliable mode for "
+                        "sub-ms kernels on the axon relay)")
+    args = p.parse_args()
+
+    specs = stage_defs()
+    total_flops = sum(s[1] for s in specs)
+
+    if args.stage is not None:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        if args.stage == "full":
+            row = _measure_full(on_tpu, total_flops)
+        else:
+            match = [s for s in specs if s[0] == args.stage]
+            if not match:
+                sys.exit(f"unknown stage {args.stage!r}; have "
+                         f"{[s[0] for s in specs] + ['full']}")
+            row = _measure_stage(match[0], on_tpu)
+        print(json.dumps(row))
+        return
+
+    if args.isolated:
+        rows = []
+        for name in [s[0] for s in specs] + ["full"]:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", name],
+                capture_output=True, text=True, timeout=900)
+            if proc.returncode != 0:
+                rows.append({"stage": name, "error":
+                             proc.stderr.strip().splitlines()[-1:]})
+                continue
+            rows.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    else:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        rows = [_measure_stage(s, on_tpu) for s in specs]
+        rows.append(_measure_full(on_tpu, total_flops))
+
+    full = rows[-1]
+    stage_ms = [r.get("ms") for r in rows[:-1]]
+    if all(m is not None for m in stage_ms) and "ms" in full:
+        full["stage_sum_ms"] = round(sum(stage_ms), 3)
+    if any(r.get("suspect_timing") for r in rows[:-1]):
+        full["suspect_timing"] = True
 
     if args.json:
         print(json.dumps(rows))

@@ -1,0 +1,246 @@
+"""Per-stage roofline accounting from a DEVICE-SIDE profiler trace.
+
+Why this exists: dispatch-side timing (time.perf_counter around jitted
+calls) is unreliable on the axon TPU relay for anything under a few
+milliseconds — the relay can ack dispatches, and even report buffers
+ready, without the device work having run, so isolated micro-kernel
+timings come back at up to 600x chip peak (measured 2026-08-17; see
+tools/perf/roofline.py, .claude/skills/verify/SKILL.md). The device's own
+profiler clock has no such failure mode: jax.profiler.trace captures
+per-HLO-op device durations on-chip, and this tool aggregates them into
+the flagship graph's pipeline stages.
+
+Attribution: each traced XLA op (fusion/convolution/custom-call) is
+mapped to a stage via its HLO metadata op_name — the flax module path
+plus the jax.named_scope markers inside models/ecapa.py ("mfa",
+"context_attention", "attentive_stats"). Fusions are classified by the
+FLOP-carrying op they contain (dot/conv), else by their representative
+metadata. Stage GFLOP values come from the analytic table in
+tools/perf/roofline.py, so achieved TFLOP/s = analytic flops / measured
+device time.
+
+Run on TPU: python tools/perf/trace_roofline.py [--json]
+"""
+
+import argparse
+import glob
+import importlib.util
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+import numpy as np
+
+import jax
+
+_spec = importlib.util.spec_from_file_location(
+    "roofline", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "roofline.py"))
+roofline = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("roofline", roofline)
+_spec.loader.exec_module(roofline)
+
+STAGE_ORDER = [
+    "lfcc_frontend",
+    "stem_conv_k5_60_512",
+    "res2_1x1_convs_x6",
+    "res2_64wide_chain_x3",
+    "se_module_x3",
+    "res2_bn_relu_residual",
+    "mfa_3x_512_1536",
+    "attention_and_pooling",
+    "head_fc",
+    "other",
+]
+
+
+def classify(op_name: str) -> str:
+    """Map an HLO metadata op_name (module path) to a pipeline stage."""
+    op = op_name or ""
+    if "lfcc" in op.lower() or "Pallas" in op:
+        return "lfcc_frontend"
+    if "Bottle2neck" in op:
+        if "SEModule1D" in op:
+            return "se_module_x3"
+        m = re.search(r"/Conv_(\d+)/", op)
+        if m:
+            i = int(m.group(1))
+            # Conv_0 (in 1x1) and Conv_<scale> (out 1x1) are the wide
+            # matmuls; Conv_1..Conv_7 are the 64-wide chain convs
+            return ("res2_1x1_convs_x6" if i in (0, 8)
+                    else "res2_64wide_chain_x3")
+        return "res2_bn_relu_residual"
+    if "/mfa/" in op or op.endswith("/mfa"):
+        return "mfa_3x_512_1536"
+    if ("context_attention" in op or "attentive_stats" in op
+            or "/Conv_1/" in op or "/BatchNorm_1/" in op):
+        return "attention_and_pooling"
+    if "/Conv_0/" in op or "/BatchNorm_0/" in op:
+        return "stem_conv_k5_60_512"
+    if ("Dense_" in op or "BatchNorm_2" in op or "BatchNorm_3" in op
+            or "OCSoftmax" in op or "Angular" in op or "one_class" in op):
+        return "head_fc"
+    return "other"
+
+
+def _parse_hlo_metadata(hlo_text: str):
+    """instruction name -> stage, resolved through fused computations.
+
+    For each computation block, collect (instr_name, opcode, op_name
+    metadata). A fusion instruction is classified by the first
+    dot/convolution inside its called computation (the FLOP carrier),
+    falling back to majority vote of its ops' stages."""
+    comp_ops = {}      # computation name -> [(opcode, op_name)]
+    instr_meta = {}    # entry instruction name -> (opcode, op_name, called)
+    current = None
+    comp_re = re.compile(r"^%?([\w\.\-]+)\s*(?:\([^)]*\))?\s*->.*\{")
+    instr_re = re.compile(
+        r"^\s*(?:ROOT\s+)?%?([\w\.\-]+)\s*=\s*\S+\s+([\w\-]+)\(")
+    meta_re = re.compile(r'op_name="([^"]*)"')
+    calls_re = re.compile(r"calls=%?([\w\.\-]+)")
+
+    for line in hlo_text.splitlines():
+        mc = comp_re.match(line.strip()) if "{" in line else None
+        if mc and "=" not in line.split("{")[0]:
+            current = mc.group(1)
+            comp_ops.setdefault(current, [])
+            continue
+        mi = instr_re.match(line)
+        if not mi or current is None:
+            continue
+        name, opcode = mi.group(1), mi.group(2)
+        mm = meta_re.search(line)
+        op_name = mm.group(1) if mm else ""
+        mcall = calls_re.search(line)
+        comp_ops.setdefault(current, []).append((opcode, op_name))
+        instr_meta[name] = (opcode, op_name, mcall.group(1) if mcall else None)
+
+    def stage_of_instr(name):
+        opcode, op_name, called = instr_meta.get(name, ("", "", None))
+        if called and called in comp_ops:
+            ops = comp_ops[called]
+            for oc, on in ops:
+                if oc in ("dot", "convolution", "custom-call") and on:
+                    return classify(on)
+            votes = [classify(on) for _, on in ops if on]
+            if votes:
+                return max(set(votes), key=votes.count)
+        return classify(op_name)
+
+    return {name: stage_of_instr(name) for name in instr_meta}
+
+
+def _device_op_durations(trace_dir):
+    """(event name -> total ns, n_events) from the device plane(s) of the
+    xplane capture; host/python lines are excluded."""
+    from jax.profiler import ProfileData
+    pbs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                    recursive=True)
+    if not pbs:
+        raise RuntimeError(f"no xplane.pb under {trace_dir}")
+    totals = {}
+    for pb in pbs:
+        pd = ProfileData.from_file(pb)
+        for plane in pd.planes:
+            pname = plane.name.lower()
+            if "metadata" in pname or "task environment" in pname:
+                continue
+            plane_is_device = "/device:" in pname or "tpu" in pname
+            for line in plane.lines:
+                # CPU backend: XLA op events live on "tf_XLAPjRtCpuClient"
+                # lines of the /host:CPU plane; TPU: on device-plane lines
+                if not (plane_is_device
+                        or "xlapjrt" in line.name.lower()):
+                    continue
+                for ev in line.events:
+                    nm = ev.name
+                    if nm.startswith("end:") or not ev.duration_ns:
+                        continue
+                    totals[nm] = totals.get(nm, 0.0) + float(ev.duration_ns)
+    return totals
+
+
+def profile_inference(n_iter=30):
+    """Trace the standard flagship inference graph and return
+    (per-stage ms/step table, full ms/step, unattributed ms/step)."""
+    infer, args, _xla_flops = roofline.full_graph()
+    jitted = jax.jit(infer)
+    out = jitted(*args)
+    jax.block_until_ready(out)
+
+    trace_dir = tempfile.mkdtemp(prefix="roofline_trace_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(n_iter):
+            out = jitted(*args)
+        jax.block_until_ready(out)
+
+    hlo = jitted.lower(*args).compile().as_text()
+    instr_stage = _parse_hlo_metadata(hlo)
+    durations = _device_op_durations(trace_dir)
+
+    stage_ns = {}
+    unmatched_ns = 0.0
+    for nm, ns in durations.items():
+        key = nm.lstrip("%")
+        stage = instr_stage.get(key)
+        if stage is None:
+            # profiler sometimes suffixes repeats; retry without trailing .N
+            stage = instr_stage.get(re.sub(r"\.\d+$", "", key))
+        if stage is None:
+            unmatched_ns += ns
+            continue
+        stage_ns[stage] = stage_ns.get(stage, 0.0) + ns
+    return stage_ns, unmatched_ns, n_iter
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--iters", type=int, default=30)
+    args = p.parse_args()
+
+    analytic = {s[0]: s[1] for s in roofline.stage_defs()}
+    stage_ns, unmatched_ns, n = profile_inference(args.iters)
+
+    rows = []
+    total_ms = 0.0
+    for stage in STAGE_ORDER:
+        if stage not in stage_ns:
+            continue
+        ms = stage_ns[stage] / n / 1e6
+        total_ms += ms
+        row = {"stage": stage, "ms": round(ms, 3)}
+        if stage in analytic:
+            gflop = analytic[stage] / 1e9
+            tflops = analytic[stage] / (ms / 1e3) / 1e12
+            row.update({"gflop": round(gflop, 2),
+                        "tflops": round(tflops, 1),
+                        "pct_peak": round(
+                            100 * tflops / roofline.PEAK_BF16_TFLOPS, 1)})
+        rows.append(row)
+    if unmatched_ns:
+        ms = unmatched_ns / n / 1e6
+        total_ms += ms
+        rows.append({"stage": "unattributed", "ms": round(ms, 3)})
+    rows.append({"stage": "TOTAL device", "ms": round(total_ms, 3),
+                 "utt_s": round(roofline.B / (total_ms / 1e3), 0)
+                 if total_ms else None})
+
+    if args.json:
+        print(json.dumps(rows))
+    else:
+        print(f"{'stage':26} {'ms':>8} {'GFLOP':>8} {'TF/s':>7} {'%peak':>6}")
+        for r in rows:
+            print(f"{r['stage']:26} {r.get('ms', 0):8.3f} "
+                  f"{r.get('gflop', float('nan')):8.2f} "
+                  f"{r.get('tflops', float('nan')):7.1f} "
+                  f"{r.get('pct_peak', float('nan')):6.1f}")
+
+
+if __name__ == "__main__":
+    main()
