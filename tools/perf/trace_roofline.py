@@ -60,9 +60,11 @@ STAGE_ORDER = [
 
 
 def classify(op_name: str) -> str:
-    """Map an HLO metadata op_name (module path) to a pipeline stage."""
+    """Map an HLO metadata op_name (module path, optionally suffixed with
+    '@<source_file>' by the parser) to a pipeline stage."""
     op = op_name or ""
-    if "lfcc" in op.lower() or "Pallas" in op:
+    if ("lfcc" in op.lower() or "Pallas" in op or "pallas_call" in op
+            or "dsp.py" in op):
         return "lfcc_frontend"
     if "Bottle2neck" in op:
         if "SEModule1D" in op:
@@ -98,10 +100,16 @@ def _parse_hlo_metadata(hlo_text: str):
     comp_ops = {}      # computation name -> [(opcode, op_name)]
     instr_meta = {}    # entry instruction name -> (opcode, op_name, called)
     current = None
-    comp_re = re.compile(r"^%?([\w\.\-]+)\s*(?:\([^)]*\))?\s*->.*\{")
-    instr_re = re.compile(
-        r"^\s*(?:ROOT\s+)?%?([\w\.\-]+)\s*=\s*\S+\s+([\w\-]+)\(")
+    comp_re = re.compile(
+        r"^(?:ENTRY\s+)?%?([\w\.\-]+)\s*(?:\([^)]*\))?\s*->.*\{")
+    # instruction name: '%name =' (type may be a tuple with spaces, so the
+    # opcode is found separately: the first lowercase-led word followed by
+    # '(' after the '=' — type tokens like bf16[..]{1,0:T(8,128)S(1)} only
+    # put UPPERCASE letters before '(')
+    name_re = re.compile(r"^\s*(?:ROOT\s+)?%?([\w\.\-]+)\s*=\s*(.*)$")
+    opcode_re = re.compile(r"\b([a-z][\w\-]*)\(")
     meta_re = re.compile(r'op_name="([^"]*)"')
+    src_re = re.compile(r'source_file="([^"]*)"')
     calls_re = re.compile(r"calls=%?([\w\.\-]+)")
 
     for line in hlo_text.splitlines():
@@ -110,12 +118,19 @@ def _parse_hlo_metadata(hlo_text: str):
             current = mc.group(1)
             comp_ops.setdefault(current, [])
             continue
-        mi = instr_re.match(line)
+        mi = name_re.match(line)
         if not mi or current is None:
             continue
-        name, opcode = mi.group(1), mi.group(2)
+        name, rest = mi.group(1), mi.group(2)
+        mo = opcode_re.search(rest)
+        if not mo:
+            continue
+        opcode = mo.group(1)
         mm = meta_re.search(line)
         op_name = mm.group(1) if mm else ""
+        ms = src_re.search(line)
+        if ms:
+            op_name += " @" + os.path.basename(ms.group(1))
         mcall = calls_re.search(line)
         comp_ops.setdefault(current, []).append((opcode, op_name))
         instr_meta[name] = (opcode, op_name, mcall.group(1) if mcall else None)
@@ -135,9 +150,22 @@ def _parse_hlo_metadata(hlo_text: str):
     return {name: stage_of_instr(name) for name in instr_meta}
 
 
+def _event_instr_name(nm: str):
+    """Instruction name from a trace event.
+
+    The axon TPU device plane names per-op events with the FULL HLO
+    instruction text ('%foo = bf16[...] fusion(...)'); the CPU backend
+    uses bare instruction names."""
+    if nm.startswith("%"):
+        nm = nm[1:]
+    return nm.split(" = ", 1)[0].split("(", 1)[0].strip()
+
+
 def _device_op_durations(trace_dir):
-    """(event name -> total ns, n_events) from the device plane(s) of the
-    xplane capture; host/python lines are excluded."""
+    """instruction name -> total ns, from the per-op line of the device
+    plane. Only 'XLA Ops' (TPU) / XLAPjRt (CPU) lines count: the
+    'XLA Modules' whole-program spans and the 'Async XLA Ops' copy
+    duplicates would double-count the same device time."""
     from jax.profiler import ProfileData
     pbs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                     recursive=True)
@@ -152,16 +180,17 @@ def _device_op_durations(trace_dir):
                 continue
             plane_is_device = "/device:" in pname or "tpu" in pname
             for line in plane.lines:
-                # CPU backend: XLA op events live on "tf_XLAPjRtCpuClient"
-                # lines of the /host:CPU plane; TPU: on device-plane lines
-                if not (plane_is_device
-                        or "xlapjrt" in line.name.lower()):
+                lname = line.name.lower()
+                ok = (plane_is_device and lname == "xla ops") or \
+                     "xlapjrt" in lname
+                if not ok:
                     continue
                 for ev in line.events:
                     nm = ev.name
                     if nm.startswith("end:") or not ev.duration_ns:
                         continue
-                    totals[nm] = totals.get(nm, 0.0) + float(ev.duration_ns)
+                    key = _event_instr_name(nm)
+                    totals[key] = totals.get(key, 0.0) + float(ev.duration_ns)
     return totals
 
 
