@@ -100,6 +100,10 @@ def main(argv=None):
                         "trained add_loss from args.json ('softmax' forces "
                         "the plain -softmax(logits) rule)")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--scan_batches", type=int, default=1,
+                   help="group K batches into one scanned device dispatch "
+                        "(identical scores; amortizes per-dispatch latency "
+                        "on TPU — see docs/PERFORMANCE.md)")
     p.add_argument("--checkpoint", type=str, default="best",
                    help="'best' or a checkpoint epoch path under "
                         "<model>/checkpoint/<N>")
@@ -154,6 +158,7 @@ def main(argv=None):
                 add_loss=score_loss, loss_module=loss_mod, loss_vars=mloss,
                 batch_size=args.batch_size, feature=_cfg.feat,
                 feat_len=_cfg.feat_len, padding=_cfg.padding,
+                scan_batches=args.scan_batches,
             )
             member_files.append(f)
             print(f"wrote {f}")
@@ -185,6 +190,7 @@ def main(argv=None):
         add_loss=score_loss, loss_module=loss_mod, loss_vars=loss_vars,
         batch_size=args.batch_size, feature=_cfg.feat,
         feat_len=_cfg.feat_len, padding=_cfg.padding,
+        scan_batches=args.scan_batches,
     )
     print(f"wrote {out}")
 

@@ -32,6 +32,7 @@ from asvspoof2021_air_tpu.data.datasets import (
     EvalFeatureDataset,
 )
 from asvspoof2021_air_tpu.data.pipeline import SequentialIterator
+from asvspoof2021_air_tpu.serving.stream import make_scanned_infer
 
 TASKS = ("LA", "DF", "19dev", "19laaugdev", "19lapaaugdev", "19dfaugdev",
          "19dfpaaugdev", "19eval")
@@ -106,25 +107,49 @@ def score_to_file(
     feat_len: int = 750,
     padding: str = "repeat",
     shard: Optional[Callable] = None,
+    scan_batches: int = 1,
 ) -> str:
     """Run batched scoring over a dataset and write the reference-format
     score file: ``fname -score [bonafide|spoof]`` lines
-    (/root/reference/generate_score.py:114-119)."""
+    (/root/reference/generate_score.py:114-119).
+
+    ``scan_batches=K`` groups K consecutive batches into one scanned
+    dispatch (serving/stream.py) — identical scores, fewer dispatches;
+    worthwhile on the TPU relay where each dispatch pays ~1.4 ms of
+    non-overlapped latency (docs/PERFORMANCE.md roofline section)."""
     os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
     it = SequentialIterator(dataset, batch_size, feat_len, padding)
+
+    def write_scored(f, batch, scores):
+        for j in np.nonzero(batch["valid"])[0]:
+            if labeled:
+                key = LABEL_NAMES[int(batch["label"][j])]
+                f.write(f"{batch['fname'][j]} {-scores[j]} {key}\n")
+            else:
+                f.write(f"{batch['fname'][j]} {-scores[j]}\n")
+
+    def batch_feats(batch):
+        feats = batch["feat"]
+        return shard(feats) if shard is not None else feats
+
+    scanned = (make_scanned_infer(score_fn) if scan_batches > 1 else None)
     with open(output_path, "w") as f:
+        group: list = []
         for batch in it:
-            feats = batch["feat"]
-            if shard is not None:
-                feats = shard(feats)
-            scores = np.asarray(score_fn(feats))
-            valid = batch["valid"]
-            for j in np.nonzero(valid)[0]:
-                if labeled:
-                    key = LABEL_NAMES[int(batch["label"][j])]
-                    f.write(f"{batch['fname'][j]} {-scores[j]} {key}\n")
-                else:
-                    f.write(f"{batch['fname'][j]} {-scores[j]}\n")
+            if scanned is None:
+                write_scored(f, batch, np.asarray(score_fn(
+                    batch_feats(batch))))
+                continue
+            group.append(batch)
+            if len(group) == scan_batches:
+                stacked = np.stack([batch_feats(b) for b in group])
+                for b, s in zip(group, np.asarray(scanned(stacked))):
+                    write_scored(f, b, s)
+                group = []
+        # tail shorter than the scan length: per-batch dispatches keep the
+        # compiled scan shape static
+        for batch in group:
+            write_scored(f, batch, np.asarray(score_fn(batch_feats(batch))))
     return output_path
 
 
@@ -142,6 +167,7 @@ def test_on_asvspoof2021(
     feature: str = "LFCC",
     feat_len: int = 750,
     padding: str = "repeat",
+    scan_batches: int = 1,
 ) -> str:
     """End-to-end scoring for one task; returns the score file path.
 
@@ -157,7 +183,7 @@ def test_on_asvspoof2021(
     score_fn = make_score_fn(model, variables, loss_module, loss_vars, add_loss)
     labeled = "19" in task
     return score_to_file(score_fn, dataset, out, labeled, batch_size,
-                         feat_len, padding)
+                         feat_len, padding, scan_batches=scan_batches)
 
 
 def score_raw_to_file(

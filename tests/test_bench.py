@@ -64,6 +64,15 @@ def test_assemble_headlines_fastest_int8_path():
     assert out["infer_int8_utt_s"] == 8770.0
 
 
+def test_assemble_headlines_scanned_serving_path():
+    r = _results(fused={"utt_s": 8150.0, "ms_per_batch": 7.85},
+                 int8={"utt_s": 8770.0, "ms_per_batch": 7.30})
+    r["infer_scan"] = {"utt_s": 9668.0, "ms_per_batch": 6.62, "scan_k": 8}
+    out = bench._assemble_result(r, "tpu0")
+    assert out["value"] == 9668.0 and out["serving_path"] == "int8_scan"
+    assert out["infer_scan_utt_s"] == 9668.0
+
+
 def test_assemble_suspect_int8_falls_back_to_next_best():
     out = bench._assemble_result(
         _results(fused={"utt_s": 8150.0, "ms_per_batch": 7.85},

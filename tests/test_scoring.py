@@ -59,6 +59,23 @@ def test_score_file_format(tmp_path):
     assert 0.0 <= eer <= 0.5
 
 
+def test_scan_batches_scores_identically(tmp_path):
+    """scan_batches=K groups K batches into one scanned dispatch
+    (serving/stream.py); the score file must be byte-identical to the
+    per-batch path, including the non-multiple tail (10 utts at
+    batch_size=2 and K=3 -> one scanned group of 3, then 2 tail
+    batches)."""
+    model, variables, loss_mod, loss_vars = _setup("ocsoftmax")
+    fn = make_score_fn(model, variables, loss_mod, loss_vars, "ocsoftmax")
+    ds = SyntheticLabeled()
+    base = score_to_file(fn, ds, str(tmp_path / "base.txt"), labeled=True,
+                         batch_size=2, feat_len=T)
+    scanned = score_to_file(fn, ds, str(tmp_path / "scan.txt"), labeled=True,
+                            batch_size=2, feat_len=T, scan_batches=3)
+    with open(base) as f1, open(scanned) as f2:
+        assert f1.read() == f2.read()
+
+
 def test_ocsoftmax_score_polarity(tmp_path):
     """Files store +cos for ocsoftmax (loss returns -cos, writer negates —
     the double negation at /root/reference/loss.py:97 +
