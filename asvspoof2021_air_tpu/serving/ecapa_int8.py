@@ -45,13 +45,19 @@ def _quant_w(w):
     return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s
 
 
-def _qdot(x, w8, ws, dtype):
+def _qdot(x, w8, ws, dtype, act_scale=None):
     """x (..., K) float @ int8 weights -> dtype, int32 accumulation.
 
-    Activation scale is per-tensor and dynamic (one max-reduce per call);
-    the quant math runs in f32 so bf16 inputs don't double-round."""
+    Without ``act_scale`` the activation scale is per-tensor and dynamic
+    (one max-reduce pass per call); with a static calibrated scale
+    (see calibrate_act_scales) the max-reduce disappears and XLA can
+    fuse the quantize into the producing op. The quant math runs in f32
+    so bf16 inputs don't double-round."""
     xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    if act_scale is None:
+        s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    else:
+        s = jnp.asarray(act_scale, jnp.float32)
     x8 = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x8, w8, (((x8.ndim - 1,), (0,)), ((), ())),
@@ -67,11 +73,19 @@ def _conv1d(x, kernel, bias, dtype, *, pad, dilation=1):
     return out + bias.astype(dtype)
 
 
-def _block_int8(p, bs, x, dilation, dtype, scale=8):
+def _block_int8(p, bs, x, dilation, dtype, scale=8, name="b",
+                act_scales=None, observer=None):
     """Bottle2neck (models/ecapa.py:27-68) with int8 1x1 convs."""
+    def site_scale(site, v):
+        if observer is not None:
+            observer(site, v)
+        return None if act_scales is None else act_scales[site]
+
     residual = x
     w8, ws = _quant_w(p["Conv_0"]["kernel"][0])
-    out = _qdot(x, w8, ws, dtype) + p["Conv_0"]["bias"].astype(dtype)
+    out = _qdot(x, w8, ws, dtype,
+                act_scale=site_scale(f"{name}_in", x)) \
+        + p["Conv_0"]["bias"].astype(dtype)
     out = jax.nn.relu(out)
     out = _bn_inf(p["BatchNorm_0"], bs["BatchNorm_0"], out, dtype)
 
@@ -90,7 +104,9 @@ def _block_int8(p, bs, x, dilation, dtype, scale=8):
     out = jnp.concatenate(outs, axis=-1)
 
     w8, ws = _quant_w(p[f"Conv_{scale}"]["kernel"][0])
-    out = _qdot(out, w8, ws, dtype) + p[f"Conv_{scale}"]["bias"].astype(dtype)
+    out = _qdot(out, w8, ws, dtype,
+                act_scale=site_scale(f"{name}_out", out)) \
+        + p[f"Conv_{scale}"]["bias"].astype(dtype)
     out = jax.nn.relu(out)
     out = _bn_inf(p[f"BatchNorm_{scale}"], bs[f"BatchNorm_{scale}"],
                   out, dtype)
@@ -109,36 +125,47 @@ def _block_int8(p, bs, x, dilation, dtype, scale=8):
 
 def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
                      enc_dim: int = 256, n_out: int = 2,
-                     dtype=jnp.bfloat16, interpret: bool = False):
+                     dtype=jnp.bfloat16, interpret: bool = False,
+                     act_scales=None, observer=None):
     """(embedding, logits) for ECAPA inference with int8 matmul compute,
     from the SAME variables tree a trained ECAPA_TDNN produced.
 
     Mirrors serving/ecapa_fused.ecapa_apply_fused (fused Pallas
     attention-pooling middle section) with the trunk's 1x1/MFA matmuls
     quantized. Module-name aliasing against models/ecapa.py is pinned by
-    tests/test_ecapa_int8.py."""
+    tests/test_ecapa_int8.py.
+
+    ``act_scales``: optional dict of static per-site activation scales
+    from calibrate_act_scales — removes every dynamic max-reduce pass.
+    ``observer``: internal hook used by calibration (called with
+    (site_name, activation) before each quantized dot)."""
     p, bs = variables["params"], variables["batch_stats"]
     x = _conv1d(feats.astype(dtype), p["Conv_0"]["kernel"],
                 p["Conv_0"]["bias"], dtype, pad=2)
     x = jax.nn.relu(x)
     x = _bn_inf(p["BatchNorm_0"], bs["BatchNorm_0"], x, dtype)
 
+    qkw = {"act_scales": act_scales, "observer": observer}
     x1 = _block_int8(p["Bottle2neck_0"], bs["Bottle2neck_0"], x, 2, dtype,
-                     scale=model_scale)
+                     scale=model_scale, name="b0", **qkw)
     x2 = _block_int8(p["Bottle2neck_1"], bs["Bottle2neck_1"], x1, 3, dtype,
-                     scale=model_scale)
+                     scale=model_scale, name="b1", **qkw)
     x3 = _block_int8(p["Bottle2neck_2"], bs["Bottle2neck_2"], x2, 4, dtype,
-                     scale=model_scale)
+                     scale=model_scale, name="b2", **qkw)
 
     # MFA as three int8 dots (each slice gets its own activation scale);
     # the (B, T, 3C) concat never materializes (models/ecapa.py:109-123)
     C = x1.shape[-1]
     w4 = p["mfa_kernel"]
     acc = None
-    for xi, sl in ((x1, slice(0, C)), (x2, slice(C, 2 * C)),
-                   (x3, slice(2 * C, 3 * C))):
+    for i, (xi, sl) in enumerate(((x1, slice(0, C)), (x2, slice(C, 2 * C)),
+                                  (x3, slice(2 * C, 3 * C)))):
+        if observer is not None:
+            observer(f"mfa_{i}", xi)
         w8, ws = _quant_w(w4[sl])
-        term = _qdot(xi, w8, ws, dtype)
+        term = _qdot(xi, w8, ws, dtype,
+                     act_scale=None if act_scales is None
+                     else act_scales[f"mfa_{i}"])
         acc = term if acc is None else acc + term
     x = jax.nn.relu(acc + p["mfa_bias"].astype(dtype))
 
@@ -153,3 +180,30 @@ def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
         p["Conv_1"]["kernel"], p["Conv_1"]["bias"], interpret=interpret)
     head = _Head(enc_dim=enc_dim, n_out=n_out, dtype=dtype)
     return head.apply(variables, pooled)
+
+
+def calibrate_act_scales(variables, feats_batches, *, model_scale: int = 8,
+                         enc_dim: int = 256, n_out: int = 2,
+                         dtype=jnp.float32, interpret: bool = False,
+                         headroom: float = 1.0):
+    """Static per-site activation scales for ecapa_apply_int8.
+
+    Runs the quantized forward over the calibration batches recording
+    max|activation| at every quantized-dot site; returns
+    {site: max_abs * headroom / 127}. Passing the result as
+    ``act_scales`` removes the per-layer dynamic max-reduce HBM pass and
+    lets XLA fuse quantization into the producing op; activations beyond
+    the calibrated range saturate at ±127 (use headroom > 1 for slack).
+    """
+    maxima = {}
+
+    def observer(site, v):
+        m = float(jnp.max(jnp.abs(v.astype(jnp.float32))))
+        maxima[site] = max(maxima.get(site, 0.0), m)
+
+    for feats in feats_batches:
+        ecapa_apply_int8(variables, feats, model_scale=model_scale,
+                         enc_dim=enc_dim, n_out=n_out, dtype=dtype,
+                         interpret=interpret, observer=observer)
+    return {site: max(m, 1e-12) * headroom / 127.0
+            for site, m in maxima.items()}

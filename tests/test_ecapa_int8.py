@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from asvspoof2021_air_tpu.models.ecapa import ECAPA_TDNN
 from asvspoof2021_air_tpu.serving.ecapa_int8 import (
-    _quant_w, ecapa_apply_int8)
+    _quant_w, calibrate_act_scales, ecapa_apply_int8)
 
 
 def _cosine(a, b):
@@ -63,6 +63,35 @@ def test_int8_forward_tracks_f32_model(model_scale):
     # logits drive score ordering; direction and rough magnitude must hold
     np.testing.assert_allclose(
         np.asarray(got_logits), np.asarray(want_logits), atol=0.05, rtol=0.1)
+
+
+def test_calibrated_static_scales_track_f32_model():
+    """Static calibrated activation scales (no dynamic max-reduce in the
+    serving graph) must stay as close to the f32 model as the dynamic
+    path, on data drawn from the calibration distribution."""
+    B, T, C, enc = 3, 48, 64, 32
+    model = ECAPA_TDNN(C=C, model_scale=4, n_out=2, n_feat=60, enc_dim=enc)
+    g = np.random.default_rng(7)
+    calib = [jnp.asarray(g.standard_normal((B, T, 60)), jnp.float32)
+             for _ in range(2)]
+    feats = jnp.asarray(g.standard_normal((B, T, 60)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(2)}, feats, False)
+
+    scales = calibrate_act_scales(variables, calib, model_scale=4,
+                                  enc_dim=enc, interpret=True,
+                                  headroom=1.1)
+    assert set(scales) == {"b0_in", "b0_out", "b1_in", "b1_out",
+                           "b2_in", "b2_out", "mfa_0", "mfa_1", "mfa_2"}
+    assert all(s > 0 for s in scales.values())
+
+    want_feat, _ = model.apply(variables, feats, False)
+    got_feat, got_logits = jax.jit(
+        lambda v, f: ecapa_apply_int8(v, f, model_scale=4, enc_dim=enc,
+                                      dtype=jnp.float32, interpret=True,
+                                      act_scales=scales))(variables, feats)
+    cos = _cosine(np.asarray(got_feat), np.asarray(want_feat))
+    assert np.all(cos > 0.999), cos
+    assert np.all(np.isfinite(np.asarray(got_logits)))
 
 
 def test_int8_forward_is_jittable_and_deterministic():
