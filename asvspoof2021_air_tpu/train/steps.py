@@ -43,6 +43,20 @@ class StepConfig:
     weight_loss: float = 1.0
     adv_aug: bool = False
     dual_classifier: bool = False         # codec + device classifiers
+    remat_policy: Optional[str] = None    # None|'conv_dot'
+
+
+def _conv_dot_saveable(prim, *_, **__):
+    """jax.checkpoint policy: save matmul/conv outputs, recompute the
+    elementwise/BN/softmax chains in the backward.
+
+    Motivation (docs/PERFORMANCE.md train trace): in training mode
+    autodiff materializes every elementwise intermediate for the
+    backward, bloating the BN/attention stages to ~6.6 ms/step at <7% of
+    peak, while full-block remat (round 1) recomputed the compute-bound
+    convs and measured 16% SLOWER. This policy recomputes ONLY the cheap
+    bandwidth-bound ops; the FLOP-carrying conv/dot results stay saved."""
+    return prim.name in ("dot_general", "conv_general_dilated")
 
 
 def _base_loss_and_score(base_loss, logits, labels):
@@ -96,6 +110,11 @@ def make_train_step(
             variables, x, True, rngs=rngs, mutable=["batch_stats"]
         )
         return feats, logits, mutated["batch_stats"]
+
+    if config.remat_policy == "conv_dot":
+        apply_model = jax.checkpoint(apply_model, policy=_conv_dot_saveable)
+    elif config.remat_policy is not None:
+        raise ValueError(config.remat_policy)
 
     def loss_fn(params, loss_params, state, batch, rngs, adv_gate,
                 frontend_params):

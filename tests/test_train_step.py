@@ -132,6 +132,53 @@ def test_bce_base_loss():
     assert scores.shape == (B,)
 
 
+def test_remat_policy_matches_default_trajectory():
+    """StepConfig(remat_policy='conv_dot') saves only conv/dot outputs
+    and recomputes the elementwise chains in the backward — a memory
+    knob, not a semantic one: a short trajectory must match the default
+    step to float tolerance. (Throughput on the flagship graph measured
+    SLOWER either way — docs/PERFORMANCE.md records both remat
+    negatives; the knob exists for memory-constrained configs.)"""
+    model = tiny_model()
+    loss_mod = build_loss("ang_iso", enc_dim=ENC)
+    btx = make_backbone_optimizer(lambda _: 5e-4)
+    ltx = make_loss_optimizer(lambda _: 5e-4)
+    rng = jax.random.PRNGKey(3)
+    example = jnp.zeros((B, T, F), jnp.float32)
+
+    def run(policy):
+        state = create_train_state(
+            rng, model, example,
+            loss_module=loss_mod,
+            example_feat=jnp.zeros((B, ENC)),
+            example_labels=jnp.zeros((B,), jnp.int32),
+            backbone_tx=btx, loss_tx=ltx,
+        )
+        cfg = StepConfig(add_loss="ang_iso", remat_policy=policy)
+        step = jax.jit(make_train_step(model, loss_mod, btx, ltx, cfg))
+        losses = []
+        for i in range(3):
+            state, m = step(state, make_batch(i), jax.random.PRNGKey(9))
+            losses.append(float(m["total_loss"]))
+        return losses, state
+
+    base_losses, base_state = run(None)
+    remat_losses, remat_state = run("conv_dot")
+    np.testing.assert_allclose(remat_losses, base_losses, rtol=1e-5)
+    a = jax.tree_util.tree_leaves(base_state.params)
+    b = jax.tree_util.tree_leaves(remat_state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_remat_policy_rejects_unknown_value():
+    model = tiny_model()
+    with pytest.raises(ValueError):
+        make_train_step(model, None, make_backbone_optimizer(lambda _: 1e-3),
+                        None, StepConfig(remat_policy="everything"))
+
+
 def test_multi_step_equals_sequential_steps():
     """make_multi_step(K) trains the same as K single calls (per-step keys
     derive from state.step inside the step); tolerances cover f32 fusion

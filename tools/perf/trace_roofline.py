@@ -90,13 +90,14 @@ def classify(op_name: str) -> str:
     return "other"
 
 
-def _parse_hlo_metadata(hlo_text: str):
-    """instruction name -> stage, resolved through fused computations.
+def _parse_hlo_repnames(hlo_text: str):
+    """instruction name -> representative metadata op_name, resolved
+    through fused computations.
 
     For each computation block, collect (instr_name, opcode, op_name
-    metadata). A fusion instruction is classified by the first
+    metadata). A fusion instruction is represented by the first
     dot/convolution inside its called computation (the FLOP carrier),
-    falling back to majority vote of its ops' stages."""
+    falling back to a majority-stage member."""
     comp_ops = {}      # computation name -> [(opcode, op_name)]
     instr_meta = {}    # entry instruction name -> (opcode, op_name, called)
     current = None
@@ -135,19 +136,31 @@ def _parse_hlo_metadata(hlo_text: str):
         comp_ops.setdefault(current, []).append((opcode, op_name))
         instr_meta[name] = (opcode, op_name, mcall.group(1) if mcall else None)
 
-    def stage_of_instr(name):
+    def rep_of_instr(name):
+        """Representative metadata op_name: the FLOP carrier inside the
+        called computation of a fusion, else the stage-majority member,
+        else the instruction's own op_name."""
         opcode, op_name, called = instr_meta.get(name, ("", "", None))
         if called and called in comp_ops:
             ops = comp_ops[called]
             for oc, on in ops:
                 if oc in ("dot", "convolution", "custom-call") and on:
-                    return classify(on)
-            votes = [classify(on) for _, on in ops if on]
+                    return on
+            votes = {}
+            for _, on in ops:
+                if on:
+                    votes.setdefault(classify(on), []).append(on)
             if votes:
-                return max(set(votes), key=votes.count)
-        return classify(op_name)
+                return max(votes.values(), key=len)[0]
+        return op_name
 
-    return {name: stage_of_instr(name) for name in instr_meta}
+    return {name: rep_of_instr(name) for name in instr_meta}
+
+
+def _parse_hlo_metadata(hlo_text: str):
+    """instruction name -> stage (see _parse_hlo_repnames)."""
+    return {name: classify(rep)
+            for name, rep in _parse_hlo_repnames(hlo_text).items()}
 
 
 def _event_instr_name(nm: str):
@@ -194,46 +207,152 @@ def _device_op_durations(trace_dir):
     return totals
 
 
-def profile_inference(n_iter=30):
-    """Trace the standard flagship inference graph and return
-    (per-stage ms/step table, full ms/step, unattributed ms/step)."""
-    infer, args, _xla_flops = roofline.full_graph()
-    jitted = jax.jit(infer)
-    out = jitted(*args)
-    jax.block_until_ready(out)
-
-    trace_dir = tempfile.mkdtemp(prefix="roofline_trace_")
-    with jax.profiler.trace(trace_dir):
-        for _ in range(n_iter):
-            out = jitted(*args)
-        jax.block_until_ready(out)
-
-    hlo = jitted.lower(*args).compile().as_text()
-    instr_stage = _parse_hlo_metadata(hlo)
-    durations = _device_op_durations(trace_dir)
-
-    stage_ns = {}
+def _attribute(durations, instr_rep, keyfn):
+    """Aggregate event durations into buckets via keyfn(rep_op_name)."""
+    bucket_ns = {}
     unmatched_ns = 0.0
     for nm, ns in durations.items():
         key = nm.lstrip("%")
-        stage = instr_stage.get(key)
-        if stage is None:
+        rep = instr_rep.get(key)
+        if rep is None:
             # profiler sometimes suffixes repeats; retry without trailing .N
-            stage = instr_stage.get(re.sub(r"\.\d+$", "", key))
-        if stage is None:
+            rep = instr_rep.get(re.sub(r"\.\d+$", "", key))
+        if rep is None:
             unmatched_ns += ns
             continue
-        stage_ns[stage] = stage_ns.get(stage, 0.0) + ns
+        b = keyfn(rep)
+        bucket_ns[b] = bucket_ns.get(b, 0.0) + ns
+    return bucket_ns, unmatched_ns
+
+
+def _trace_jitted(jitted, jargs, n_iter, carry_state=False):
+    """Run + trace a jitted fn; return (instr->rep_op_name, durations)."""
+    out = jitted(*jargs)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    if carry_state:
+        jargs = (out[0],) + jargs[1:]
+
+    trace_dir = tempfile.mkdtemp(prefix="roofline_trace_")
+    with jax.profiler.trace(trace_dir):
+        a = jargs
+        for _ in range(n_iter):
+            out = jitted(*a)
+            if carry_state:
+                a = (out[0],) + a[1:]
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+
+    hlo = jitted.lower(*jargs).compile().as_text()
+    return _parse_hlo_repnames(hlo), _device_op_durations(trace_dir)
+
+
+def profile_inference(n_iter=30):
+    """Trace the standard flagship inference graph and return
+    (per-stage ms/step table, unattributed ns, n_iter)."""
+    infer, args, _xla_flops = roofline.full_graph()
+    instr_rep, durations = _trace_jitted(jax.jit(infer), args, n_iter)
+    stage_ns, unmatched_ns = _attribute(durations, instr_rep, classify)
     return stage_ns, unmatched_ns, n_iter
+
+
+def direction(rep_op_name: str) -> str:
+    """fwd / bwd / update for a train-step metadata op_name: XLA marks
+    reverse-mode ops with transpose(jvp(...)) wrappers; everything not
+    under the model/loss modules is optimizer + BN bookkeeping."""
+    op = rep_op_name or ""
+    if "transpose(" in op:
+        return "bwd"
+    if classify(op) != "other" or "jvp(" in op:
+        return "fwd"
+    return "update/other"
+
+
+def profile_train(n_iter=10):
+    """Trace ONE flagship train step (B=64, ang_iso, unscanned) and
+    return ((stage, direction) -> ns, unattributed ns, n_iter)."""
+    import bench
+    from asvspoof2021_air_tpu.train.steps import StepConfig, make_train_step
+
+    _on, lfcc, model, ocs, rng, wave, labels = bench._flagship()
+    state, btx, ltx = bench._train_state(rng, model, lfcc, wave, labels, ocs)
+    step_fn = make_train_step(
+        model, ocs, btx, ltx, StepConfig(add_loss="ang_iso"),
+        frontend=lambda b, k, p=None: lfcc(b["wave"]),
+    )
+    batch = {"wave": wave, "label": labels}
+    jitted = jax.jit(step_fn)
+    jargs = (state, batch, jax.random.PRNGKey(1), 0.0)
+    instr_rep, durations = _trace_jitted(jitted, jargs, n_iter,
+                                         carry_state=True)
+    bucket_ns, unmatched_ns = _attribute(
+        durations, instr_rep, lambda rep: (classify(rep), direction(rep)))
+    return bucket_ns, unmatched_ns, n_iter
+
+
+def _train_rows(args, analytic):
+    """Per-(stage, direction) rows for the train-step trace. Backward
+    matmul FLOPs are ~2x forward (dgrad + wgrad), so bwd pct_peak uses
+    2x the analytic stage FLOPs — an approximation, flagged as such."""
+    bucket_ns, unmatched_ns, n = profile_train(args.iters)
+    rows = []
+    total_ms = 0.0
+    for stage in STAGE_ORDER:
+        for dirn, mult in (("fwd", 1.0), ("bwd", 2.0)):
+            ns = bucket_ns.pop((stage, dirn), None)
+            if ns is None:
+                continue
+            ms = ns / n / 1e6
+            total_ms += ms
+            row = {"stage": stage, "dir": dirn, "ms": round(ms, 3)}
+            if stage in analytic:
+                flops = analytic[stage] * mult
+                tflops = flops / (ms / 1e3) / 1e12
+                row.update({"gflop": round(flops / 1e9, 2),
+                            "tflops": round(tflops, 1),
+                            "pct_peak": round(
+                                100 * tflops / roofline.PEAK_BF16_TFLOPS,
+                                1)})
+            rows.append(row)
+    rest_ms = sum(ns for ns in bucket_ns.values()) / n / 1e6
+    if bucket_ns:
+        total_ms += rest_ms
+        rows.append({"stage": "update/other", "dir": "-",
+                     "ms": round(rest_ms, 3)})
+    if unmatched_ns:
+        ms = unmatched_ns / n / 1e6
+        total_ms += ms
+        rows.append({"stage": "unattributed", "dir": "-",
+                     "ms": round(ms, 3)})
+    rows.append({"stage": "TOTAL device", "dir": "-",
+                 "ms": round(total_ms, 3),
+                 "utt_s": round(roofline.B / (total_ms / 1e3), 0)
+                 if total_ms else None})
+    return rows
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--json", action="store_true")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--graph", choices=("infer", "train"), default="infer")
     args = p.parse_args()
 
     analytic = {s[0]: s[1] for s in roofline.stage_defs()}
+
+    if args.graph == "train":
+        rows = _train_rows(args, analytic)
+        if args.json:
+            print(json.dumps(rows))
+        else:
+            print(f"{'stage':26} {'dir':>4} {'ms':>8} {'GFLOP':>8} "
+                  f"{'TF/s':>7} {'%peak':>6}")
+            for r in rows:
+                print(f"{r['stage']:26} {r.get('dir', '-'):>4} "
+                      f"{r.get('ms', 0):8.3f} "
+                      f"{r.get('gflop', float('nan')):8.2f} "
+                      f"{r.get('tflops', float('nan')):7.1f} "
+                      f"{r.get('pct_peak', float('nan')):6.1f}")
+        return
+
     stage_ns, unmatched_ns, n = profile_inference(args.iters)
 
     rows = []
