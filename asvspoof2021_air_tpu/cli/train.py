@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params always float32)")
+    p.add_argument("--fused_pool", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="ECAPA attentive pooling via the differentiable "
+                        "Pallas kernel (ops/attn_pool_vjp; same math and "
+                        "checkpoint tree, faster train steps on TPU). "
+                        "auto = on for TPU backends only")
     p.add_argument("--on_the_fly", type=str2bool, nargs="?", const=True,
                    default=False,
                    help="train straight from raw audio: augmentation + LFCC "

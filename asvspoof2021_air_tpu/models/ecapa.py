@@ -23,6 +23,23 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from asvspoof2021_air_tpu.models.common import SEModule1D, batch_norm
+from asvspoof2021_air_tpu.ops.attn_pool_vjp import fused_softmax_stats
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter holder matching nn.Conv's variable tree exactly
+    (kernel (1, in, out) lecun_normal, bias zeros) so the fused pooling
+    path below shares checkpoints/transplants with the standard path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class Bottle2neck(nn.Module):
@@ -86,6 +103,15 @@ class ECAPA_TDNN(nn.Module):
     encoder_type: str = "ECA"
     out_bn: bool = True
     dtype: Optional[Any] = None   # compute dtype (e.g. jnp.bfloat16); params stay f32
+    # fused_pool: run the attention tail (1x1 conv -> softmax_T -> weighted
+    # stats) through the differentiable Pallas kernel (ops/attn_pool_vjp):
+    # same math and SAME parameter tree, but the (B, T, 1536) logits and
+    # softmax weights never reach HBM in either direction — the train
+    # trace showed autodiff residuals for this section costing ~4 ms/step
+    # (docs/PERFORMANCE.md). pool_interpret runs the kernel in interpret
+    # mode (CPU tests).
+    fused_pool: bool = False
+    pool_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -155,16 +181,26 @@ class ECAPA_TDNN(nn.Module):
                 w = jnp.einsum("btc,cd->btd", x, wa.astype(dt)) + ba.astype(dt)
             w = nn.relu(w)
             w = batch_norm(train, self.dtype)(w)
-            w = nn.Conv(attn_output, (1,), dtype=self.dtype)(w)
-            w = nn.softmax(w.astype(jnp.float32), axis=1).astype(w.dtype)
+            use_fused = self.fused_pool and attn_output == 1536
+            if not use_fused:
+                w = nn.Conv(attn_output, (1,), dtype=self.dtype)(w)
+                w = nn.softmax(w.astype(jnp.float32), axis=1).astype(w.dtype)
 
         with jax.named_scope("attentive_stats"):
-            # attentive statistics accumulate in f32 (sums over T frames)
-            xf = x.astype(jnp.float32)
-            wf = w.astype(jnp.float32)
-            mu = jnp.sum(xf * wf, axis=1)
-            sg = jnp.sqrt(
-                jnp.clip(jnp.sum((xf ** 2) * wf, axis=1) - mu ** 2, 1e-4))
+            if use_fused:
+                k2, b2 = _Conv1x1Params(128, attn_output, name="Conv_1")()
+                mu, e2 = fused_softmax_stats(
+                    self.pool_interpret, x, w,
+                    k2[0].astype(jnp.float32), b2.astype(jnp.float32))
+                sg = jnp.sqrt(jnp.clip(e2 - mu ** 2, 1e-4))
+            else:
+                # attentive statistics accumulate in f32 (sums over T)
+                xf = x.astype(jnp.float32)
+                wf = w.astype(jnp.float32)
+                mu = jnp.sum(xf * wf, axis=1)
+                sg = jnp.sqrt(
+                    jnp.clip(jnp.sum((xf ** 2) * wf, axis=1) - mu ** 2,
+                             1e-4))
 
             x = jnp.concatenate([mu, sg], axis=1)  # (B, 3072)
         if self.dtype is not None:

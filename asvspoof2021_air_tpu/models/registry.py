@@ -32,9 +32,11 @@ def _build_lcnn(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
 
 
 def _build_ecapa(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
-                 dtype=None, **kw):
+                 dtype=None, fused_pool: bool = False,
+                 pool_interpret: bool = False, **kw):
     return ECAPA_TDNN(C=512, model_scale=8, n_out=nclasses, n_feat=feat_dim,
-                      enc_dim=enc_dim, dtype=dtype)
+                      enc_dim=enc_dim, dtype=dtype, fused_pool=fused_pool,
+                      pool_interpret=pool_interpret)
 
 
 def _build_res2net(nclasses: int = 2, **kw):

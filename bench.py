@@ -179,6 +179,9 @@ def stage_train() -> dict:
     )
 
     _on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
+    # Differentiable fused attentive pooling (ops/attn_pool_vjp): measured
+    # 23.4 -> 22.8 ms/step on v5e (docs/PERFORMANCE.md).
+    model = model.clone(fused_pool=_on_tpu)
     state, btx, ltx = _train_state(rng, model, lfcc, wave, labels, ocs)
     step_fn = make_train_step(
         model, ocs, btx, ltx, StepConfig(add_loss="ang_iso"),
@@ -217,6 +220,7 @@ def stage_train_aug() -> dict:
     )
 
     on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
+    model = model.clone(fused_pool=on_tpu)
     state, btx, ltx = _train_state(rng, model, lfcc, wave, labels, ocs)
     fe = OnDeviceFrontend(
         feat_len=750, padding="repeat",
