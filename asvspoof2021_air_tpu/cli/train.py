@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "Pallas kernel (ops/attn_pool_vjp; same math and "
                         "checkpoint tree, faster train steps on TPU). "
                         "auto = on for TPU backends only")
+    p.add_argument("--fused_bn", type=str, default="off",
+                   choices=["auto", "on", "off"],
+                   help="relu<->batchnorm pairs via the recompute-VJP "
+                        "(ops/bn_relu_vjp; same math and checkpoint tree, "
+                        "lighter train-mode residuals). auto = on for TPU "
+                        "backends only")
     p.add_argument("--on_the_fly", type=str2bool, nargs="?", const=True,
                    default=False,
                    help="train straight from raw audio: augmentation + LFCC "

@@ -107,17 +107,109 @@ class SEModule1D(nn.Module):
         return x * y[:, None, :]
 
 
-def batch_norm(train: bool, dtype=None, **kwargs) -> nn.BatchNorm:
+class BatchNorm(nn.Module):
+    """Drop-in replacement for `flax.linen.BatchNorm` (same variable tree
+    — auto-name prefix "BatchNorm", params scale/bias, batch_stats
+    mean/var — and same numerics: f32 fast-variance stats, f32
+    normalization, output cast like flax's canonicalize_dtype; exactness
+    vs nn.BatchNorm is pinned by tests/test_bn_relu_vjp.py) with one
+    addition: `fuse_relu=True` takes the PRE-ReLU activation and runs
+    relu+BN through the recompute-VJP of ops/bn_relu_vjp in train mode,
+    so the normalized activations and ReLU masks are never stored as
+    backward residuals (docs/PERFORMANCE.md "Train-step roofline")."""
+
+    use_running_average: bool = False
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: Optional[jnp.dtype] = None
+    use_scale: bool = True
+    use_bias: bool = True
+    fuse_relu: bool = False    # input is pre-ReLU: y = bn(relu(x))
+    relu_after: bool = False   # pre-activation order: y = relu(bn(x))
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from asvspoof2021_air_tpu.ops.bn_relu_vjp import (
+            bn_relu_train,
+            relu_bn_train,
+        )
+
+        assert not (self.fuse_relu and self.relu_after)
+
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32))
+        scale = (self.param("scale", nn.initializers.ones, (feat,),
+                            jnp.float32) if self.use_scale
+                 else jnp.ones((feat,), jnp.float32))
+        bias = (self.param("bias", nn.initializers.zeros, (feat,),
+                           jnp.float32) if self.use_bias
+                else jnp.zeros((feat,), jnp.float32))
+
+        if self.use_running_average:
+            r = nn.relu(x) if self.fuse_relu else x
+            mu, var = ra_mean.value, ra_var.value
+            y32 = (r.astype(jnp.float32) - mu) \
+                * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+            if self.relu_after:
+                y32 = nn.relu(y32)
+        elif self.fuse_relu:
+            y32, mu, var = relu_bn_train(x, scale, bias, self.epsilon)
+        elif self.relu_after:
+            y32, mu, var = bn_relu_train(x, scale, bias, self.epsilon)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=axes)
+            var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=axes) - mu * mu)
+            y32 = (xf - mu) * (jax.lax.rsqrt(var + self.epsilon) * scale) \
+                + bias
+        if not self.use_running_average and not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value \
+                + (1 - m) * jax.lax.stop_gradient(mu)
+            ra_var.value = m * ra_var.value \
+                + (1 - m) * jax.lax.stop_gradient(var)
+        # flax: canonicalize_dtype(x, scale, bias, dtype=self.dtype) —
+        # f32 params mean the default (dtype=None) output is f32.
+        out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        return y32.astype(out_dtype)
+
+
+def batch_norm(train: bool, dtype=None, **kwargs) -> BatchNorm:
     """BatchNorm with torch-default hyperparameters.
 
     Under jit+GSPMD sharding the batch statistics are computed over the
     global (logical) batch, so data-parallel training gets synchronized BN
     without an axis_name.
     """
-    return nn.BatchNorm(
+    return BatchNorm(
         use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
         dtype=dtype, **kwargs
     )
+
+
+def relu_bn(x: jnp.ndarray, train: bool, dtype=None,
+            fused: bool = False) -> jnp.ndarray:
+    """The `relu -> batchnorm` pattern (torch `bn(relu(x))`,
+    /root/reference/ecapa_tdnn.py:57-76). `fused=True` routes through
+    the recompute-VJP train path (ops/bn_relu_vjp); identical math and
+    variable tree either way."""
+    bn = batch_norm(train, dtype, fuse_relu=fused)
+    return bn(x if fused else nn.relu(x))
+
+
+def bn_relu(x: jnp.ndarray, train: bool, dtype=None,
+            fused: bool = False) -> jnp.ndarray:
+    """The pre-activation `batchnorm -> relu` pattern (torch
+    `relu(bn(x))`, /root/reference/model.py:60-75). `fused=True` routes
+    through the recompute-VJP train path (ops/bn_relu_vjp.bn_relu_train);
+    identical math and variable tree either way."""
+    bn = batch_norm(train, dtype, relu_after=fused)
+    out = bn(x)
+    return out if fused else nn.relu(out)
 
 
 def to_2d_input(x: jnp.ndarray) -> jnp.ndarray:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from asvspoof2021_air_tpu.models.common import SEModule1D, batch_norm
+from asvspoof2021_air_tpu.models.common import SEModule1D, batch_norm, relu_bn
 from asvspoof2021_air_tpu.ops.attn_pool_vjp import fused_softmax_stats
 
 
@@ -50,6 +50,7 @@ class Bottle2neck(nn.Module):
     dilation: int = 1
     scale: int = 8
     dtype: Optional[Any] = None
+    fused_bn: bool = False   # relu+BN via the recompute-VJP (train mode)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,8 +58,7 @@ class Bottle2neck(nn.Module):
         residual = x
 
         out = nn.Conv(width * self.scale, (1,), dtype=self.dtype)(x)
-        out = nn.relu(out)
-        out = batch_norm(train, self.dtype)(out)
+        out = relu_bn(out, train, self.dtype, fused=self.fused_bn)
 
         groups = jnp.split(out, self.scale, axis=-1)
         pad = (self.kernel_size // 2) * self.dilation
@@ -70,8 +70,7 @@ class Bottle2neck(nn.Module):
                 width, (self.kernel_size,), kernel_dilation=(self.dilation,),
                 padding=((pad, pad),), dtype=self.dtype,
             )(sp)
-            sp = nn.relu(sp)
-            sp = batch_norm(train, self.dtype)(sp)
+            sp = relu_bn(sp, train, self.dtype, fused=self.fused_bn)
             outs.append(sp)
         outs.append(groups[-1])
         # NOTE: splitting this 1x1 conv over the groups (avoiding the
@@ -80,8 +79,7 @@ class Bottle2neck(nn.Module):
         out = jnp.concatenate(outs, axis=-1)
 
         out = nn.Conv(self.planes, (1,), dtype=self.dtype)(out)
-        out = nn.relu(out)
-        out = batch_norm(train, self.dtype)(out)
+        out = relu_bn(out, train, self.dtype, fused=self.fused_bn)
         out = SEModule1D(self.planes, dtype=self.dtype)(out, train)
         return out + residual
 
@@ -112,6 +110,11 @@ class ECAPA_TDNN(nn.Module):
     # mode (CPU tests).
     fused_pool: bool = False
     pool_interpret: bool = False
+    # fused_bn: run every relu->batchnorm pair through the recompute-VJP
+    # (ops/bn_relu_vjp): identical math and variable tree, but train-mode
+    # autodiff saves only the conv outputs + batch stats instead of the
+    # normalized activations and ReLU masks (docs/PERFORMANCE.md).
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -119,11 +122,11 @@ class ECAPA_TDNN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = nn.Conv(self.C, (5,), padding=((2, 2),), dtype=self.dtype)(x)
-        x = nn.relu(x)
-        x = batch_norm(train, self.dtype)(x)
+        x = relu_bn(x, train, self.dtype, fused=self.fused_bn)
 
         blk = lambda d: Bottle2neck(self.C, 3, d, self.model_scale,
-                                    dtype=self.dtype)
+                                    dtype=self.dtype,
+                                    fused_bn=self.fused_bn)
         if self.summed:
             x1 = blk(2)(x, train)
             x2 = blk(3)(x + x1, train)
@@ -179,8 +182,7 @@ class ECAPA_TDNN(nn.Module):
                 )
             else:
                 w = jnp.einsum("btc,cd->btd", x, wa.astype(dt)) + ba.astype(dt)
-            w = nn.relu(w)
-            w = batch_norm(train, self.dtype)(w)
+            w = relu_bn(w, train, self.dtype, fused=self.fused_bn)
             use_fused = self.fused_pool and attn_output == 1536
             if not use_fused:
                 w = nn.Conv(attn_output, (1,), dtype=self.dtype)(w)

@@ -16,13 +16,13 @@ from asvspoof2021_air_tpu.models.resnet import ResNet
 
 
 def _build_resnet(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
-                  dtype=None, **kw):
+                  dtype=None, fused_bn: bool = False, **kw):
     # num_nodes=3: residual frequency extent for 60-dim LFCC
     # (/root/reference/main_train.py:162-163).
     node_dict = {60: 3}
     return ResNet(num_nodes=node_dict.get(feat_dim, max(feat_dim // 20, 1)),
                   enc_dim=enc_dim, resnet_type="18", nclasses=nclasses,
-                  dtype=dtype)
+                  dtype=dtype, fused_bn=fused_bn)
 
 
 def _build_lcnn(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
@@ -33,14 +33,14 @@ def _build_lcnn(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
 
 def _build_ecapa(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
                  dtype=None, fused_pool: bool = False,
-                 pool_interpret: bool = False, **kw):
+                 pool_interpret: bool = False, fused_bn: bool = False, **kw):
     return ECAPA_TDNN(C=512, model_scale=8, n_out=nclasses, n_feat=feat_dim,
                       enc_dim=enc_dim, dtype=dtype, fused_pool=fused_pool,
-                      pool_interpret=pool_interpret)
+                      pool_interpret=pool_interpret, fused_bn=fused_bn)
 
 
-def _build_res2net(nclasses: int = 2, **kw):
-    return SERes2Net50(num_classes=nclasses)
+def _build_res2net(nclasses: int = 2, fused_bn: bool = False, **kw):
+    return SERes2Net50(num_classes=nclasses, fused_bn=fused_bn)
 
 
 def _build_cnn(enc_dim: int = 256, nclasses: int = 2, **kw):

@@ -22,6 +22,7 @@ from flax import linen as nn
 from asvspoof2021_air_tpu.models.common import (
     SELayer2D,
     batch_norm,
+    bn_relu,
     conv_kaiming_init,
     to_2d_input,
 )
@@ -35,6 +36,7 @@ class SEBottle2neck(nn.Module):
     base_width: int = 26
     scale: int = 4
     stype: str = "normal"  # 'stage' for the first block of a stage
+    fused_bn: bool = False  # bn+relu via the recompute-VJP (train mode)
     expansion = 2
 
     @nn.compact
@@ -46,7 +48,7 @@ class SEBottle2neck(nn.Module):
 
         out = nn.Conv(width * self.scale, (1, 1), use_bias=False,
                       kernel_init=conv_kaiming_init)(x)
-        out = nn.relu(batch_norm(train)(out))
+        out = bn_relu(out, train, fused=self.fused_bn)
 
         groups = jnp.split(out, self.scale, axis=-1)
         outs = []
@@ -58,7 +60,7 @@ class SEBottle2neck(nn.Module):
                 padding=((1, 1), (1, 1)), use_bias=False,
                 kernel_init=conv_kaiming_init,
             )(sp)
-            sp = nn.relu(batch_norm(train)(sp))
+            sp = bn_relu(sp, train, fused=self.fused_bn)
             outs.append(sp)
         if self.scale != 1 and self.stype == "normal":
             outs.append(groups[-1])
@@ -121,6 +123,7 @@ class SERes2Net50(nn.Module):
     base_width: int = 26
     scale: int = 4
     layers: Tuple[int, ...] = (3, 4, 6, 3)
+    fused_bn: bool = False  # bn+relu via the recompute-VJP (train mode)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -130,16 +133,18 @@ class SERes2Net50(nn.Module):
             x = nn.Conv(16, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                         kernel_init=conv_kaiming_init)(x)
             if i < 2:
-                x = nn.relu(batch_norm(train)(x))
-        x = nn.relu(batch_norm(train)(x))
+                x = bn_relu(x, train, fused=self.fused_bn)
+        x = bn_relu(x, train, fused=self.fused_bn)
 
         for planes, n_blocks, stride in zip(
             (16, 32, 64, 128), self.layers, (1, 2, 2, 2)
         ):
             x = SEBottle2neck(planes, stride, self.base_width, self.scale,
-                              stype="stage")(x, train)
+                              stype="stage",
+                              fused_bn=self.fused_bn)(x, train)
             for _ in range(1, n_blocks):
-                x = SEBottle2neck(planes, 1, self.base_width, self.scale)(x, train)
+                x = SEBottle2neck(planes, 1, self.base_width, self.scale,
+                                  fused_bn=self.fused_bn)(x, train)
 
         feat = jnp.mean(x, axis=(1, 2))  # (B, 256)
         out = nn.Dense(self.num_classes)(feat)

@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from asvspoof2021_air_tpu.models.common import (
     SelfAttentionPooling,
-    batch_norm,
+    bn_relu,
     conv_kaiming_init,
     linear_kaiming_init,
     to_2d_input,
@@ -31,12 +31,13 @@ class PreActBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: Optional[Any] = None
+    fused_bn: bool = False   # bn+relu via the recompute-VJP (train mode)
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_planes = x.shape[-1]
-        out = nn.relu(batch_norm(train, self.dtype)(x))
+        out = bn_relu(x, train, self.dtype, fused=self.fused_bn)
         needs_proj = self.stride != 1 or in_planes != self.expansion * self.planes
         shortcut = (
             nn.Conv(
@@ -55,7 +56,7 @@ class PreActBlock(nn.Module):
         out = nn.Conv(
             self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             kernel_init=conv_kaiming_init, dtype=self.dtype,
-        )(nn.relu(batch_norm(train, self.dtype)(out)))
+        )(bn_relu(out, train, self.dtype, fused=self.fused_bn))
         return out + shortcut
 
 
@@ -65,12 +66,13 @@ class PreActBottleneck(nn.Module):
     planes: int
     stride: int = 1
     dtype: Optional[Any] = None
+    fused_bn: bool = False   # bn+relu via the recompute-VJP (train mode)
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_planes = x.shape[-1]
-        out = nn.relu(batch_norm(train, self.dtype)(x))
+        out = bn_relu(x, train, self.dtype, fused=self.fused_bn)
         needs_proj = self.stride != 1 or in_planes != self.expansion * self.planes
         shortcut = (
             nn.Conv(
@@ -87,10 +89,11 @@ class PreActBottleneck(nn.Module):
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)), use_bias=False,
             kernel_init=conv_kaiming_init, dtype=self.dtype,
-        )(nn.relu(batch_norm(train, self.dtype)(out)))
+        )(bn_relu(out, train, self.dtype, fused=self.fused_bn))
         out = nn.Conv(self.expansion * self.planes, (1, 1), use_bias=False,
-                      kernel_init=conv_kaiming_init,
-                      dtype=self.dtype)(nn.relu(batch_norm(train, self.dtype)(out)))
+                      kernel_init=conv_kaiming_init, dtype=self.dtype)(
+                          bn_relu(out, train, self.dtype,
+                                  fused=self.fused_bn))
         return out + shortcut
 
 
@@ -117,6 +120,7 @@ class ResNet(nn.Module):
     resnet_type: str = "18"
     nclasses: int = 2
     dtype: Optional[Any] = None   # compute dtype; params stay f32
+    fused_bn: bool = False        # bn+relu via the recompute-VJP (train)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -128,19 +132,21 @@ class ResNet(nn.Module):
         x = nn.Conv(16, (9, 3), strides=(3, 1), padding=((1, 1), (1, 1)),
                     use_bias=False, kernel_init=conv_kaiming_init,
                     dtype=self.dtype)(x)
-        x = nn.relu(batch_norm(train, self.dtype)(x))
+        x = bn_relu(x, train, self.dtype, fused=self.fused_bn)
 
         for planes, n_blocks, stride in zip(
             (64, 128, 256, 512), layers, (1, 2, 2, 2)
         ):
-            x = block(planes, stride, self.dtype)(x, train)
+            x = block(planes, stride, self.dtype,
+                      fused_bn=self.fused_bn)(x, train)
             for _ in range(1, n_blocks):
-                x = block(planes, 1, self.dtype)(x, train)
+                x = block(planes, 1, self.dtype,
+                          fused_bn=self.fused_bn)(x, train)
 
         x = nn.Conv(256, (self.num_nodes, 3), padding=((0, 0), (1, 1)),
                     use_bias=False, kernel_init=conv_kaiming_init,
                     dtype=self.dtype)(x)
-        x = nn.relu(batch_norm(train, self.dtype)(x))
+        x = bn_relu(x, train, self.dtype, fused=self.fused_bn)
         x = jnp.squeeze(x, axis=1)  # (B, T', 256)
 
         # attentive stats pool in f32 (sums over time)

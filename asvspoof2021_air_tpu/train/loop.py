@@ -101,6 +101,11 @@ class TrainConfig:
     # steps on TPU (docs/PERFORMANCE.md). auto = on for TPU backends, off on
     # CPU; on = force (interpret-mode Pallas on CPU, slow but exact).
     fused_pool: str = "auto"         # auto | on | off
+    # relu<->batchnorm pairs (ECAPA post-activation, ResNet/Res2Net
+    # pre-activation) through the recompute-VJP (ops/bn_relu_vjp):
+    # identical math/tree, lighter train-mode autodiff residuals
+    # (docs/PERFORMANCE.md "Train-step roofline").
+    fused_bn: str = "off"            # auto | on | off
     # On-the-fly mode: raw waveforms in, augmentation + LFCC fused into the
     # jitted step (no feature cache at all) — the TPU-native fast path.
     on_the_fly: bool = False
@@ -203,6 +208,8 @@ def setup_training(config: TrainConfig, steps_per_epoch: int, frontend=None):
         feat_dim=config.feat_dim, feat_len=config.feat_len, dtype=dtype,
         rawnet_args=config.rawnet_args,
         fused_pool=use_fused, pool_interpret=use_fused and not on_tpu,
+        fused_bn=config.fused_bn == "on" or (
+            config.fused_bn == "auto" and on_tpu),
     )
     if config.model == "rawnet" and config.add_loss is not None:
         raise ValueError(
