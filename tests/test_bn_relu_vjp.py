@@ -282,3 +282,58 @@ def test_preact_models_fused_bn_match_standard(family):
         np.testing.assert_allclose(
             np.asarray(flat_f[key]), np.asarray(v),
             rtol=5e-3, atol=5e-4, err_msg=key)
+
+
+def test_fused_bn_sharded_train_step_matches_standard():
+    """Under GSPMD data sharding the standard BN computes GLOBAL batch
+    stats; the recompute-VJP path must too (its jnp reductions get the
+    same collectives inserted). Two optimizer steps on an 8-device
+    sharded batch must track the unfused model."""
+    from asvspoof2021_air_tpu.losses import build_loss
+    from asvspoof2021_air_tpu.models.ecapa import ECAPA_TDNN
+    from asvspoof2021_air_tpu.parallel import make_mesh, shard_batch
+    from asvspoof2021_air_tpu.train.state import (
+        create_train_state,
+        make_backbone_optimizer,
+        make_loss_optimizer,
+        step_decay_schedule,
+    )
+    from asvspoof2021_air_tpu.train.steps import StepConfig, make_train_step
+
+    B, T, F, ENC = 16, 50, 60, 16
+    g = np.random.default_rng(0)
+    labels = g.integers(0, 2, B).astype(np.int32)
+    feats = (g.standard_normal((B, T, F)) + labels[:, None, None]).astype(
+        np.float32)
+    mesh = make_mesh()
+    batch = shard_batch({"feat": feats, "label": labels}, mesh)
+
+    losses = {}
+    params = {}
+    for fused in (False, True):
+        model = ECAPA_TDNN(C=32, model_scale=4, n_out=2, n_feat=F,
+                           enc_dim=ENC, fused_bn=fused)
+        loss_mod = build_loss("ang_iso", enc_dim=ENC)
+        sched = step_decay_schedule(5e-4, 0.5, 30, steps_per_epoch=10)
+        btx, ltx = make_backbone_optimizer(sched), make_loss_optimizer(sched)
+        state = create_train_state(
+            jax.random.PRNGKey(688), model, jnp.zeros((B, T, F), jnp.float32),
+            loss_module=loss_mod, example_feat=jnp.zeros((B, ENC)),
+            example_labels=jnp.zeros((B,), jnp.int32),
+            backbone_tx=btx, loss_tx=ltx,
+        )
+        step = jax.jit(make_train_step(model, loss_mod, btx, ltx,
+                                       StepConfig(add_loss="ang_iso")))
+        ls = []
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            ls.append(float(metrics["total_loss"]))
+        losses[fused] = ls
+        params[fused] = state.params
+
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params[False]),
+                    jax.tree_util.tree_leaves(params[True])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)
