@@ -337,3 +337,41 @@ def test_fused_bn_sharded_train_step_matches_standard():
                     jax.tree_util.tree_leaves(params[True])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_model_both_fusions_match_standard():
+    """fused_pool + fused_bn together (the TPU training configuration)
+    must still match the standard model in values and gradients."""
+    from asvspoof2021_air_tpu.models.ecapa import ECAPA_TDNN
+
+    g = np.random.default_rng(13)
+    feats = jnp.asarray(g.standard_normal((8, 40, 60)), jnp.float32)
+    std = ECAPA_TDNN(C=32, model_scale=4, n_out=2, n_feat=60, enc_dim=16)
+    fus = ECAPA_TDNN(C=32, model_scale=4, n_out=2, n_feat=60, enc_dim=16,
+                     fused_pool=True, pool_interpret=True, fused_bn=True)
+    v = std.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        fus.init({"params": jax.random.PRNGKey(0)}, feats, False))
+
+    (es, ls), aux_s = std.apply(v, feats, True, mutable=["batch_stats"])
+    (ef, lf), aux_f = fus.apply(v, feats, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ef), np.asarray(es),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ls),
+                               rtol=5e-4, atol=5e-4)
+
+    def loss(model, params):
+        (emb, logits), _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            feats, True, mutable=["batch_stats"])
+        return jnp.sum(emb ** 2) + jnp.sum(logits ** 2)
+
+    gs = jax.grad(lambda p: loss(std, p))(v["params"])
+    gf = jax.grad(lambda p: loss(fus, p))(v["params"])
+    flat_f = {jax.tree_util.keystr(k): w
+              for k, w in jax.tree_util.tree_leaves_with_path(gf)}
+    for k, w in jax.tree_util.tree_leaves_with_path(gs):
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(flat_f[key]), np.asarray(w),
+            rtol=5e-3, atol=5e-4, err_msg=key)
