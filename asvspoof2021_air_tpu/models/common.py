@@ -126,15 +126,17 @@ class BatchNorm(nn.Module):
     use_bias: bool = True
     fuse_relu: bool = False    # input is pre-ReLU: y = bn(relu(x))
     relu_after: bool = False   # pre-activation order: y = relu(bn(x))
+    recompute: bool = False    # plain BN with recompute-VJP residuals
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from asvspoof2021_air_tpu.ops.bn_relu_vjp import (
             bn_relu_train,
+            bn_train,
             relu_bn_train,
         )
 
-        assert not (self.fuse_relu and self.relu_after)
+        assert self.fuse_relu + self.relu_after + self.recompute <= 1
 
         feat = x.shape[-1]
         ra_mean = self.variable(
@@ -159,6 +161,8 @@ class BatchNorm(nn.Module):
             y32, mu, var = relu_bn_train(x, scale, bias, self.epsilon)
         elif self.relu_after:
             y32, mu, var = bn_relu_train(x, scale, bias, self.epsilon)
+        elif self.recompute:
+            y32, mu, var = bn_train(x, scale, bias, self.epsilon)
         else:
             axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)

@@ -20,13 +20,15 @@ from asvspoof2021_air_tpu.models.common import (
 )
 
 
-def _mfm_conv(x, features, kernel, train, pool=False, norm=False, dtype=None):
+def _mfm_conv(x, features, kernel, train, pool=False, norm=False, dtype=None,
+              fused_bn=False):
     x = nn.Conv(features, kernel, padding="SAME", dtype=dtype)(x)
     x = MaxFeatureMap()(x)
     if pool:
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
     if norm:
-        x = batch_norm(train, dtype, use_bias=False, use_scale=False)(x)
+        x = batch_norm(train, dtype, use_bias=False, use_scale=False,
+                       recompute=fused_bn)(x)
     return x
 
 
@@ -41,6 +43,7 @@ class LCNN(nn.Module):
     feat_len: int = 750
     dropout_rate: float = 0.7
     dtype: Optional[Any] = None   # compute dtype; params stay f32
+    fused_bn: bool = False        # BN via the recompute-VJP (train mode)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -49,15 +52,24 @@ class LCNN(nn.Module):
             x = x.astype(self.dtype)
 
         dt = self.dtype
-        x = _mfm_conv(x, 64, (5, 5), train, pool=True, dtype=dt)            # conv1
-        x = _mfm_conv(x, 64, (1, 1), train, norm=True, dtype=dt)            # conv2
-        x = _mfm_conv(x, 96, (3, 3), train, pool=True, norm=True, dtype=dt) # conv3
-        x = _mfm_conv(x, 96, (1, 1), train, norm=True, dtype=dt)            # conv4
-        x = _mfm_conv(x, 128, (3, 3), train, pool=True, dtype=dt)           # conv5
-        x = _mfm_conv(x, 128, (1, 1), train, norm=True, dtype=dt)           # conv6
-        x = _mfm_conv(x, 64, (3, 3), train, norm=True, dtype=dt)            # conv7
-        x = _mfm_conv(x, 64, (1, 1), train, norm=True, dtype=dt)            # conv8
-        x = _mfm_conv(x, 64, (3, 3), train, pool=True, dtype=dt)            # conv9
+        x = _mfm_conv(x, 64, (5, 5), train, pool=True, dtype=dt,
+                      fused_bn=self.fused_bn)            # conv1
+        x = _mfm_conv(x, 64, (1, 1), train, norm=True, dtype=dt,
+                      fused_bn=self.fused_bn)            # conv2
+        x = _mfm_conv(x, 96, (3, 3), train, pool=True, norm=True, dtype=dt,
+                      fused_bn=self.fused_bn) # conv3
+        x = _mfm_conv(x, 96, (1, 1), train, norm=True, dtype=dt,
+                      fused_bn=self.fused_bn)            # conv4
+        x = _mfm_conv(x, 128, (3, 3), train, pool=True, dtype=dt,
+                      fused_bn=self.fused_bn)           # conv5
+        x = _mfm_conv(x, 128, (1, 1), train, norm=True, dtype=dt,
+                      fused_bn=self.fused_bn)           # conv6
+        x = _mfm_conv(x, 64, (3, 3), train, norm=True, dtype=dt,
+                      fused_bn=self.fused_bn)            # conv7
+        x = _mfm_conv(x, 64, (1, 1), train, norm=True, dtype=dt,
+                      fused_bn=self.fused_bn)            # conv8
+        x = _mfm_conv(x, 64, (3, 3), train, pool=True, dtype=dt,
+                      fused_bn=self.fused_bn)            # conv9
 
         feat = x.reshape((x.shape[0], -1)).astype(jnp.float32)
         feat = nn.Dropout(self.dropout_rate, deterministic=not train)(feat)

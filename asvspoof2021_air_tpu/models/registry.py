@@ -26,9 +26,9 @@ def _build_resnet(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
 
 
 def _build_lcnn(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,
-                feat_len: int = 750, dtype=None, **kw):
+                feat_len: int = 750, dtype=None, fused_bn: bool = False, **kw):
     return LCNN(num_nodes=feat_dim, enc_dim=enc_dim, nclasses=nclasses,
-                feat_len=feat_len, dtype=dtype)
+                feat_len=feat_len, dtype=dtype, fused_bn=fused_bn)
 
 
 def _build_ecapa(enc_dim: int = 256, nclasses: int = 2, feat_dim: int = 60,

@@ -156,3 +156,54 @@ def _bn_relu_bwd(eps, res, cts):
 
 
 bn_relu_train.defvjp(_bn_relu_fwd, _bn_relu_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bn_train(x, scale, bias, eps):
+    """y32, mu, var = batchnorm_train(x), no activation (LCNN's affine-free
+    norms after MFM/pool, /root/reference/model.py:567-585) — recompute
+    residuals: only (x, mu, var) are saved, the normalized activations are
+    rebuilt in the backward."""
+    y32, mu, var = _bn_primal(x, scale, bias, eps)
+    return y32, mu, var
+
+
+def _bn_primal(x, scale, bias, eps):
+    axes = _reduce_axes(x)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=axes)
+    mu2 = jnp.mean(xf * xf, axis=axes)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    inv = lax.rsqrt(var + eps)
+    return (xf - mu) * (inv * scale) + bias, mu, var
+
+
+def _bn_fwd(x, scale, bias, eps):
+    y32, mu, var = _bn_primal(x, scale, bias, eps)
+    return (y32, mu, var), (x, mu, var, scale)
+
+
+def _bn_bwd(eps, res, cts):
+    x, mu, var, scale = res
+    gy, gmu, gvar = cts
+    axes = _reduce_axes(x)
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+
+    xf = x.astype(jnp.float32)
+    inv = lax.rsqrt(var + eps)
+    xhat = (xf - mu) * inv
+    g = gy.astype(jnp.float32)
+
+    dbeta = jnp.sum(g, axis=axes)
+    dgamma = jnp.sum(g * xhat, axis=axes)
+    dxhat = g * scale
+    m1 = jnp.mean(dxhat, axis=axes)
+    m2 = jnp.mean(dxhat * xhat, axis=axes)
+    dx32 = inv * (dxhat - m1 - xhat * m2)
+    dx32 = dx32 + gmu / n + (2.0 / n) * gvar * (xf - mu)
+    return dx32.astype(x.dtype), dgamma, dbeta
+
+
+bn_train.defvjp(_bn_fwd, _bn_bwd)
