@@ -127,10 +127,12 @@ class BatchNorm(nn.Module):
     fuse_relu: bool = False    # input is pre-ReLU: y = bn(relu(x))
     relu_after: bool = False   # pre-activation order: y = relu(bn(x))
     recompute: bool = False    # plain BN with recompute-VJP residuals
+    leaky_slope: Optional[float] = None  # with relu_after: leaky slope
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from asvspoof2021_air_tpu.ops.bn_relu_vjp import (
+            bn_leaky_relu_train,
             bn_relu_train,
             bn_train,
             relu_bn_train,
@@ -156,9 +158,13 @@ class BatchNorm(nn.Module):
             y32 = (r.astype(jnp.float32) - mu) \
                 * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
             if self.relu_after:
-                y32 = nn.relu(y32)
+                y32 = (nn.leaky_relu(y32, self.leaky_slope)
+                       if self.leaky_slope is not None else nn.relu(y32))
         elif self.fuse_relu:
             y32, mu, var = relu_bn_train(x, scale, bias, self.epsilon)
+        elif self.relu_after and self.leaky_slope is not None:
+            y32, mu, var = bn_leaky_relu_train(x, scale, bias, self.epsilon,
+                                               self.leaky_slope)
         elif self.relu_after:
             y32, mu, var = bn_relu_train(x, scale, bias, self.epsilon)
         elif self.recompute:

@@ -22,6 +22,7 @@ class ConvNet(nn.Module):
     num_nodes: int = 512
     enc_dim: int = 2
     subband_attention: bool = False
+    fused_bn: bool = False  # bn+leaky_relu via the recompute-VJP (train)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -37,12 +38,18 @@ class ConvNet(nn.Module):
             x = nn.Conv(feats, kern, strides=stride,
                         padding=((pad[0], pad[0]), (pad[1], pad[1])),
                         kernel_dilation=dil, use_bias=False)(x)
-            x = nn.leaky_relu(batch_norm(train)(x), 0.1)
+            x = batch_norm(train, relu_after=self.fused_bn,
+                           leaky_slope=0.1 if self.fused_bn else None)(x)
+            if not self.fused_bn:
+                x = nn.leaky_relu(x, 0.1)
 
         if self.subband_attention:
             x = nn.Conv(128, (self.num_nodes, 3), padding=((0, 0), (1, 1)),
                         use_bias=False)(x)
-            x = nn.leaky_relu(batch_norm(train)(x), 0.1)
+            x = batch_norm(train, relu_after=self.fused_bn,
+                           leaky_slope=0.1 if self.fused_bn else None)(x)
+            if not self.fused_bn:
+                x = nn.leaky_relu(x, 0.1)
             x = jnp.squeeze(x, axis=1)  # (B, T, 128)
             out = SelfAttentionPooling(128)(x)
         else:

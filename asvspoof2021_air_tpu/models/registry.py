@@ -43,8 +43,9 @@ def _build_res2net(nclasses: int = 2, fused_bn: bool = False, **kw):
     return SERes2Net50(num_classes=nclasses, fused_bn=fused_bn)
 
 
-def _build_cnn(enc_dim: int = 256, nclasses: int = 2, **kw):
-    return ConvNet(num_classes=nclasses, enc_dim=enc_dim)
+def _build_cnn(enc_dim: int = 256, nclasses: int = 2,
+               fused_bn: bool = False, **kw):
+    return ConvNet(num_classes=nclasses, enc_dim=enc_dim, fused_bn=fused_bn)
 
 
 def _build_rawnet(rawnet_args=None, **kw):

@@ -207,3 +207,49 @@ def _bn_bwd(eps, res, cts):
 
 
 bn_train.defvjp(_bn_fwd, _bn_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bn_leaky_relu_train(x, scale, bias, eps, slope):
+    """y32, mu, var = leaky_relu(batchnorm_train(x), slope) — ConvNet's
+    block activation (/root/reference/model.py:625-648 leaky 0.1) with
+    recompute residuals."""
+    y32, mu, var = _bn_lrelu_primal(x, scale, bias, eps, slope)
+    return y32, mu, var
+
+
+def _bn_lrelu_primal(x, scale, bias, eps, slope):
+    y32, mu, var = _bn_primal(x, scale, bias, eps)
+    return jnp.where(y32 >= 0, y32, slope * y32), mu, var
+
+
+def _bn_lrelu_fwd(x, scale, bias, eps, slope):
+    y32, mu, var = _bn_lrelu_primal(x, scale, bias, eps, slope)
+    return (y32, mu, var), (x, mu, var, scale, bias)
+
+
+def _bn_lrelu_bwd(eps, slope, res, cts):
+    x, mu, var, scale, bias = res
+    gy, gmu, gvar = cts
+    axes = _reduce_axes(x)
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+
+    xf = x.astype(jnp.float32)
+    inv = lax.rsqrt(var + eps)
+    xhat = (xf - mu) * inv
+    z = xhat * scale + bias
+    g = jnp.where(z >= 0, 1.0, slope) * gy.astype(jnp.float32)
+
+    dbeta = jnp.sum(g, axis=axes)
+    dgamma = jnp.sum(g * xhat, axis=axes)
+    dxhat = g * scale
+    m1 = jnp.mean(dxhat, axis=axes)
+    m2 = jnp.mean(dxhat * xhat, axis=axes)
+    dx32 = inv * (dxhat - m1 - xhat * m2)
+    dx32 = dx32 + gmu / n + (2.0 / n) * gvar * (xf - mu)
+    return dx32.astype(x.dtype), dgamma, dbeta
+
+
+bn_leaky_relu_train.defvjp(_bn_lrelu_fwd, _bn_lrelu_bwd)

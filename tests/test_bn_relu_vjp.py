@@ -423,3 +423,50 @@ def test_lcnn_fused_bn_matches_standard():
         np.testing.assert_allclose(
             np.asarray(flat_f[key]), np.asarray(w),
             rtol=5e-3, atol=2e-3, err_msg=key)
+
+
+def test_convnet_fused_bn_matches_standard():
+    """ConvNet(fused_bn=True) — recompute BN + leaky ReLU 0.1 — matches
+    the standard model in values, gradients and BN stat updates."""
+    from asvspoof2021_air_tpu.models.convnet import ConvNet
+
+    g = np.random.default_rng(15)
+    feats = jnp.asarray(g.standard_normal((4, 48, 60)), jnp.float32)
+    mk = lambda fused: ConvNet(num_classes=2, enc_dim=16,
+                               subband_attention=True, num_nodes=6,
+                               fused_bn=fused)
+    std, fus = mk(False), mk(True)
+    v = std.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        fus.init({"params": jax.random.PRNGKey(0)}, feats, False))
+
+    for train in (False, True):
+        kw = dict(mutable=["batch_stats"]) if train else dict(mutable=False)
+        out_s = std.apply(v, feats, train, **kw)
+        out_f = fus.apply(v, feats, train, **kw)
+        (es, ls), (ef, lf) = (out_s[0], out_f[0]) if train else (out_s, out_f)
+        np.testing.assert_allclose(np.asarray(ef), np.asarray(es),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(ls),
+                                   rtol=5e-4, atol=5e-4)
+        if train:
+            for a, b in zip(jax.tree_util.tree_leaves(out_s[1]),
+                            jax.tree_util.tree_leaves(out_f[1])):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=1e-4, atol=1e-5)
+
+    def loss(model, params):
+        (emb, logits), _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            feats, True, mutable=["batch_stats"])
+        return jnp.sum(emb ** 2) + jnp.sum(logits ** 2)
+
+    gs = jax.grad(lambda p: loss(std, p))(v["params"])
+    gf = jax.grad(lambda p: loss(fus, p))(v["params"])
+    flat_f = {jax.tree_util.keystr(k): w
+              for k, w in jax.tree_util.tree_leaves_with_path(gf)}
+    for k, w in jax.tree_util.tree_leaves_with_path(gs):
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(flat_f[key]), np.asarray(w),
+            rtol=5e-3, atol=2e-3, err_msg=key)
