@@ -155,3 +155,43 @@ def test_ecapa_bf16_compute(feats):
     a, b = np.asarray(f32_out[0]), np.asarray(f16_out[0])
     cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
     assert cos.min() > 0.99, cos.min()
+
+
+def test_rawnet_fft_frontend_matches_time_domain():
+    """The FFT sinc front-end (rawnet.sinc_conv_fft) is the frequency-
+    domain identity of the VALID time-domain correlation; whole-model
+    outputs must agree between the two forms."""
+    import jax
+
+    from asvspoof2021_air_tpu.models.rawnet import (
+        RawNet,
+        sinc_conv_fft,
+        sinc_filterbank,
+    )
+
+    g = np.random.default_rng(3)
+    x = jnp.asarray(g.standard_normal((2, 64600, 1)), jnp.float32)
+    bank = sinc_filterbank(20, 1024)
+    y_fft = sinc_conv_fft(x, bank)
+    y_conv = jax.lax.conv_general_dilated(
+        x, jnp.asarray(bank), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    np.testing.assert_allclose(np.asarray(y_fft), np.asarray(y_conv),
+                               rtol=1e-4, atol=1e-5)
+
+    d = {"nb_samp": 6000, "first_conv": 256, "in_channels": 1,
+         "filts": [8, [8, 8], [8, 16], [16, 16]], "blocks": [2, 4],
+         "nb_fc_node": 16, "gru_node": 16, "nb_gru_layer": 1,
+         "nb_classes": 2}
+    wav = jnp.asarray(g.standard_normal((2, 6000)), jnp.float32)
+    m_fft = RawNet(d_args=d)
+    m_td = RawNet(d_args=d, fft_frontend=False)
+    v = m_fft.init({"params": jax.random.PRNGKey(0)}, wav, False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m_td.init({"params": jax.random.PRNGKey(0)}, wav, False))
+    (p_f, s_f) = m_fft.apply(v, wav, False)
+    (p_t, s_t) = m_td.apply(v, wav, False)
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_t),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_t),
+                               rtol=1e-4, atol=1e-4)
