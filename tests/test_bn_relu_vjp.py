@@ -470,3 +470,32 @@ def test_convnet_fused_bn_matches_standard():
         np.testing.assert_allclose(
             np.asarray(flat_f[key]), np.asarray(w),
             rtol=5e-3, atol=2e-3, err_msg=key)
+
+
+def test_fused_kernels_under_member_vmap():
+    """--ensemble N vmaps the whole step over a stacked member axis; the
+    fused pooling Pallas kernel and the recompute-VJP BNs must batch
+    correctly (member 0 of the vmapped grads == the solo grads)."""
+    from asvspoof2021_air_tpu.models.ecapa import ECAPA_TDNN
+
+    g = np.random.default_rng(1)
+    feats = jnp.asarray(g.standard_normal((2, 8, 24, 60)), jnp.float32)
+    model = ECAPA_TDNN(C=16, model_scale=4, n_out=2, n_feat=60, enc_dim=8,
+                       fused_pool=True, pool_interpret=True, fused_bn=True)
+    vs = [model.init({"params": jax.random.PRNGKey(i)}, feats[0], False)
+          for i in range(2)]
+    stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *vs)
+
+    def loss(params, bs, x):
+        (emb, logits), _ = model.apply(
+            {"params": params, "batch_stats": bs}, x, True,
+            mutable=["batch_stats"])
+        return jnp.sum(emb ** 2) + jnp.sum(logits ** 2)
+
+    gl = jax.vmap(jax.grad(loss), in_axes=(0, 0, 0))(
+        stacked["params"], stacked["batch_stats"], feats)
+    solo = jax.grad(loss)(vs[0]["params"], vs[0]["batch_stats"], feats[0])
+    for a, b in zip(jax.tree_util.tree_leaves(gl),
+                    jax.tree_util.tree_leaves(solo)):
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
