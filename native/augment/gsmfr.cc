@@ -9,11 +9,15 @@
  * log-area ratios), LTP (7-bit lag, 2-bit gain), RPE grid (2-bit) and APCM
  * (6-bit block maximum, 3-bit samples) — and the filter structures
  * (offset compensation, pre/de-emphasis, short-term lattice, long-term
- * predictor, RPE weighting) follow the spec's fixed-point pseudocode.
- * Internal scaling in the autocorrelation/Schur recursion uses 64-bit
- * accumulation instead of the spec's block-scaled 32-bit arithmetic
- * (ETSI conformance vectors are not available in this offline environment;
- * see tests/test_gsmfr.py for the self-consistency + spectral validation).
+ * predictor, RPE weighting) follow the spec's fixed-point pseudocode,
+ * including the lossy dynamic scaling of s[] inside the autocorrelation
+ * and the block-scaled LTP correlation arithmetic.
+ *
+ * CONFORMANCE: encoder bitstreams and decoder PCM are verified BIT-EXACT
+ * against the canonical libgsm implementation (the de-facto ETSI
+ * reference, in-image as libgsm.so.1) across silence/noise/tone/impulse/
+ * clipping stress classes — tests/test_gsmfr_conformance.py;
+ * tests/test_gsmfr.py keeps the oracle-free self-consistency checks.
  */
 
 #include <cstdint>
@@ -59,6 +63,16 @@ inline int32_t L_add(int32_t a, int32_t b) {
   if (s > 2147483647LL) return 2147483647;
   if (s < -2147483648LL) return -2147483648;
   return static_cast<int32_t>(s);
+}
+
+/* norm(): left shifts needed to normalize a 32-bit value into
+ * [2^30, 2^31) (section 3.1.9; 0 for a <= -2^30). */
+inline int16_t gsm_norm(int32_t a) {
+  if (a < 0) {
+    if (a <= -1073741824) return 0;
+    a = ~a;
+  }
+  return static_cast<int16_t>(__builtin_clz(static_cast<uint32_t>(a)) - 1);
 }
 
 /* Fractional division: 0 <= num <= denom, denom > 0; returns num/denom in
@@ -227,28 +241,54 @@ void rpe_grid_position(const int16_t* xMp, int16_t Mc, int16_t* ep) {
 
 /* ---- Encoder ---- */
 
-/* LPC analysis: autocorrelation (64-bit) + Schur recursion -> r[0..7] in
- * Q15 (sections 5.2.4-5.2.5; 64-bit accumulation replaces the spec's
- * block-scaled 32-bit arithmetic). */
-void lpc_reflection(const int16_t* s, int16_t* r) {
-  int64_t acf[9];
+/* LPC analysis: autocorrelation with the spec's lossy dynamic scaling of
+ * s[] + Schur recursion -> r[0..7] in Q15 (sections 5.2.4-5.2.5).
+ *
+ * NOTE: s[] is scaled DOWN with rounding (mult_r) for the accumulation
+ * and then shifted back up, exactly as the spec prescribes — this is
+ * deliberately lossy, and the short-term analysis consumes the modified
+ * signal. Conformance is pinned bit-for-bit against the canonical libgsm
+ * implementation in tests/test_gsmfr_conformance.py. */
+void lpc_reflection(int16_t* s, int16_t* r) {
+  /* Dynamic scaling of the array s[0..159] (5.2.4). */
+  int16_t smax = 0;
+  for (int k = 0; k < 160; ++k) {
+    int16_t temp = abs_s(s[k]);
+    if (temp > smax) smax = temp;
+  }
+  int16_t scalauto = 0;
+  if (smax > 0)
+    scalauto = static_cast<int16_t>(
+        4 - gsm_norm(static_cast<int32_t>(smax) << 16));
+  if (scalauto > 0) {
+    int16_t t = static_cast<int16_t>(16384 >> (scalauto - 1));
+    for (int k = 0; k < 160; ++k) s[k] = mult_r(s[k], t);
+  }
+
+  /* Autocorrelation in 32-bit (overflow impossible after scaling). */
+  int32_t acf[9];
   for (int j = 0; j < 9; ++j) {
-    int64_t sum = 0;
+    int32_t sum = 0;
     for (int k = j; k < 160; ++k)
-      sum += static_cast<int64_t>(s[k]) * s[k - j];
+      sum += (static_cast<int32_t>(s[k]) * s[k - j]) << 1;
     acf[j] = sum;
   }
+
+  /* Rescaling of the array s[0..159]. */
+  if (scalauto > 0)
+    for (int k = 0; k < 160; ++k)
+      s[k] = static_cast<int16_t>(s[k] << scalauto);
+
   if (acf[0] == 0) {
     for (int i = 0; i < 8; ++i) r[i] = 0;
     return;
   }
-  /* Normalize to Q15-ish int32 range for the fixed-point Schur. */
-  int64_t amax = acf[0];
-  int shift = 0;
-  while ((amax >> shift) > 32767) ++shift;
+  /* Schur recursion with normalized 16-bit ACF windows (5.2.5). */
+  int16_t norm = gsm_norm(acf[0]);
   int16_t P[9], K[9];
-  for (int j = 0; j < 9; ++j)
-    P[j] = static_cast<int16_t>(acf[j] >> shift);
+  for (int j = 0; j < 9; ++j)   /* |acf[j]| <= acf[0], so << norm fits */
+    P[j] = static_cast<int16_t>(
+        (static_cast<int64_t>(acf[j]) << norm) >> 16);
   for (int j = 1; j <= 7; ++j) K[j] = P[j];
 
   for (int n = 1; n <= 8; ++n) {
@@ -354,30 +394,61 @@ void encode_frame(EncoderState& st, const int16_t* sop, FrameParams& f) {
     const int16_t* dsub = d + 40 * j;
     int16_t* dp = st.dp + 120 + 40 * j;  /* dp[-120..-1] is history */
 
-    /* LTP lag search (5.2.11), 64-bit cross-correlation. */
-    int64_t L_max = 0;
+    /* LTP lag search (5.2.11): cross-correlation over the dynamically
+     * scaled 16-bit copy wt = d >> scal, 32-bit accumulation, exactly as
+     * the spec's pseudocode (conformance vs libgsm). */
+    int16_t dmax = 0;
+    for (int k = 0; k < 40; ++k) {
+      int16_t temp = abs_s(dsub[k]);
+      if (temp > dmax) dmax = temp;
+    }
+    int16_t scal = 0;
+    if (dmax > 0) {
+      int16_t temp = gsm_norm(static_cast<int32_t>(dmax) << 16);
+      scal = temp > 6 ? 0 : static_cast<int16_t>(6 - temp);
+    }
+    int16_t wt[40];
+    for (int k = 0; k < 40; ++k)
+      wt[k] = static_cast<int16_t>(dsub[k] >> scal);
+
+    int32_t L_max = 0;
     int16_t Nc = 40;
     for (int lag = 40; lag <= 120; ++lag) {
-      int64_t acc = 0;
+      int32_t acc = 0;
       for (int k = 0; k < 40; ++k)
-        acc += static_cast<int64_t>(dsub[k]) * dp[k - lag];
+        acc += static_cast<int32_t>(wt[k]) * dp[k - lag];
       if (acc > L_max) {
         L_max = acc;
         Nc = static_cast<int16_t>(lag);
       }
     }
     f.Nc[j] = Nc;
+    L_max <<= 1;                    /* from the implicit L_mult */
+    L_max >>= (6 - scal);           /* rescaling */
 
-    /* LTP gain quantization: smallest bc with L_max <= DLB[bc] * power. */
-    int64_t L_power = 0;
-    for (int k = 0; k < 40; ++k)
-      L_power += static_cast<int64_t>(dp[k - Nc]) * dp[k - Nc];
-    int16_t bc = 3;
+    /* LTP gain quantization (5.2.11 cont.): power of dp[-Nc..] at >>3,
+     * then 16-bit normalized comparison against the DLB thresholds. */
+    int32_t L_power = 0;
+    for (int k = 0; k < 40; ++k) {
+      int16_t w3 = static_cast<int16_t>(dp[k - Nc] >> 3);
+      L_power += static_cast<int32_t>(w3) * w3;
+    }
+    L_power <<= 1;
+
+    int16_t bc;
     if (L_max <= 0) {
       bc = 0;
-    } else if (L_max < L_power) {
-      for (int b = 0; b < 3; ++b) {
-        if (L_max * 32768 <= L_power * kDLB[b]) {
+    } else if (L_max >= L_power) {
+      bc = 3;
+    } else {
+      int16_t temp = gsm_norm(L_power);
+      int16_t R = static_cast<int16_t>(
+          (static_cast<int64_t>(L_max) << temp) >> 16);
+      int16_t S = static_cast<int16_t>(
+          (static_cast<int64_t>(L_power) << temp) >> 16);
+      bc = 3;
+      for (int b = 0; b <= 2; ++b) {
+        if (R <= mult(S, kDLB[b])) {
           bc = static_cast<int16_t>(b);
           break;
         }
@@ -393,16 +464,17 @@ void encode_frame(EncoderState& st, const int16_t* sop, FrameParams& f) {
       e[k] = sub16(dsub[k], dpp[k]);
     }
 
-    /* RPE weighting filter (5.2.13): H is Q13. */
+    /* RPE weighting filter (5.2.13): H is Q13. 32-bit accumulation with
+     * a final >>13 + clamp, matching the canonical implementation. */
     int16_t x[40];
     for (int k = 0; k < 40; ++k) {
-      int64_t acc = 8192 >> 1;  /* rounding at Q13 */
+      int32_t acc = 8192 >> 1;  /* rounding at Q13 */
       for (int i = 0; i < 11; ++i) {
         int kk = k + 5 - i;
         int16_t ei = (kk >= 0 && kk < 40) ? e[kk] : 0;
-        acc += static_cast<int64_t>(kH[i]) * ei;
+        acc += static_cast<int32_t>(kH[i]) * ei;
       }
-      x[k] = sat16(static_cast<int32_t>(acc >> 13));
+      x[k] = sat16(acc >> 13);
     }
 
     /* Grid selection (5.2.14): max energy over the 4 decimations. */
