@@ -299,9 +299,13 @@ void decode_code(G722State* st, int code, int mode, int* out0, int* out1) {
   *out1 = sat16(static_cast<int>(sumodd >> 11));
 }
 
-inline int to_pcm14(float v) {
-  int s = static_cast<int>(v * 16384.0f + (v >= 0 ? 0.5f : -0.5f));
-  return std::min(16383, std::max(-16384, s));
+/* Float -> 16-bit PCM. The QMF consumes full 16-bit samples and the
+ * >>14 after the tap sum yields the Recommendation's 14-bit sub-band
+ * signals — the same convention as the reference implementations
+ * (spandsp / ffmpeg g722), so bitstreams are directly comparable. */
+inline int to_pcm16(float v) {
+  int s = static_cast<int>(v * 32768.0f + (v >= 0 ? 0.5f : -0.5f));
+  return std::min(32767, std::max(-32768, s));
 }
 
 }  // namespace
@@ -313,7 +317,7 @@ long g722_encode(const float* in, size_t n, uint8_t* out) {
   long n_codes = 0;
   for (size_t i = 0; i + 1 < n; i += 2) {
     out[n_codes++] = static_cast<uint8_t>(
-        encode_pair(&st, to_pcm14(in[i]), to_pcm14(in[i + 1])));
+        encode_pair(&st, to_pcm16(in[i]), to_pcm16(in[i + 1])));
   }
   return n_codes;
 }
@@ -324,8 +328,8 @@ long g722_decode(const uint8_t* codes, long n_codes, float* out, int mode) {
   for (long i = 0; i < n_codes; ++i) {
     int s0, s1;
     decode_code(&st, codes[i], mode, &s0, &s1);
-    out[n++] = static_cast<float>(s0) / 16384.0f;
-    out[n++] = static_cast<float>(s1) / 16384.0f;
+    out[n++] = static_cast<float>(s0) / 32768.0f;
+    out[n++] = static_cast<float>(s1) / 32768.0f;
   }
   return n;
 }
@@ -335,11 +339,11 @@ void g722_roundtrip(const float* in, float* out, size_t n, int mode) {
   G722State dec;
   size_t i = 0;
   for (; i + 1 < n; i += 2) {
-    int code = encode_pair(&enc, to_pcm14(in[i]), to_pcm14(in[i + 1]));
+    int code = encode_pair(&enc, to_pcm16(in[i]), to_pcm16(in[i + 1]));
     int s0, s1;
     decode_code(&dec, code, mode, &s0, &s1);
-    out[i] = static_cast<float>(s0) / 16384.0f;
-    out[i + 1] = static_cast<float>(s1) / 16384.0f;
+    out[i] = static_cast<float>(s0) / 32768.0f;
+    out[i + 1] = static_cast<float>(s1) / 32768.0f;
   }
   if (i < n) out[i] = in[i];  /* odd tail passes through */
 }
