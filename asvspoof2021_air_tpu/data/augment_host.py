@@ -19,6 +19,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB: Optional[ctypes.CDLL] = None
 
 _FloatPtr = ctypes.POINTER(ctypes.c_float)
+_U8Ptr = ctypes.POINTER(ctypes.c_uint8)
 
 
 def _build() -> str:
@@ -64,6 +65,37 @@ def g711_roundtrip(wave, law: str = "u") -> np.ndarray:
     fn = (get_lib().g711_ulaw_roundtrip if law == "u"
           else get_lib().g711_alaw_roundtrip)
     fn(_ptr(x), _ptr(out), x.size)
+    return out
+
+
+def g726_encode(wave, bits_per_sample: int = 4) -> np.ndarray:
+    """Encode 8 kHz float audio to G.726 codes, one code per byte
+    (native/augment/g726.cc; bit-exact vs the reference implementation,
+    tests/test_g726_conformance.py)."""
+    lib = get_lib()
+    if not hasattr(lib.g726_encode, "_configured"):
+        lib.g726_encode.argtypes = [_FloatPtr, ctypes.c_size_t,
+                                    ctypes.c_int, _U8Ptr]
+        lib.g726_encode.restype = ctypes.c_long
+        lib.g726_decode.argtypes = [_U8Ptr, ctypes.c_long, ctypes.c_int,
+                                    _FloatPtr]
+        lib.g726_decode.restype = ctypes.c_long
+        lib.g726_encode._configured = True
+    x = _as_f32(wave)
+    out = np.zeros(x.size, np.uint8)
+    lib.g726_encode(_ptr(x), x.size, int(bits_per_sample),
+                    out.ctypes.data_as(_U8Ptr))
+    return out
+
+
+def g726_decode(codes, bits_per_sample: int = 4) -> np.ndarray:
+    """Decode one-code-per-byte G.726 to 8 kHz float audio."""
+    g726_encode(np.zeros(0, np.float32), bits_per_sample)  # configure
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    out = np.empty(codes.size, np.float32)
+    lib.g726_decode(codes.ctypes.data_as(_U8Ptr), codes.size,
+                    int(bits_per_sample), _ptr(out))
     return out
 
 
