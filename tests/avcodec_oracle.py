@@ -177,4 +177,9 @@ def ff_encode(codec: str, pcm16: np.ndarray, sample_rate: int,
                                _get_i32(pkt, PKT_SIZE))
             av.av_packet_unref(pkt)
         avu.av_frame_unref(frame)
+    av.avcodec_send_frame(ctx, None)  # flush
+    while av.avcodec_receive_packet(ctx, pkt) == 0:
+        out += C.string_at(_get_ptr(pkt, PKT_DATA),
+                           _get_i32(pkt, PKT_SIZE))
+        av.av_packet_unref(pkt)
     return bytes(out)
