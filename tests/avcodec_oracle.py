@@ -123,9 +123,15 @@ def ff_decode(codec: str, data: bytes, sample_rate: int,
             nb = _get_i32(frame, FRM_NB_SAMPLES)
             d0 = _get_ptr(frame, FRM_DATA0)
             fmt = _get_i32(frame, FRM_FORMAT)
-            assert fmt in (AV_SAMPLE_FMT_S16, 6), fmt  # S16 / S16P mono
-            out.append(np.frombuffer(C.string_at(d0, nb * 2),
-                                     np.int16).copy())
+            if fmt in (AV_SAMPLE_FMT_S16, 6):  # S16 / S16P mono
+                out.append(np.frombuffer(C.string_at(d0, nb * 2),
+                                         np.int16).copy())
+            elif fmt in (3, 8):  # FLT / FLTP
+                f = np.frombuffer(C.string_at(d0, nb * 4), np.float32)
+                out.append(np.clip(np.rint(f * 32768.0), -32768,
+                                   32767).astype(np.int16))
+            else:
+                raise OracleUnavailable(f"sample fmt {fmt}")
             avu.av_frame_unref(frame)
         av.av_packet_unref(pkt)
     return np.concatenate(out) if out else np.zeros(0, np.int16)
