@@ -201,8 +201,9 @@ def _compress_one_file(task) -> int:
         if kind == "mp3":
             # real MPEG Layer III bitstream codec (native/augment/mp3.cc)
             out = ah.mp3_codec(out, kbps, target_sr)
-        else:  # aac stays MDCT transform-class (documented in CODECS.md)
-            out = ah.mdct_codec(out, kbps, kind, target_sr)
+        else:
+            # real AAC-LC bitstream codec (native/augment/aac.cc)
+            out = ah.aac_codec(out, kbps, target_sr)
         write_wav(os.path.join(output_path, f"{stem}_{opt}.wav"),
                   out, target_sr)
     return len(opt_levels)
@@ -214,8 +215,8 @@ def compression_degrade(input_path: str, output_path: str,
     """(/root/reference/channel_simulation/simulated_compression.py:6-34):
     RMS normalization to a random level then lossy compression: mp3 runs
     a real from-scratch MPEG Layer III codec (valid standard bitstreams,
-    native/augment/mp3.cc); aac runs the native MDCT transform codec
-    (codec-class, not an MPEG-4 bitstream). ``jobs``
+    native/augment/mp3.cc); aac runs a real from-scratch AAC-LC codec
+    (valid ADTS bitstreams, native/augment/aac.cc). ``jobs``
     fans per-file work over a process pool with sampling kept on the main
     process (outputs identical for any value)."""
     rng = random.Random(seed)

@@ -165,8 +165,11 @@ def acelp_channel(wave, codec_rate: int = 8000, bitrate_kbps: float = 12.2,
 def mdct_codec(wave, bitrate_kbps: float, kind: str = "mp3",
                sample_rate: int = 16000) -> np.ndarray:
     """Transform-codec round trip (native/augment/mdct.cc): MDCT band
-    quantization under the mode's bit budget — the mp3/aac compression-tier
-    simulation (mp3: 576-coefficient granules, aac: 1024)."""
+    quantization under the mode's bit budget (mp3: 576-coefficient
+    granules, aac: 1024). Superseded for the compression augmentation by
+    the real bitstream codecs (mp3_codec / aac_codec); kept as the fast
+    transform-class approximation and the on-device tier's host
+    counterpart."""
     lib = get_lib()
     if not hasattr(lib.mdct_codec_roundtrip, "_configured"):
         lib.mdct_codec_roundtrip.argtypes = [
@@ -246,6 +249,77 @@ def mp3_decode(data: bytes):
                        ctypes.byref(sr))
     if n < 0:
         raise ValueError("malformed mp3 stream")
+    return out[:n], sr.value
+
+
+def aac_codec(wave, bitrate_kbps: float,
+              sample_rate: int = 16000) -> np.ndarray:
+    """Real AAC-LC round trip (native/augment/aac.cc): from-scratch
+    encoder (sine-window MDCT, two-loop scalefactor search, spectral
+    Huffman books, ADTS framing with a bit reservoir) + matching decoder.
+    Mono 16/8 kHz — the reference's DF compression tier uses aac at
+    8/16/32 kbps
+    (/root/reference/channel_simulation/simulated_compression.py:11-13).
+    Output is delay-aligned with the input."""
+    lib = get_lib()
+    if not hasattr(lib.aac_roundtrip, "_configured"):
+        lib.aac_roundtrip.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_float,
+        ]
+        lib.aac_roundtrip._configured = True
+    x = _as_f32(wave)
+    out = np.empty_like(x)
+    lib.aac_roundtrip(_ptr(x), _ptr(out), x.size, sample_rate, bitrate_kbps)
+    return out
+
+
+def aac_encode(wave, bitrate_kbps: int, sample_rate: int = 16000) -> bytes:
+    """Encode to actual AAC-LC ADTS bytes (valid standard frames; used by
+    tests and available for artifact export)."""
+    lib = get_lib()
+    if not hasattr(lib.aac_encode, "_configured"):
+        lib.aac_encode.restype = ctypes.c_long
+        lib.aac_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ]
+        lib.aac_encode_bound.restype = ctypes.c_size_t
+        lib.aac_encode_bound.argtypes = [
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.aac_encode._configured = True
+    x = _as_f32(wave)
+    cap = lib.aac_encode_bound(x.size, sample_rate, int(bitrate_kbps))
+    buf = (ctypes.c_uint8 * cap)()
+    n = lib.aac_encode(_ptr(x), x.size, sample_rate, int(bitrate_kbps),
+                       buf, cap)
+    if n < 0:
+        raise ValueError(
+            f"unsupported aac config: {sample_rate} Hz @ {bitrate_kbps} kbps")
+    return bytes(buf[:n])
+
+
+def aac_decode(data: bytes):
+    """Decode AAC-LC ADTS bytes -> (float32 pcm, sample_rate).  Covers this
+    encoder's emission set (mono SCE, long sine windows); see
+    native/augment/aac.cc."""
+    lib = get_lib()
+    if not hasattr(lib.aac_decode, "_configured"):
+        lib.aac_decode.restype = ctypes.c_long
+        lib.aac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.aac_decode._configured = True
+    arr = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out = np.zeros(max(8192, len(data) * 120), np.float32)
+    sr = ctypes.c_int(0)
+    n = lib.aac_decode(arr, len(data), _ptr(out), out.size,
+                       ctypes.byref(sr))
+    if n < 0:
+        raise ValueError("malformed aac stream")
     return out[:n], sr.value
 
 

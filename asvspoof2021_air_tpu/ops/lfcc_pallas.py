@@ -42,9 +42,9 @@ from asvspoof2021_air_tpu.ops.lfcc import LFCCConfig
 _INV_LN10 = np.float32(1.0 / np.log(10.0))
 
 
-def _lfcc_kernel(rows_ref, next_ref, c_ref, s_ref, fb_ref, dct_ref, out_ref,
-                 *, tile_t, hop):
-    C, S, FB, DCT = c_ref[...], s_ref[...], fb_ref[...], dct_ref[...]
+def _lfcc_kernel(rows_ref, next_ref, cs_ref, fb_ref, dct_ref, out_ref,
+                 *, tile_t, hop, n_eff):
+    CS, FB, DCT = cs_ref[...], fb_ref[...], dct_ref[...]
     s1 = rows_ref[0]           # (tile_t, hop): rows t*tile_t .. +tile_t
     boundary = next_ref[0, :1, :]  # first row of the NEXT tile
 
@@ -54,14 +54,16 @@ def _lfcc_kernel(rows_ref, next_ref, c_ref, s_ref, fb_ref, dct_ref, out_ref,
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_t, hop), 0)
     s2 = jnp.where(row_ids == tile_t - 1, boundary, rolled)
 
-    re = (
-        jnp.dot(s1, C[:hop], preferred_element_type=jnp.float32)
-        + jnp.dot(s2, C[hop:], preferred_element_type=jnp.float32)
+    # One (tile_t, 2*n_eff) matmul pair computes re‖im together: CS is
+    # [cos | sin] side by side, Nyquist bin dropped when its filterbank
+    # weight is exactly zero, so 2*n_eff = 512 for the canonical config —
+    # an exact 4x128-lane MXU tiling (vs 257 padding to 384).
+    z = (
+        jnp.dot(s1, CS[:hop], preferred_element_type=jnp.float32)
+        + jnp.dot(s2, CS[hop:], preferred_element_type=jnp.float32)
     )
-    im = (
-        jnp.dot(s1, S[:hop], preferred_element_type=jnp.float32)
-        + jnp.dot(s2, S[hop:], preferred_element_type=jnp.float32)
-    )
+    re = z[:, :n_eff]
+    im = z[:, n_eff:]
     power = re * re + im * im
     fb = jnp.log(
         jnp.dot(power, FB, preferred_element_type=jnp.float32) + dsp.FLOAT32_EPS
@@ -91,9 +93,18 @@ class PallasLFCC:
         fb = dsp.linear_filterbank(config.n_fft, config.sample_rate,
                                    config.n_filters)
         dct = dsp.dct_matrix(config.n_filters, "dct", norm="ortho")
-        self._C = jnp.asarray(C)
-        self._S = jnp.asarray(S)
-        self._FB = jnp.asarray(fb)
+        # The top triangular filter's right edge sits ON Nyquist, so the
+        # last bin's weight is exactly zero for the canonical filterbank:
+        # drop it (numerically identical) so the fused cos‖sin matmul
+        # width is 2*256 = 512 — an exact MXU lane tiling.
+        n_bins = config.n_fft // 2 + 1
+        if np.all(fb[-1] == 0.0):
+            self._n_eff = n_bins - 1
+        else:
+            self._n_eff = n_bins
+        cs = np.concatenate([C[:, :self._n_eff], S[:, :self._n_eff]], axis=1)
+        self._CS = jnp.asarray(cs)
+        self._FB = jnp.asarray(fb[:self._n_eff])
         self._DCT = jnp.asarray(dct)
 
     def __call__(self, waveforms: jnp.ndarray,
@@ -126,23 +137,23 @@ class PallasLFCC:
         xp = jnp.pad(x, ((0, 0), (lpad, max(rpad, 0))))
         rows = xp[:, :total].reshape(B, (n_tiles + 1) * tile_t, hop)
 
-        n_bins = cfg.n_fft // 2 + 1
+        n_eff = self._n_eff
 
         def const_spec(shape):
             return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
 
         out = pl.pallas_call(
-            functools.partial(_lfcc_kernel, tile_t=tile_t, hop=hop),
+            functools.partial(_lfcc_kernel, tile_t=tile_t, hop=hop,
+                              n_eff=n_eff),
             grid=(B, n_tiles),
             in_specs=[
                 pl.BlockSpec((1, tile_t, hop), lambda b, t: (b, t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile_t, hop), lambda b, t: (b, t + 1, 0),
                              memory_space=pltpu.VMEM),
-                const_spec((win, n_bins)),
-                const_spec((win, n_bins)),
-                const_spec((n_bins, cfg.n_filters)),
+                const_spec((win, 2 * n_eff)),
+                const_spec((n_eff, cfg.n_filters)),
                 const_spec((cfg.n_filters, cfg.n_filters)),
             ],
             out_specs=pl.BlockSpec((1, tile_t, cfg.n_filters),
@@ -151,7 +162,7 @@ class PallasLFCC:
             out_shape=jax.ShapeDtypeStruct((B, t_padded, cfg.n_filters),
                                            jnp.float32),
             interpret=self.interpret,
-        )(rows, rows, self._C, self._S, self._FB, self._DCT)
+        )(rows, rows, self._CS, self._FB, self._DCT)
         lfcc = out[:, :T, :]
 
         if cfg.with_delta:

@@ -99,6 +99,21 @@ long mp3_decode(const uint8_t* data, size_t size, float* out,
 void mp3_roundtrip(const float* in, float* out, size_t n, int sample_rate,
                    float bitrate_kbps);
 
+/* ---- MPEG-2/4 AAC-LC codec, from scratch (aac.cc). Mono, 16/8 kHz,
+ * long sine windows, ADTS framing. aac_encode returns bytes written or
+ * -1; size `out` via aac_encode_bound. aac_decode returns samples written
+ * or -1 (decodes this encoder's emission set; libavcodec is the wider
+ * conformance oracle). aac_roundtrip is the compression-augmentation hop
+ * (encode+decode+delay alignment), matching
+ * /root/reference/channel_simulation/simulated_compression.py:11-13. */
+long aac_encode(const float* in, size_t n, int sample_rate, int kbps,
+                uint8_t* out, size_t out_cap);
+size_t aac_encode_bound(size_t n, int sample_rate, int kbps);
+long aac_decode(const uint8_t* data, size_t size, float* out,
+                size_t max_samples, int* sample_rate_out);
+void aac_roundtrip(const float* in, float* out, size_t n, int sample_rate,
+                   float bitrate_kbps);
+
 /* ---- FLAC decoding (native, no external deps). Returns samples written
  * PER CHANNEL into `out` (interleaved int32, sign-extended to the stream's
  * bit depth), or -1 on malformed input. */

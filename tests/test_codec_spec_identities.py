@@ -113,14 +113,25 @@ def test_gsmfr_packing_invariants():
     assert len(pcm) == n_frames * 160
 
 
-def test_g726_is_documented_as_algorithmic_class():
-    """The G.726 tier is a floating-point signal-flow implementation, NOT
-    the ITU fixed-point tables (native/augment/g726.cc header). Guard the
-    documentation honesty: CODECS.md must not claim bit-exactness."""
+def test_g726_documented_tier_matches_conformance_evidence():
+    """Documentation honesty guard: CODECS.md may claim the G.726 tier is
+    bit-exact ONLY while the conformance suite backing that claim exists
+    (tests/test_g726_conformance.py pins encoder code sequences and
+    decoder PCM against the system's reference G.726 at all four rates).
+    The tier was upgraded from algorithmic-class when g726.cc became the
+    ITU fixed-point state machine."""
+    import os
+
     with open("docs/CODECS.md") as f:
         text = f.read()
     assert "G.726" in text
     g726_row = [ln for ln in text.splitlines() if "g726" in ln.lower()]
     assert g726_row, "CODECS.md lost its G.726 rows"
-    assert not any("bit-exact" in ln.lower() for ln in g726_row), \
-        "G.726 must be documented as algorithmic-class, not bit-exact"
+    claims_exact = any("bit-exact" in ln.lower() for ln in g726_row)
+    here = os.path.dirname(os.path.abspath(__file__))
+    has_evidence = os.path.exists(os.path.join(here,
+                                               "test_g726_conformance.py"))
+    assert claims_exact == has_evidence, (
+        "CODECS.md G.726 tier claim must track its conformance evidence: "
+        f"claims bit-exact={claims_exact}, conformance suite "
+        f"present={has_evidence}")
