@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "Pallas kernel (ops/attn_pool_vjp; same math and "
                         "checkpoint tree, faster train steps on TPU). "
                         "auto = on for TPU backends only")
-    p.add_argument("--fused_bn", type=str, default="off",
+    p.add_argument("--fused_bn", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="relu<->batchnorm pairs via the recompute-VJP "
                         "(ops/bn_relu_vjp; same math and checkpoint tree, "

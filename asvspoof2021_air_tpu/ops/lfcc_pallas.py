@@ -43,8 +43,8 @@ _INV_LN10 = np.float32(1.0 / np.log(10.0))
 
 
 def _lfcc_kernel(rows_ref, next_ref, cs_ref, fb_ref, dct_ref, out_ref,
-                 *, tile_t, hop, n_eff):
-    CS, FB, DCT = cs_ref[...], fb_ref[...], dct_ref[...]
+                 *, tile_t, hop, n_eff, split_bf16):
+    FB, DCT = fb_ref[...], dct_ref[...]
     s1 = rows_ref[0]           # (tile_t, hop): rows t*tile_t .. +tile_t
     boundary = next_ref[0, :1, :]  # first row of the NEXT tile
 
@@ -58,10 +58,34 @@ def _lfcc_kernel(rows_ref, next_ref, cs_ref, fb_ref, dct_ref, out_ref,
     # [cos | sin] side by side, Nyquist bin dropped when its filterbank
     # weight is exactly zero, so 2*n_eff = 512 for the canonical config —
     # an exact 4x128-lane MXU tiling (vs 257 padding to 384).
-    z = (
-        jnp.dot(s1, CS[:hop], preferred_element_type=jnp.float32)
-        + jnp.dot(s2, CS[hop:], preferred_element_type=jnp.float32)
-    )
+    if split_bf16:
+        # Split-precision DFT: x ≈ hi + lo with both halves bf16 (the pair
+        # carries ~16 mantissa bits — the waveform's entire int16 grid), and
+        # the hi·hi + hi·lo + lo·hi products recover ~f32 accuracy (error
+        # ~2^-16 relative; the dropped lo·lo term is ~2^-32) with every dot
+        # eligible for the MXU's native bf16 rate. Measured on v5e
+        # (2026-08-18, chained timing): NO faster than the f32 dots
+        # (1.46 vs 1.47 ms/batch) — this kernel is not f32-MXU-rate-bound
+        # (neither pure-bf16 dots nor tile-size changes move it), so f32
+        # stays the default and this mode is kept as the measured
+        # experiment (docs/PERFORMANCE.md "Front-end dtype experiment").
+        CS = cs_ref[...]       # (2, win, 2*n_eff) bf16: [0]=hi, [1]=lo
+        def dft(s, lo_row, hi_row):
+            hi = s.astype(jnp.bfloat16)
+            lo = (s - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            mh, ml = CS[0, lo_row:hi_row], CS[1, lo_row:hi_row]
+            return (
+                jnp.dot(hi, mh, preferred_element_type=jnp.float32)
+                + jnp.dot(hi, ml, preferred_element_type=jnp.float32)
+                + jnp.dot(lo, mh, preferred_element_type=jnp.float32)
+            )
+        z = dft(s1, 0, hop) + dft(s2, hop, 2 * hop)
+    else:
+        CS = cs_ref[...]       # (win, 2*n_eff) f32
+        z = (
+            jnp.dot(s1, CS[:hop], preferred_element_type=jnp.float32)
+            + jnp.dot(s2, CS[hop:], preferred_element_type=jnp.float32)
+        )
     re = z[:, :n_eff]
     im = z[:, n_eff:]
     power = re * re + im * im
@@ -81,14 +105,18 @@ class PallasLFCC:
 
     TILE_T = 256
 
-    def __init__(self, config: LFCCConfig = LFCCConfig(), interpret: bool = False):
+    def __init__(self, config: LFCCConfig = LFCCConfig(),
+                 interpret: bool = False, dft_dot: str = "f32"):
         if config.win_length != 2 * config.hop_length:
             raise ValueError("PallasLFCC requires win_length == 2*hop_length")
         if config.with_energy:
             raise ValueError("with_energy unsupported in the fused kernel; "
                              "use the jnp LFCC")
+        if dft_dot not in ("split_bf16", "f32"):
+            raise ValueError("dft_dot must be 'split_bf16' or 'f32'")
         self.config = config
         self.interpret = interpret
+        self.dft_dot = dft_dot
         C, S = dsp.windowed_dft_matrices(config.win_length, config.n_fft)
         fb = dsp.linear_filterbank(config.n_fft, config.sample_rate,
                                    config.n_filters)
@@ -103,7 +131,12 @@ class PallasLFCC:
         else:
             self._n_eff = n_bins
         cs = np.concatenate([C[:, :self._n_eff], S[:, :self._n_eff]], axis=1)
-        self._CS = jnp.asarray(cs)
+        if dft_dot == "split_bf16":
+            hi = cs.astype(np.float32).astype(jnp.bfloat16)
+            lo = (cs - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            self._CS = jnp.stack([jnp.asarray(hi), jnp.asarray(lo)])
+        else:
+            self._CS = jnp.asarray(cs)
         self._FB = jnp.asarray(fb[:self._n_eff])
         self._DCT = jnp.asarray(dct)
 
@@ -143,16 +176,18 @@ class PallasLFCC:
             return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
 
+        split = self.dft_dot == "split_bf16"
+        cs_shape = (2, win, 2 * n_eff) if split else (win, 2 * n_eff)
         out = pl.pallas_call(
             functools.partial(_lfcc_kernel, tile_t=tile_t, hop=hop,
-                              n_eff=n_eff),
+                              n_eff=n_eff, split_bf16=split),
             grid=(B, n_tiles),
             in_specs=[
                 pl.BlockSpec((1, tile_t, hop), lambda b, t: (b, t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile_t, hop), lambda b, t: (b, t + 1, 0),
                              memory_space=pltpu.VMEM),
-                const_spec((win, 2 * n_eff)),
+                const_spec(cs_shape),
                 const_spec((n_eff, cfg.n_filters)),
                 const_spec((cfg.n_filters, cfg.n_filters)),
             ],

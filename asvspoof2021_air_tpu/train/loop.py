@@ -103,9 +103,10 @@ class TrainConfig:
     fused_pool: str = "auto"         # auto | on | off
     # relu<->batchnorm pairs (ECAPA post-activation, ResNet/Res2Net
     # pre-activation) through the recompute-VJP (ops/bn_relu_vjp):
-    # identical math/tree, lighter train-mode autodiff residuals
-    # (docs/PERFORMANCE.md "Train-step roofline").
-    fused_bn: str = "off"            # auto | on | off
+    # identical math/tree, lighter train-mode autodiff residuals — A/B'd
+    # with fused_pool at 23.4 -> 22.4 ms/step combined on v5e
+    # (docs/PERFORMANCE.md "Fused-kernel A/B"). auto = on for TPU.
+    fused_bn: str = "auto"           # auto | on | off
     # On-the-fly mode: raw waveforms in, augmentation + LFCC fused into the
     # jitted step (no feature cache at all) — the TPU-native fast path.
     on_the_fly: bool = False

@@ -179,9 +179,10 @@ def stage_train() -> dict:
     )
 
     _on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
-    # Differentiable fused attentive pooling (ops/attn_pool_vjp): measured
-    # 23.4 -> 22.8 ms/step on v5e (docs/PERFORMANCE.md).
-    model = model.clone(fused_pool=_on_tpu)
+    # Differentiable fused attentive pooling (ops/attn_pool_vjp) + the
+    # recompute-VJP fused BN (ops/bn_relu_vjp): combined A/B measured
+    # 23.4 -> 22.4 ms/step on v5e (docs/PERFORMANCE.md "Fused-kernel A/B").
+    model = model.clone(fused_pool=_on_tpu, fused_bn=_on_tpu)
     state, btx, ltx = _train_state(rng, model, lfcc, wave, labels, ocs)
     step_fn = make_train_step(
         model, ocs, btx, ltx, StepConfig(add_loss="ang_iso"),
@@ -220,7 +221,7 @@ def stage_train_aug() -> dict:
     )
 
     on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
-    model = model.clone(fused_pool=on_tpu)
+    model = model.clone(fused_pool=on_tpu, fused_bn=on_tpu)
     state, btx, ltx = _train_state(rng, model, lfcc, wave, labels, ocs)
     fe = OnDeviceFrontend(
         feat_len=750, padding="repeat",

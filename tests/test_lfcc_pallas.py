@@ -42,3 +42,18 @@ def test_rejects_unsupported_configs():
         PallasLFCC(LFCCConfig(win_length=400, hop_length=160))
     with pytest.raises(ValueError):
         PallasLFCC(LFCCConfig(with_energy=True))
+
+
+def test_split_bf16_mode_matches_reference():
+    """dft_dot="split_bf16" (bf16 hi+lo decomposition of waveform and DFT
+    matrix, 3 dots per f32 dot) recovers ~f32 accuracy — a measured-neutral
+    speed experiment kept selectable (docs/PERFORMANCE.md "Front-end dtype
+    experiment")."""
+    g = np.random.default_rng(3)
+    wav = jnp.asarray(0.5 * g.standard_normal((2, 48000)), jnp.float32)
+    ref = np.asarray(LFCC()(wav))
+    split = np.asarray(
+        PallasLFCC(interpret=True, dft_dot="split_bf16")(wav))
+    np.testing.assert_allclose(split, ref, atol=1e-3)
+    with pytest.raises(ValueError):
+        PallasLFCC(dft_dot="int8")
