@@ -64,14 +64,15 @@ def _kernel(x_ref, wax_ref, wam_ref, was_ref, ba_ref, scale_ref, bias_ref,
     out_ref[0, 0, D:] = sg
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(x, wax, wam, was, ba, scale, bias, wb, bb, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "valid_len"))
+def _run(x, wax, wam, was, ba, scale, bias, wb, bb, interpret=False,
+         valid_len=None):
     B, T, D = x.shape
     Tpad = -(-T // 8) * 8
     if Tpad != T:
         x = jnp.pad(x, ((0, 0), (0, Tpad - T), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_kernel, t_valid=T),
+        functools.partial(_kernel, t_valid=valid_len or T),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Tpad, D), lambda b: (b, 0, 0)),
@@ -92,13 +93,18 @@ def _run(x, wax, wam, was, ba, scale, bias, wb, bb, interpret=False):
 
 
 def fused_attention_pooling(x, attn_kernel, attn_bias, bn_vars, conv_kernel,
-                            conv_bias, interpret: bool = False):
+                            conv_bias, interpret: bool = False,
+                            valid_len: int | None = None):
     """x: (B, T, 1536) MFA output (post-relu). attn_kernel: (3*1536, 128)
     context attention kernel (models/ecapa.py layout: [x | mean | std]
     halves); bn_vars: the attention BatchNorm's inference variables
     {'scale','bias','mean','var'}; conv_kernel: (1, 128, 1536) or
     (128, 1536). Returns (B, 3072) = [mu || sigma], matching the model's
-    f32 pooled statistics."""
+    f32 pooled statistics.
+
+    ``valid_len``: semantic length when T carries alignment padding
+    (frames >= valid_len are excluded from every statistic — the same
+    in-kernel masking already used for the internal sublane pad)."""
     D = x.shape[-1]
     wax = attn_kernel[:D]
     wam = attn_kernel[D:2 * D]
@@ -120,4 +126,5 @@ def fused_attention_pooling(x, attn_kernel, attn_bias, bn_vars, conv_kernel,
         wb.astype(jnp.float32),
         conv_bias.reshape(1, -1).astype(jnp.float32),
         interpret=interpret,
+        valid_len=valid_len,
     )

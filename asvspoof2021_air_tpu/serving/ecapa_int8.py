@@ -27,6 +27,10 @@ import jax.numpy as jnp
 
 from asvspoof2021_air_tpu.models.common import BN_EPS
 from asvspoof2021_air_tpu.ops.attn_pool_pallas import fused_attention_pooling
+from asvspoof2021_air_tpu.ops.res2_chain_pallas import (
+    pack_chain_params,
+    res2_chain_infer,
+)
 from asvspoof2021_air_tpu.serving.ecapa_fused import _Head
 
 
@@ -74,8 +78,18 @@ def _conv1d(x, kernel, bias, dtype, *, pad, dilation=1):
 
 
 def _block_int8(p, bs, x, dilation, dtype, scale=8, name="b",
-                act_scales=None, observer=None):
-    """Bottle2neck (models/ecapa.py:27-68) with int8 1x1 convs."""
+                act_scales=None, observer=None, fused_chain=False,
+                interpret=False, valid_len=None):
+    """Bottle2neck (models/ecapa.py:27-68) with int8 1x1 convs.
+
+    ``valid_len``: semantic T when x carries alignment padding (the
+    fused-chain serving mode runs the trunk at T padded to a multiple of
+    8; see ecapa_apply_int8). Padded rows hold garbage from the
+    pointwise stages — every cross-time op here (chain convs, SE mean)
+    masks or corrects for them exactly."""
+    T = x.shape[1]
+    t_sem = valid_len if valid_len is not None else T
+
     def site_scale(site, v):
         if observer is not None:
             observer(site, v)
@@ -89,19 +103,30 @@ def _block_int8(p, bs, x, dilation, dtype, scale=8, name="b",
     out = jax.nn.relu(out)
     out = _bn_inf(p["BatchNorm_0"], bs["BatchNorm_0"], out, dtype)
 
-    groups = jnp.split(out, scale, axis=-1)
-    outs, sp = [], None
-    for i in range(scale - 1):
-        sp = groups[i] if i == 0 else sp + groups[i]
-        sp = _conv1d(sp, p[f"Conv_{i + 1}"]["kernel"],
-                     p[f"Conv_{i + 1}"]["bias"], dtype,
-                     pad=dilation, dilation=dilation)
-        sp = jax.nn.relu(sp)
-        sp = _bn_inf(p[f"BatchNorm_{i + 1}"], bs[f"BatchNorm_{i + 1}"],
-                     sp, dtype)
-        outs.append(sp)
-    outs.append(groups[-1])
-    out = jnp.concatenate(outs, axis=-1)
+    if fused_chain:
+        # Whole 7-conv hierarchical chain + relu/BN in one VMEM-resident
+        # Pallas kernel (ops/res2_chain_pallas.py): 0.16 vs 0.43 ms
+        # device at the flagship shapes (aligned T). The kernel zeroes
+        # rows >= valid_len before its convs, so the true-boundary
+        # zero-padding semantics hold.
+        cw, ccb, ca, cb_ = pack_chain_params(p, bs, scale=scale)
+        out = res2_chain_infer(out, cw, ccb, ca, cb_, dilation=dilation,
+                               scale=scale, valid_len=t_sem,
+                               interpret=interpret)
+    else:
+        groups = jnp.split(out, scale, axis=-1)
+        outs, sp = [], None
+        for i in range(scale - 1):
+            sp = groups[i] if i == 0 else sp + groups[i]
+            sp = _conv1d(sp, p[f"Conv_{i + 1}"]["kernel"],
+                         p[f"Conv_{i + 1}"]["bias"], dtype,
+                         pad=dilation, dilation=dilation)
+            sp = jax.nn.relu(sp)
+            sp = _bn_inf(p[f"BatchNorm_{i + 1}"], bs[f"BatchNorm_{i + 1}"],
+                         sp, dtype)
+            outs.append(sp)
+        outs.append(groups[-1])
+        out = jnp.concatenate(outs, axis=-1)
 
     w8, ws = _quant_w(p[f"Conv_{scale}"]["kernel"][0])
     out = _qdot(out, w8, ws, dtype,
@@ -112,7 +137,13 @@ def _block_int8(p, bs, x, dilation, dtype, scale=8, name="b",
                   out, dtype)
 
     se_p, se_bs = p["SEModule1D_0"], bs["SEModule1D_0"]
-    y = jnp.mean(out, axis=1)
+    if t_sem != T:
+        # Masked SE mean: subtract the padded rows' pointwise-stage
+        # values from the full sum — exact, no full-width mask pass.
+        y = (jnp.sum(out, axis=1) - jnp.sum(out[:, t_sem:], axis=1)) \
+            / jnp.asarray(t_sem, dtype)
+    else:
+        y = jnp.mean(out, axis=1)
     y = y @ se_p["Dense_0"]["kernel"].astype(dtype) \
         + se_p["Dense_0"]["bias"].astype(dtype)
     y = jax.nn.relu(y)
@@ -126,7 +157,8 @@ def _block_int8(p, bs, x, dilation, dtype, scale=8, name="b",
 def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
                      enc_dim: int = 256, n_out: int = 2,
                      dtype=jnp.bfloat16, interpret: bool = False,
-                     act_scales=None, observer=None):
+                     act_scales=None, observer=None,
+                     fused_chain: bool = False):
     """(embedding, logits) for ECAPA inference with int8 matmul compute,
     from the SAME variables tree a trained ECAPA_TDNN produced.
 
@@ -138,14 +170,29 @@ def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
     ``act_scales``: optional dict of static per-site activation scales
     from calibrate_act_scales — removes every dynamic max-reduce pass.
     ``observer``: internal hook used by calibration (called with
-    (site_name, activation) before each quantized dot)."""
+    (site_name, activation) before each quantized dot).
+    ``fused_chain``: run each block's 7-conv hierarchical chain as one
+    VMEM-resident Pallas kernel (ops/res2_chain_pallas.py). The trunk
+    then runs at T padded to a multiple of 8 (aligned-DMA blocks; the
+    zero-padded feature rows reproduce the reference convs' zero padding
+    exactly, and every cross-time statistic masks the pad — chain
+    kernel, SE mean, attention pooling)."""
     p, bs = variables["params"], variables["batch_stats"]
+    t_sem = feats.shape[1]
+    valid_len = None
+    if fused_chain:
+        t_phys = -(-t_sem // 8) * 8
+        if t_phys != t_sem:
+            feats = jnp.pad(feats, ((0, 0), (0, t_phys - t_sem), (0, 0)))
+            valid_len = t_sem
     x = _conv1d(feats.astype(dtype), p["Conv_0"]["kernel"],
                 p["Conv_0"]["bias"], dtype, pad=2)
     x = jax.nn.relu(x)
     x = _bn_inf(p["BatchNorm_0"], bs["BatchNorm_0"], x, dtype)
 
-    qkw = {"act_scales": act_scales, "observer": observer}
+    qkw = {"act_scales": act_scales, "observer": observer,
+           "fused_chain": fused_chain, "interpret": interpret,
+           "valid_len": valid_len}
     x1 = _block_int8(p["Bottle2neck_0"], bs["Bottle2neck_0"], x, 2, dtype,
                      scale=model_scale, name="b0", **qkw)
     x2 = _block_int8(p["Bottle2neck_1"], bs["Bottle2neck_1"], x1, 3, dtype,
@@ -177,7 +224,8 @@ def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
     }
     pooled = fused_attention_pooling(
         x, p["attn_kernel"], p["attn_bias"], bn_vars,
-        p["Conv_1"]["kernel"], p["Conv_1"]["bias"], interpret=interpret)
+        p["Conv_1"]["kernel"], p["Conv_1"]["bias"], interpret=interpret,
+        valid_len=valid_len)
     head = _Head(enc_dim=enc_dim, n_out=n_out, dtype=dtype)
     return head.apply(variables, pooled)
 

@@ -319,7 +319,7 @@ def stage_infer_int8() -> dict:
     def infer(w, lab):
         emb, logits = ecapa_apply_int8(
             variables, lfcc(w), model_scale=8, dtype=dtype,
-            interpret=not on_tpu,
+            interpret=not on_tpu, fused_chain=on_tpu,
         )
         _loss, scores = ocs.apply(loss_vars, emb, lab)
         return scores
@@ -363,7 +363,7 @@ def stage_infer_scan(scan_k: int = 8) -> dict:
     def infer(w, lab):
         emb, logits = ecapa_apply_int8(
             variables, lfcc(w), model_scale=8, dtype=dtype,
-            interpret=not on_tpu,
+            interpret=not on_tpu, fused_chain=on_tpu,
         )
         _loss, scores = ocs.apply(loss_vars, emb, lab)
         return scores

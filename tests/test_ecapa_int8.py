@@ -108,3 +108,32 @@ def test_int8_forward_is_jittable_and_deterministic():
     e2, l2 = fn(variables, feats)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.mark.parametrize("T", [47, 48])
+def test_fused_chain_tracks_f32_model(T):
+    """fused_chain=True (VMEM-resident Res2 chain kernel + aligned-T
+    trunk with masked statistics) must track the f32 model as closely as
+    the plain int8 path — including when T is not a multiple of 8 and
+    the trunk runs padded (tests/test_res2_chain_pallas.py covers the
+    kernel-level masking)."""
+    B, C, enc = 3, 64, 32
+    model = ECAPA_TDNN(C=C, model_scale=8, n_out=2, n_feat=60, enc_dim=enc)
+    g = np.random.default_rng(4)
+    feats = jnp.asarray(g.standard_normal((B, T, 60)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feats, False)
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * jnp.asarray(
+            np.random.default_rng(5).standard_normal(v.shape), v.dtype),
+        variables,
+    )
+
+    want_feat, want_logits = model.apply(variables, feats, False)
+    got_feat, got_logits = ecapa_apply_int8(
+        variables, feats, model_scale=8, enc_dim=enc,
+        dtype=jnp.float32, interpret=True, fused_chain=True,
+    )
+    cos = _cosine(np.asarray(got_feat), np.asarray(want_feat))
+    assert np.all(cos > 0.999), cos
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(want_logits), atol=0.05, rtol=0.1)
