@@ -79,8 +79,10 @@ def _conv1d(x, kernel, bias, dtype, *, pad, dilation=1):
 
 def _block_int8(p, bs, x, dilation, dtype, scale=8, name="b",
                 act_scales=None, observer=None, fused_chain=False,
-                interpret=False, valid_len=None):
-    """Bottle2neck (models/ecapa.py:27-68) with int8 1x1 convs.
+                interpret=False, valid_len=None, quantize=True):
+    """Bottle2neck (models/ecapa.py:27-68) with int8 1x1 convs
+    (``quantize=False`` keeps the 1x1s in the compute dtype — the bf16
+    serving tier with the same fused kernels).
 
     ``valid_len``: semantic T when x carries alignment padding (the
     fused-chain serving mode runs the trunk at T padded to a multiple of
@@ -95,10 +97,17 @@ def _block_int8(p, bs, x, dilation, dtype, scale=8, name="b",
             observer(site, v)
         return None if act_scales is None else act_scales[site]
 
+    def dot_1x1(v, w, site):
+        if quantize:
+            w8, ws = _quant_w(w)
+            return _qdot(v, w8, ws, dtype, act_scale=site_scale(site, v))
+        return jax.lax.dot_general(
+            v.astype(dtype), w.astype(dtype),
+            (((v.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+
     residual = x
-    w8, ws = _quant_w(p["Conv_0"]["kernel"][0])
-    out = _qdot(x, w8, ws, dtype,
-                act_scale=site_scale(f"{name}_in", x)) \
+    out = dot_1x1(x, p["Conv_0"]["kernel"][0], f"{name}_in") \
         + p["Conv_0"]["bias"].astype(dtype)
     out = jax.nn.relu(out)
     out = _bn_inf(p["BatchNorm_0"], bs["BatchNorm_0"], out, dtype)
@@ -128,9 +137,7 @@ def _block_int8(p, bs, x, dilation, dtype, scale=8, name="b",
         outs.append(groups[-1])
         out = jnp.concatenate(outs, axis=-1)
 
-    w8, ws = _quant_w(p[f"Conv_{scale}"]["kernel"][0])
-    out = _qdot(out, w8, ws, dtype,
-                act_scale=site_scale(f"{name}_out", out)) \
+    out = dot_1x1(out, p[f"Conv_{scale}"]["kernel"][0], f"{name}_out") \
         + p[f"Conv_{scale}"]["bias"].astype(dtype)
     out = jax.nn.relu(out)
     out = _bn_inf(p[f"BatchNorm_{scale}"], bs[f"BatchNorm_{scale}"],
@@ -158,7 +165,7 @@ def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
                      enc_dim: int = 256, n_out: int = 2,
                      dtype=jnp.bfloat16, interpret: bool = False,
                      act_scales=None, observer=None,
-                     fused_chain: bool = False):
+                     fused_chain: bool = False, quantize: bool = True):
     """(embedding, logits) for ECAPA inference with int8 matmul compute,
     from the SAME variables tree a trained ECAPA_TDNN produced.
 
@@ -176,7 +183,9 @@ def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
     then runs at T padded to a multiple of 8 (aligned-DMA blocks; the
     zero-padded feature rows reproduce the reference convs' zero padding
     exactly, and every cross-time statistic masks the pad — chain
-    kernel, SE mean, attention pooling)."""
+    kernel, SE mean, attention pooling).
+    ``quantize=False``: keep every matmul in the compute dtype — the
+    bf16 serving tier with the same fused kernels and graph shape."""
     p, bs = variables["params"], variables["batch_stats"]
     t_sem = feats.shape[1]
     valid_len = None
@@ -192,7 +201,7 @@ def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
 
     qkw = {"act_scales": act_scales, "observer": observer,
            "fused_chain": fused_chain, "interpret": interpret,
-           "valid_len": valid_len}
+           "valid_len": valid_len, "quantize": quantize}
     x1 = _block_int8(p["Bottle2neck_0"], bs["Bottle2neck_0"], x, 2, dtype,
                      scale=model_scale, name="b0", **qkw)
     x2 = _block_int8(p["Bottle2neck_1"], bs["Bottle2neck_1"], x1, 3, dtype,
@@ -209,10 +218,16 @@ def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
                                   (x3, slice(2 * C, 3 * C)))):
         if observer is not None:
             observer(f"mfa_{i}", xi)
-        w8, ws = _quant_w(w4[sl])
-        term = _qdot(xi, w8, ws, dtype,
-                     act_scale=None if act_scales is None
-                     else act_scales[f"mfa_{i}"])
+        if quantize:
+            w8, ws = _quant_w(w4[sl])
+            term = _qdot(xi, w8, ws, dtype,
+                         act_scale=None if act_scales is None
+                         else act_scales[f"mfa_{i}"])
+        else:
+            term = jax.lax.dot_general(
+                xi, w4[sl].astype(dtype),
+                (((xi.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype)
         acc = term if acc is None else acc + term
     x = jax.nn.relu(acc + p["mfa_bias"].astype(dtype))
 

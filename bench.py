@@ -341,12 +341,15 @@ def stage_infer_int8() -> dict:
     return out
 
 
-def stage_infer_scan(scan_k: int = 8) -> dict:
-    """int8 serving graph scanned over K stacked batches in ONE dispatch
+def stage_infer_scan(scan_k: int = 8, quantize: bool = True) -> dict:
+    """Fused serving graph scanned over K stacked batches in ONE dispatch
     (serving/stream.py): amortizes the relay's ~1.4 ms/batch
     non-overlapped dispatch latency that the device-trace roofline
     exposed (docs/PERFORMANCE.md). Scores are bit-identical to the
-    per-batch int8 path."""
+    matching per-batch path. ``quantize=False`` measures the bf16 tier
+    with the same fused kernels — after the fused-chain kernel it edges
+    out int8 (the quantize passes cost more than the 2x MXU rate buys
+    on this graph)."""
     import jax
     import jax.numpy as jnp
 
@@ -363,7 +366,7 @@ def stage_infer_scan(scan_k: int = 8) -> dict:
     def infer(w, lab):
         emb, logits = ecapa_apply_int8(
             variables, lfcc(w), model_scale=8, dtype=dtype,
-            interpret=not on_tpu, fused_chain=on_tpu,
+            interpret=not on_tpu, fused_chain=on_tpu, quantize=quantize,
         )
         _loss, scores = ocs.apply(loss_vars, emb, lab)
         return scores
@@ -393,6 +396,7 @@ STAGES = {"infer": stage_infer, "train": stage_train,
           "infer_fused": stage_infer_fused,
           "infer_int8": stage_infer_int8,
           "infer_scan": stage_infer_scan,
+          "infer_bf16_scan": lambda: stage_infer_scan(quantize=False),
           "infer_b128": lambda: stage_infer(batch_mults=(1, 2))}
 
 
@@ -451,7 +455,7 @@ def main():
     # measure each and headline the best.
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     stage_names = (("infer", "infer_fused", "infer_int8", "infer_scan",
-                    "train", "train_aug") if on_tpu
+                    "infer_bf16_scan", "train", "train_aug") if on_tpu
                    else ("infer", "train", "train_aug"))
 
     results = {}
@@ -489,6 +493,8 @@ def _assemble_result(results: dict, device: str) -> dict:
         serving["int8"] = results["infer_int8"]
     if "infer_scan" in results:
         serving["int8_scan"] = results["infer_scan"]
+    if "infer_bf16_scan" in results:
+        serving["bf16_scan"] = results["infer_bf16_scan"]
     viable = {k: v for k, v in serving.items()
               if not v.get("suspect_timing")} or serving
     best_name = max(viable, key=lambda k: viable[k]["utt_s"])
@@ -517,6 +523,9 @@ def _assemble_result(results: dict, device: str) -> dict:
     if "infer_scan" in results:
         result["infer_scan_utt_s"] = round(
             results["infer_scan"]["utt_s"], 1)
+    if "infer_bf16_scan" in results:
+        result["infer_bf16_scan_utt_s"] = round(
+            results["infer_bf16_scan"]["utt_s"], 1)
     if any(v.get("suspect_timing") for v in (best, infer64, results["train"],
                                              results["train_aug"])):
         result["suspect_timing"] = True

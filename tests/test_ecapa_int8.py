@@ -137,3 +137,29 @@ def test_fused_chain_tracks_f32_model(T):
     assert np.all(cos > 0.999), cos
     np.testing.assert_allclose(
         np.asarray(got_logits), np.asarray(want_logits), atol=0.05, rtol=0.1)
+
+
+def test_bf16_tier_quantize_false_matches_f32_model():
+    """quantize=False + fused_chain: the bf16 serving tier (same fused
+    kernels, no quantization) must match the f32 model even closer than
+    the int8 path."""
+    B, T, C, enc = 2, 47, 64, 32
+    model = ECAPA_TDNN(C=C, model_scale=8, n_out=2, n_feat=60, enc_dim=enc)
+    g = np.random.default_rng(6)
+    feats = jnp.asarray(g.standard_normal((B, T, 60)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, feats, False)
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * jnp.asarray(
+            np.random.default_rng(7).standard_normal(v.shape), v.dtype),
+        variables,
+    )
+    want_feat, want_logits = model.apply(variables, feats, False)
+    got_feat, got_logits = ecapa_apply_int8(
+        variables, feats, model_scale=8, enc_dim=enc,
+        dtype=jnp.float32, interpret=True, fused_chain=True,
+        quantize=False,
+    )
+    np.testing.assert_allclose(np.asarray(got_feat), np.asarray(want_feat),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(want_logits), atol=2e-3, rtol=1e-3)
