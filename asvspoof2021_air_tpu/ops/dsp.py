@@ -217,18 +217,19 @@ def delta(x: jnp.ndarray, lengths: jnp.ndarray | None = None) -> jnp.ndarray:
     per-utterance computation exactly.
     """
     B, T, D = x.shape
-    t = jnp.arange(T, dtype=jnp.int32)
-    if lengths is None:
-        nxt = jnp.minimum(t + 1, T - 1)[None, :]
-        prv = jnp.maximum(t - 1, 0)[None, :]
-        nxt = jnp.broadcast_to(nxt, (B, T))
-        prv = jnp.broadcast_to(prv, (B, T))
-    else:
-        last = (lengths - 1).astype(jnp.int32)[:, None]
-        nxt = jnp.minimum(t[None, :] + 1, last)
-        prv = jnp.broadcast_to(jnp.maximum(t - 1, 0)[None, :], (B, T))
-    gather = jax.vmap(lambda xi, ii: xi[ii])
-    return gather(x, nxt) - gather(x, prv)
+    # Static shifts instead of (B, T)-index gathers: the row gathers were
+    # 4x 0.15 ms/batch of the front-end's device time (TPU trace); shifts
+    # fuse to cheap copies. Only the per-utterance boundary row needs a
+    # (tiny, B-row) gather in the variable-length case.
+    prv_x = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    nxt_x = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    if lengths is not None:
+        last = (lengths - 1).astype(jnp.int32)
+        x_last = jax.vmap(lambda xi, i: xi[i])(x, last)      # (B, D)
+        t = jnp.arange(T, dtype=jnp.int32)
+        keep = t[None, :, None] < last[:, None, None]
+        nxt_x = jnp.where(keep, nxt_x, x_last[:, None, :])
+    return nxt_x - prv_x
 
 
 # ---------------------------------------------------------------------------

@@ -95,18 +95,73 @@ def _lfcc_kernel(rows_ref, next_ref, cs_ref, fb_ref, dct_ref, out_ref,
     out_ref[0, :, :] = jnp.dot(fb, DCT, preferred_element_type=jnp.float32)
 
 
+def _lfcc_lane128_kernel(x_ref, m_ref, fb_ref, dct_ref, out_ref,
+                         *, n_phase, n_o, rows_per_group, t_p, bs,
+                         split_bf16):
+    """128-lane-native DFT: frames of phase p are assembled from
+    lane-aligned 128-sample rows, one K=128 MXU dot per (phase, row
+    offset) — 16 dots for the canonical config, every one an exact
+    (T/4, 128) @ (128, 512) tiling."""
+    M, FB, DCT = m_ref[...], fb_ref[...], dct_ref[...]
+    for p in range(n_phase):
+        acc = None
+        for o in range(n_o):
+            j = bs[p] + o
+            gs, jj = divmod(j, rows_per_group)
+            xo = x_ref[0, gs:gs + t_p, jj, :]          # (t_p, 128)
+            if split_bf16:
+                hi = xo.astype(jnp.bfloat16)
+                lo = (xo - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                term = (
+                    jnp.dot(hi, M[0, p, o],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(hi, M[1, p, o],
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(lo, M[0, p, o],
+                              preferred_element_type=jnp.float32)
+                )
+            else:
+                term = jnp.dot(xo, M[p, o],
+                               preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        n_eff = acc.shape[-1] // 2
+        re, im = acc[:, :n_eff], acc[:, n_eff:]
+        power = re * re + im * im
+        fb = jnp.log(
+            jnp.dot(power, FB, preferred_element_type=jnp.float32)
+            + dsp.FLOAT32_EPS
+        ) * _INV_LN10
+        out_ref[0, p] = jnp.dot(fb, DCT, preferred_element_type=jnp.float32)
+
+
 class PallasLFCC:
     """Drop-in fused variant of :class:`~asvspoof2021_air_tpu.ops.lfcc.LFCC`.
 
     Requires win_length == 2 * hop_length (true for the canonical
     LFCC(320,160,512,16k,20)) and with_energy=False (energy needs the raw
     power spectrum; use the jnp LFCC for that path).
+
+    Two kernel layouts:
+    - ``lane128`` (default when the hop admits it): the waveform is
+      viewed as lane-aligned 128-sample rows; frames recur in
+      ``n_phase = lcm(hop,128)/hop`` phase classes, and each phase's DFT
+      is ``n_o`` K=128-native MXU dots with the window embedded at the
+      phase's sample offset. Measured 4.4x faster than the hop-rows
+      kernel on v5e (0.27 vs 1.20 ms/batch device at B=64 T=750) — the
+      hop-rows layout's 160-sample rows fight the 128-lane register
+      file at every load and dot.
+    - ``hoprows``: the original formulation (rows of ``hop`` samples,
+      frame = two adjacent rows, one matmul pair per tile); kept as the
+      fallback for hops with large phase periods and as the A/B
+      reference.
     """
 
     TILE_T = 256
+    LANE = 128
 
     def __init__(self, config: LFCCConfig = LFCCConfig(),
-                 interpret: bool = False, dft_dot: str = "f32"):
+                 interpret: bool = False, dft_dot: str = "f32",
+                 layout: str = "auto"):
         if config.win_length != 2 * config.hop_length:
             raise ValueError("PallasLFCC requires win_length == 2*hop_length")
         if config.with_energy:
@@ -114,6 +169,8 @@ class PallasLFCC:
                              "use the jnp LFCC")
         if dft_dot not in ("split_bf16", "f32"):
             raise ValueError("dft_dot must be 'split_bf16' or 'f32'")
+        if layout not in ("auto", "lane128", "hoprows"):
+            raise ValueError("layout must be 'auto', 'lane128' or 'hoprows'")
         self.config = config
         self.interpret = interpret
         self.dft_dot = dft_dot
@@ -140,6 +197,36 @@ class PallasLFCC:
         self._FB = jnp.asarray(fb[:self._n_eff])
         self._DCT = jnp.asarray(dct)
 
+        # lane128 layout constants (see class docstring).
+        hop, win, lane = config.hop_length, config.win_length, self.LANE
+        lcm = int(np.lcm(hop, lane))
+        n_phase, rows_per_group = lcm // hop, lcm // lane
+        b_p = [(hop * p) // lane for p in range(n_phase)]
+        o_p = [(hop * p) % lane for p in range(n_phase)]
+        n_o = -(-(win + max(o_p)) // lane)
+        feasible = n_phase <= 8 and n_o <= 8 and rows_per_group <= 16
+        if layout == "lane128" and not feasible:
+            raise ValueError(
+                f"lane128 infeasible for hop={hop} (period {n_phase}x"
+                f"{rows_per_group})")
+        self._lane128 = feasible and layout in ("auto", "lane128")
+        if self._lane128:
+            m = np.zeros((n_phase, n_o, lane, cs.shape[1]), np.float32)
+            for p in range(n_phase):
+                for o in range(n_o):
+                    for j in range(lane):
+                        src = j + lane * o - o_p[p]
+                        if 0 <= src < win:
+                            m[p, o, j] = cs[src]
+            self._n_phase, self._n_o = n_phase, n_o
+            self._rows_per_group, self._b_p = rows_per_group, b_p
+            if dft_dot == "split_bf16":
+                mhi = m.astype(jnp.bfloat16)
+                mlo = (m - np.asarray(mhi, np.float32)).astype(jnp.bfloat16)
+                self._M = jnp.stack([jnp.asarray(mhi), jnp.asarray(mlo)])
+            else:
+                self._M = jnp.asarray(m)
+
     def __call__(self, waveforms: jnp.ndarray,
                  lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.config
@@ -157,6 +244,67 @@ class PallasLFCC:
                 )
                 x = jnp.where(mask, x, 0.0)
 
+        if self._lane128:
+            lfcc = self._call_lane128(x, B, L, T)
+        else:
+            lfcc = self._call_hoprows(x, B, L, T)
+
+        if cfg.with_delta:
+            flen = None if lengths is None else (1 + lengths // hop)
+            d1 = dsp.delta(lfcc, flen)
+            d2 = dsp.delta(d1, flen)
+            lfcc = jnp.concatenate([lfcc, d1, d2], axis=-1)
+        return lfcc
+
+    def _call_lane128(self, x, B, L, T):
+        """Lane-aligned layout: pad so frame t starts at padded sample
+        t*hop (same centered-STFT shift as the hoprows path), view the
+        signal as (groups, rows_per_group, 128) lane rows, emit
+        phase-major frames, and restore time order with one cheap XLA
+        transpose of the tiny (B, P, T/P, n_filters) output."""
+        cfg = self.config
+        lane, hop = self.LANE, cfg.hop_length
+        P, R = self._n_phase, self._rows_per_group
+        t_p = -(-T // P)                      # frames per phase
+        max_gs = (max(self._b_p) + self._n_o - 1) // R
+        n_groups = t_p + max_gs + 1           # +1: last frame's tail rows
+        lpad = hop
+        total = n_groups * R * lane
+        xp = jnp.pad(x, ((0, 0), (lpad, max(total - L - lpad, 0))))
+        rows = xp[:, :total].reshape(B, n_groups, R, lane)
+
+        def const_spec(shape):
+            return pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        split = self.dft_dot == "split_bf16"
+        out = pl.pallas_call(
+            functools.partial(_lfcc_lane128_kernel, n_phase=P, n_o=self._n_o,
+                              rows_per_group=R, t_p=t_p, bs=tuple(self._b_p),
+                              split_bf16=split),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, n_groups, R, lane), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const_spec(self._M.shape),
+                const_spec((self._n_eff, cfg.n_filters)),
+                const_spec((cfg.n_filters, cfg.n_filters)),
+            ],
+            out_specs=pl.BlockSpec((1, P, t_p, cfg.n_filters),
+                                   lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, P, t_p, cfg.n_filters),
+                                           jnp.float32),
+            interpret=self.interpret,
+        )(rows, self._M, self._FB, self._DCT)
+        # phase-major (B, P, T/P, F) -> time order t = P*k + p
+        lfcc = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+            B, P * t_p, cfg.n_filters)
+        return lfcc[:, :T, :]
+
+    def _call_hoprows(self, x, B, L, T):
+        cfg = self.config
+        hop, win = cfg.hop_length, cfg.win_length
         tile_t = min(self.TILE_T, T)
         n_tiles = -(-T // tile_t)
         t_padded = n_tiles * tile_t
@@ -198,14 +346,7 @@ class PallasLFCC:
                                            jnp.float32),
             interpret=self.interpret,
         )(rows, rows, self._CS, self._FB, self._DCT)
-        lfcc = out[:, :T, :]
-
-        if cfg.with_delta:
-            flen = None if lengths is None else (1 + lengths // hop)
-            d1 = dsp.delta(lfcc, flen)
-            d2 = dsp.delta(d1, flen)
-            lfcc = jnp.concatenate([lfcc, d1, d2], axis=-1)
-        return lfcc
+        return out[:, :T, :]
 
     def frame_lengths(self, lengths: jnp.ndarray) -> jnp.ndarray:
         return 1 + lengths // self.config.hop_length
