@@ -84,7 +84,7 @@ def _parse_loss(name: str) -> float:
 
 
 def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
-                erasure_seed: int = 0) -> np.ndarray:
+                erasure_seed: int = 0, fidelity: str = "native") -> np.ndarray:
     """Map a reference codec name onto the native codec tier:
 
     - G.711 / G.726: bit-faithful companding / ADPCM round trips
@@ -97,6 +97,12 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
     - G.722: real ITU-T sub-band ADPCM at 64/56/48 kbps (QMF band split +
       embedded 6/5/4-bit low band + 2-bit high band, 16 kHz native —
       native/augment/g722.cc)
+
+    ``fidelity="system"`` upgrades the silk*/silkwb* entries to a REAL
+    SILK-lineage codec (in-image libopus forced into SILK mode —
+    data/system_codecs.py); raises SystemCodecUnavailable when the
+    system library is missing.  All other entries are unaffected (the
+    native tier is already bit-exact or has no system equivalent).
     """
     if name.startswith("g711"):
         codec = "g711a" if "law=a" in name else "g711u"
@@ -117,7 +123,11 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
         return ah.resample(out, 16000, sr)[: len(wave)]
     if name.startswith(("amrwb", "silkwb")):
         kbps = _parse_kbps(name, 12.65)
-        out = ah.acelp_channel(wave, 16000, kbps, sr)
+        if fidelity == "system" and name.startswith("silkwb"):
+            from asvspoof2021_air_tpu.data.system_codecs import opus_silk_channel
+            out = opus_silk_channel(wave, 16000, kbps, sr)
+        else:
+            out = ah.acelp_channel(wave, 16000, kbps, sr)
         loss = _parse_loss(name)
         if loss:
             seed = zlib.crc32(name.encode()) ^ erasure_seed
@@ -127,7 +137,11 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
         kbps = _parse_kbps(name, 8.0 if name.startswith("g729") else 12.2)
         if name.startswith("g728"):
             kbps = 16.0
-        out = ah.acelp_channel(wave, 8000, kbps, sr)
+        if fidelity == "system" and name.startswith("silk"):
+            from asvspoof2021_air_tpu.data.system_codecs import opus_silk_channel
+            out = opus_silk_channel(wave, 8000, kbps, sr)
+        else:
+            out = ah.acelp_channel(wave, 8000, kbps, sr)
         loss = _parse_loss(name)
         if loss:
             seed = zlib.crc32(name.encode()) ^ erasure_seed
@@ -153,7 +167,7 @@ def _map_tasks(worker, tasks, jobs: int) -> int:
 def _degrade_one_file(task) -> int:
     """Worker: run all sampled codecs for one source file (used by both the
     serial path and the --jobs process pool)."""
-    f, codecs, output_path, target_sr = task
+    f, codecs, output_path, target_sr, fidelity = task
     wave, _sr = read_wav(f, target_sr)
     stem = os.path.basename(f).split(".")[0]
     for codec in codecs:
@@ -161,7 +175,8 @@ def _degrade_one_file(task) -> int:
         # across files AND across codecs of one file, like the
         # acoustic-simulator's random loss
         out = apply_codec(wave, codec, target_sr,
-                          erasure_seed=zlib.crc32(f"{stem}:{codec}".encode()))
+                          erasure_seed=zlib.crc32(f"{stem}:{codec}".encode()),
+                          fidelity=fidelity)
         write_wav(os.path.join(output_path, f"{stem}_{codec}.wav"),
                   out, target_sr)
     return len(codecs)
@@ -169,7 +184,7 @@ def _degrade_one_file(task) -> int:
 
 def channel_degrade(input_path: str, output_path: str, target_sr: int = 16000,
                     mode: str = "parallel", seed: int = 0,
-                    jobs: int = 1) -> int:
+                    jobs: int = 1, fidelity: str = "native") -> int:
     """(/root/reference/channel_simulation/simulated_channel.py:13-56)
 
     The reference shells out one subprocess per (file, codec), serially;
