@@ -98,7 +98,7 @@ def _block_int8(p, bs, x, dilation, dtype, scale=8, name="b",
         return None if act_scales is None else act_scales[site]
 
     def dot_1x1(v, w, site):
-        if quantize:
+        if quantize is True:
             w8, ws = _quant_w(w)
             return _qdot(v, w8, ws, dtype, act_scale=site_scale(site, v))
         return jax.lax.dot_general(
@@ -185,7 +185,12 @@ def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
     exactly, and every cross-time statistic masks the pad — chain
     kernel, SE mean, attention pooling).
     ``quantize=False``: keep every matmul in the compute dtype — the
-    bf16 serving tier with the same fused kernels and graph shape."""
+    bf16 serving tier with the same fused kernels and graph shape.
+    ``quantize="mfa"``: int8 ONLY on the MFA projection (48% of graph
+    FLOPs, the single biggest stage at 80% of bf16 peak) while the
+    range-cheaper 1x1 convs stay bf16 — a mixed tier probing whether
+    the full-int8 path's loss to bf16 was the 1x1s' quantize-pass
+    overhead rather than the MFA's."""
     p, bs = variables["params"], variables["batch_stats"]
     t_sem = feats.shape[1]
     valid_len = None
@@ -218,7 +223,7 @@ def ecapa_apply_int8(variables, feats, *, model_scale: int = 8,
                                   (x3, slice(2 * C, 3 * C)))):
         if observer is not None:
             observer(f"mfa_{i}", xi)
-        if quantize:
+        if quantize in (True, "mfa"):
             w8, ws = _quant_w(w4[sl])
             term = _qdot(xi, w8, ws, dtype,
                          act_scale=None if act_scales is None

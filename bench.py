@@ -341,7 +341,8 @@ def stage_infer_int8() -> dict:
     return out
 
 
-def stage_infer_scan(scan_k: int = 8, quantize: bool = True) -> dict:
+def stage_infer_scan(scan_k: int = 8, quantize: bool = True,
+                     batch_mult: int = 1) -> dict:
     """Fused serving graph scanned over K stacked batches in ONE dispatch
     (serving/stream.py): amortizes the relay's ~1.4 ms/batch
     non-overlapped dispatch latency that the device-trace roofline
@@ -349,18 +350,36 @@ def stage_infer_scan(scan_k: int = 8, quantize: bool = True) -> dict:
     matching per-batch path. ``quantize=False`` measures the bf16 tier
     with the same fused kernels — after the fused-chain kernel it edges
     out int8 (the quantize passes cost more than the 2x MXU rate buys
-    on this graph)."""
+    on this graph). ``batch_mult`` scales the batch: with the fused
+    kernels the per-batch fixed costs shrank enough that B=128 edges out
+    B=64 by ~3% (tools/perf/serving_sweep.py, 2026-08-19)."""
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
+    if batch_mult > 1:
+        g = np.random.default_rng(1)
+        wave = jnp.asarray(
+            g.standard_normal((B * batch_mult, WAVE_LEN)), jnp.float32)
+        labels = jnp.asarray(
+            (np.arange(B * batch_mult) % 2).astype(np.int32))
+    return _infer_scan_measure(on_tpu, lfcc, model, ocs, rng, wave, labels,
+                               scan_k=scan_k, quantize=quantize)
+
+
+def _infer_scan_measure(on_tpu, lfcc, model, ocs, rng, wave, labels, *,
+                        scan_k: int, quantize) -> dict:
     import jax
     import jax.numpy as jnp
 
     from asvspoof2021_air_tpu.serving.ecapa_int8 import ecapa_apply_int8
     from asvspoof2021_air_tpu.serving.stream import make_scanned_infer
 
-    on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()
+    nb = wave.shape[0]
     variables = jax.jit(
         lambda w: model.init({"params": rng}, lfcc(w)[:2], False)
     )(wave)
-    loss_vars = ocs.init(rng, np.zeros((B, 256), np.float32), labels)
+    loss_vars = ocs.init(rng, np.zeros((nb, 256), np.float32), labels)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     def infer(w, lab):
@@ -384,8 +403,9 @@ def stage_infer_scan(scan_k: int = 8, quantize: bool = True) -> dict:
         jax.block_until_ready(o)
         return (time.perf_counter() - t0) / (n_iter * scan_k)
 
-    dt, suspect = _timed_attempts(measure, floor_ms=1.5)
-    out = {"utt_s": B / dt, "ms_per_batch": dt * 1000, "scan_k": scan_k}
+    dt, suspect = _timed_attempts(measure, floor_ms=1.5 * (nb / B))
+    out = {"utt_s": nb / dt, "ms_per_batch": dt * 1000, "scan_k": scan_k,
+           "batch_size": nb}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -397,6 +417,9 @@ STAGES = {"infer": stage_infer, "train": stage_train,
           "infer_int8": stage_infer_int8,
           "infer_scan": stage_infer_scan,
           "infer_bf16_scan": lambda: stage_infer_scan(quantize=False),
+          "infer_mfa8_scan": lambda: stage_infer_scan(quantize="mfa"),
+          "infer_bf16_scan_b128": lambda: stage_infer_scan(quantize=False,
+                                                           batch_mult=2),
           "infer_b128": lambda: stage_infer(batch_mults=(1, 2))}
 
 
@@ -455,7 +478,8 @@ def main():
     # measure each and headline the best.
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     stage_names = (("infer", "infer_fused", "infer_int8", "infer_scan",
-                    "infer_bf16_scan", "train", "train_aug") if on_tpu
+                    "infer_bf16_scan", "infer_bf16_scan_b128",
+                    "train", "train_aug") if on_tpu
                    else ("infer", "train", "train_aug"))
 
     results = {}
@@ -495,13 +519,17 @@ def _assemble_result(results: dict, device: str) -> dict:
         serving["int8_scan"] = results["infer_scan"]
     if "infer_bf16_scan" in results:
         serving["bf16_scan"] = results["infer_bf16_scan"]
+    if "infer_bf16_scan_b128" in results:
+        serving["bf16_scan_b128"] = results["infer_bf16_scan_b128"]
     viable = {k: v for k, v in serving.items()
               if not v.get("suspect_timing")} or serving
     best_name = max(viable, key=lambda k: viable[k]["utt_s"])
     best = serving[best_name]
+    best_bs = best.get("batch_size", B)
     result = {
         "metric": "utterances/sec/chip, LFCC+ECAPA-512+OCSoftmax inference "
-                  "(B=64, 7.49s audio, fused front-end, best serving path)",
+                  f"(B={best_bs}, 7.49s audio, fused front-end, best "
+                  "serving path)",
         "value": round(best["utt_s"], 1),
         "unit": "utt/s/chip",
         "vs_baseline": round(best["utt_s"] / BASELINE_CPU_UTT_PER_SEC, 1),
@@ -511,7 +539,7 @@ def _assemble_result(results: dict, device: str) -> dict:
         "train_ms_per_step": round(results["train"]["ms_per_step"], 2),
         "serving_path": best_name,
         "infer_standard_utt_s": round(infer64["utt_s"], 1),
-        "batch_size": B,
+        "batch_size": best_bs,
         "device": device,
     }
     if "infer_fused" in results:
@@ -526,6 +554,9 @@ def _assemble_result(results: dict, device: str) -> dict:
     if "infer_bf16_scan" in results:
         result["infer_bf16_scan_utt_s"] = round(
             results["infer_bf16_scan"]["utt_s"], 1)
+    if "infer_bf16_scan_b128" in results:
+        result["infer_bf16_scan_b128_utt_s"] = round(
+            results["infer_bf16_scan_b128"]["utt_s"], 1)
     if any(v.get("suspect_timing") for v in (best, infer64, results["train"],
                                              results["train_aug"])):
         result["suspect_timing"] = True

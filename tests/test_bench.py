@@ -90,3 +90,20 @@ def test_timed_attempts_flags_persistent_glitch():
     dt, suspect = bench._timed_attempts(lambda: next(readings), floor_ms=4.0)
     assert suspect is True
     assert dt == 0.002  # least-glitched of the attempts
+
+
+def test_assemble_headlines_b128_tier_with_its_batch_size():
+    """bf16_scan_b128 carries its own batch_size; when it wins, the
+    headline metric string and batch_size field must reflect B=128, not
+    the module default."""
+    r = _results()
+    r["infer_bf16_scan"] = {"utt_s": 13300.0, "ms_per_batch": 4.81,
+                            "scan_k": 8, "batch_size": 64}
+    r["infer_bf16_scan_b128"] = {"utt_s": 14100.0, "ms_per_batch": 9.08,
+                                 "scan_k": 8, "batch_size": 128}
+    out = bench._assemble_result(r, "tpu0")
+    assert out["value"] == 14100.0
+    assert out["serving_path"] == "bf16_scan_b128"
+    assert out["batch_size"] == 128
+    assert "B=128" in out["metric"]
+    assert out["infer_bf16_scan_b128_utt_s"] == 14100.0

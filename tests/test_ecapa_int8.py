@@ -163,3 +163,30 @@ def test_bf16_tier_quantize_false_matches_f32_model():
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_logits),
                                np.asarray(want_logits), atol=2e-3, rtol=1e-3)
+
+
+def test_mfa_only_tier_tracks_f32_model():
+    """quantize="mfa": int8 only on the MFA projection (the graph's
+    biggest matmul stage), 1x1 convs kept in the compute dtype. Must
+    track the f32 model at least as closely as the full-int8 path —
+    fewer quantized sites, strictly less quantization error."""
+    B, T, C, enc = 3, 48, 64, 32
+    model = ECAPA_TDNN(C=C, model_scale=8, n_out=2, n_feat=60, enc_dim=enc)
+    g = np.random.default_rng(8)
+    feats = jnp.asarray(g.standard_normal((B, T, 60)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(3)}, feats, False)
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * jnp.asarray(
+            np.random.default_rng(9).standard_normal(v.shape), v.dtype),
+        variables,
+    )
+    want_feat, want_logits = model.apply(variables, feats, False)
+    got_feat, got_logits = ecapa_apply_int8(
+        variables, feats, model_scale=8, enc_dim=enc,
+        dtype=jnp.float32, interpret=True, fused_chain=True,
+        quantize="mfa",
+    )
+    cos = _cosine(np.asarray(got_feat), np.asarray(want_feat))
+    assert np.all(cos > 0.999), cos
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(want_logits), atol=0.05, rtol=0.1)
