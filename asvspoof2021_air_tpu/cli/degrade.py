@@ -201,7 +201,7 @@ def channel_degrade(input_path: str, output_path: str, target_sr: int = 16000,
         else:
             codecs = (rng.sample(LANDLINE, 7) + rng.sample(VOIP, 6)
                       + rng.sample(CELLULAR, 6) + rng.sample(COMMON, 2))
-        tasks.append((f, codecs, output_path, target_sr))
+        tasks.append((f, codecs, output_path, target_sr, fidelity))
     return _map_tasks(_degrade_one_file, tasks, jobs)
 
 
@@ -338,7 +338,19 @@ def main(argv=None):
                    help="process-pool workers (outputs are identical for "
                         "any value; sampling stays seeded on the main "
                         "process)")
+    p.add_argument("--fidelity", type=str, default="native",
+                   choices=["native", "system"],
+                   help="channel mode only: 'system' upgrades the silk*/"
+                        "silkwb* entries to real SILK-mode Opus via the "
+                        "in-image libopus (data/system_codecs.py); "
+                        "'native' (default) keeps the self-contained "
+                        "in-repo ACELP tier")
     args = p.parse_args(argv)
+    if args.fidelity == "system":
+        from asvspoof2021_air_tpu.data import system_codecs
+        if not system_codecs.available():
+            p.error("--fidelity system: in-image libavcodec/libopus not "
+                    "loadable; use the default native tier")
 
     if args.mode == "make-irs":
         n = make_irs(args.output, args.sample_rate, args.seed)
@@ -348,7 +360,8 @@ def main(argv=None):
         p.error("-i/--input is required for this mode")
     if args.mode == "channel":
         n = channel_degrade(args.input, args.output, args.sample_rate,
-                            args.sampling, args.seed, jobs=args.jobs)
+                            args.sampling, args.seed, jobs=args.jobs,
+                            fidelity=args.fidelity)
     elif args.mode == "compression":
         n = compression_degrade(args.input, args.output, args.sample_rate,
                                 args.sampling, args.seed, jobs=args.jobs)
