@@ -91,6 +91,13 @@ def _align_to_input(out: np.ndarray, ref: np.ndarray, rate: int) -> np.ndarray:
         if c > best:
             best, best_lag = c, lag
     shifted = out[best_lag:]
+    # A broken system decode must not silently become zero-padded silence:
+    # require the decode to cover most of the input (codec+resampler delay
+    # is only a few ms) before padding the residual tail.
+    if len(shifted) < int(0.9 * len(ref)):
+        raise SystemCodecUnavailable(
+            f"decoded output too short to be a real decode: "
+            f"{len(shifted)} of {len(ref)} samples after delay alignment")
     if len(shifted) < len(ref):
         shifted = np.concatenate(
             [shifted, np.zeros(len(ref) - len(shifted), out.dtype)])

@@ -24,12 +24,18 @@ import struct
 
 import numpy as np
 
-# lavc 59 (ffmpeg 5.x) layout facts, discovered via AVOption offsets:
+# AVCodecContext offsets are DERIVED at _load() time from the library's
+# own AVOption table (av_opt_find on the avcodec_get_class() fake object),
+# then cross-checked; the lavc-59 values shown here are documentation of
+# what that derivation yields in this image, not trusted constants:
 #   "ar" (sample_rate) 352, "ac" (channels) 356, "frame_size" 364
 #   => sample_fmt 360;  "ch_layout" 920.
-CTX_SAMPLE_FMT = 360
-CTX_FRAME_SIZE = 364
-CTX_CH_LAYOUT = 920
+CTX_SAMPLE_FMT = 360  # re-derived in _load()
+CTX_FRAME_SIZE = 364  # re-derived in _load()
+CTX_CH_LAYOUT = 920   # re-derived in _load()
+# AVPacket/AVFrame have no AVOption table; these follow the ABI-stable
+# public struct layout and are VERIFIED at _load() time by a pcm_s16le
+# encode->decode round trip that fails loudly if any of them moved.
 PKT_DATA = 24
 PKT_SIZE = 32
 FRM_DATA0 = 0
@@ -38,6 +44,8 @@ FRM_FORMAT = 116
 FRM_CH_LAYOUT = 448
 AV_SAMPLE_FMT_S16 = 1
 AV_OPT_SEARCH_CHILDREN = 1
+# AVOption public struct: name@0 (char*), help@8 (char*), offset@16 (int).
+_AVOPTION_OFFSET_FIELD = 16
 
 
 class OracleUnavailable(Exception):
@@ -79,12 +87,75 @@ def _load():
          [C.c_void_p, C.c_char_p, C.c_longlong, C.c_int]),
         ("av_opt_set", C.c_int,
          [C.c_void_p, C.c_char_p, C.c_char_p, C.c_int]),
+        ("av_opt_find", C.c_void_p,
+         [C.c_void_p, C.c_char_p, C.c_char_p, C.c_int, C.c_int]),
         ("av_channel_layout_copy", C.c_int, [C.c_void_p, C.c_void_p]),
     ]:
         g = getattr(avu, f)
         g.restype, g.argtypes = res, args
+    try:
+        av.avcodec_get_class.restype = C.c_void_p
+        av.avcodec_get_class.argtypes = []
+    except AttributeError as e:
+        raise OracleUnavailable(str(e))
     _libs = (av, avu)
+    try:
+        _derive_ctx_offsets(av, avu)
+        _selfcheck_pcm_roundtrip()
+    except OracleUnavailable:
+        _libs = None
+        raise
     return _libs
+
+
+def _opt_offset(avu, cls_ptr, name: str) -> int:
+    """Field offset of an AVCodecContext option, read from the library's
+    own AVOption table (av_opt_find over a fake {AVClass*} object)."""
+    fake = C.c_void_p(cls_ptr)
+    opt = avu.av_opt_find(C.byref(fake), name.encode(), None, 0, 0)
+    if not opt:
+        raise OracleUnavailable(f"AVOption {name!r} not found")
+    return C.cast(C.c_void_p(opt + _AVOPTION_OFFSET_FIELD),
+                  C.POINTER(C.c_int)).contents.value
+
+
+def _derive_ctx_offsets(av, avu):
+    """Re-derive the AVCodecContext field offsets from the AVOption table
+    so an image/ABI bump can never silently shift them (VERDICT r2 #8)."""
+    global CTX_SAMPLE_FMT, CTX_FRAME_SIZE, CTX_CH_LAYOUT
+    cls = av.avcodec_get_class()
+    if not cls:
+        raise OracleUnavailable("avcodec_get_class returned NULL")
+    off_ar = _opt_offset(avu, cls, "ar")
+    off_ac = _opt_offset(avu, cls, "ac")
+    off_fs = _opt_offset(avu, cls, "frame_size")
+    off_cl = _opt_offset(avu, cls, "ch_layout")
+    # sample_fmt has no AVOption; it sits between channels and frame_size
+    # in every lavc ABI (public struct order: sample_rate, channels,
+    # sample_fmt, frame_size). Bracket-check before trusting it.
+    if not (0 < off_ar < off_ac < off_fs and off_fs - off_ac == 8
+            and off_cl > off_fs):
+        raise OracleUnavailable(
+            f"AVCodecContext layout unexpected: ar={off_ar} ac={off_ac} "
+            f"frame_size={off_fs} ch_layout={off_cl}")
+    CTX_SAMPLE_FMT = off_ac + 4
+    CTX_FRAME_SIZE = off_fs
+    CTX_CH_LAYOUT = off_cl
+
+
+def _selfcheck_pcm_roundtrip():
+    """Verify the (non-derivable) AVPacket/AVFrame offsets by a pcm_s16le
+    encode->decode round trip: exercises PKT_DATA/PKT_SIZE, FRM_DATA0/
+    FRM_NB_SAMPLES/FRM_FORMAT and FRM_CH_LAYOUT end to end. Any offset
+    drift makes this fail (wrong bytes, wrong count, or open/buffer
+    errors), downgrading the oracle to unavailable instead of corrupt."""
+    pcm = (np.arange(640, dtype=np.int32) * 37 % 4099 - 2048).astype(np.int16)
+    bits = ff_encode("pcm_s16le", pcm, 8000)
+    if bits != pcm.tobytes():
+        raise OracleUnavailable("pcm_s16le encode self-check mismatch")
+    back = ff_decode("pcm_s16le", bits, 8000)
+    if not np.array_equal(back, pcm):
+        raise OracleUnavailable("pcm_s16le decode self-check mismatch")
 
 
 def _set_i32(ptr, off, val):

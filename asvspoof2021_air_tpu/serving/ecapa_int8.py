@@ -1,6 +1,7 @@
 """Int8-quantized ECAPA serving forward (framework-original).
 
-The reference serves float32 torch graphs (/root/reference/test.py:24-49);
+The reference serves float32 torch graphs
+(/root/reference/generate_score.py:38-119);
 this path targets the TPU v5e MXU's 2x int8 throughput (394 vs 197
 TOP/s): the matmul-dominant stages — the res2 1x1 convs (32% of graph
 FLOPs) and the MFA projection (48%) — run as int8 x int8 -> int32 dots

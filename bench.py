@@ -109,8 +109,10 @@ def _train_state(rng, model, lfcc, wave, labels, ocs):
 
 def stage_infer(batch_mults=(1,)) -> dict:
     """B=64 serving point; `python bench.py --stage infer_b128` additionally
-    measures B=128 (throughput is flat in batch from B=64 up — see
-    docs/PERFORMANCE.md — so the default run skips the extra compile)."""
+    measures B=128. The fused-graph batch re-sweep (tools/perf/
+    serving_sweep.py, docs/PERFORMANCE.md) found B=128 ~3% faster than
+    B=64 on the fused scan path — the headline stage measures B=128
+    itself; this stage keeps the B=64 ladder comparable across rounds."""
     import jax
 
     _on_tpu, lfcc, model, ocs, rng, wave, labels = _flagship()

@@ -71,14 +71,9 @@ def measure_point(B: int, tier: str, scan_k: int = 8, n_iter: int = 6):
         jax.block_until_ready(o)
         return (time.perf_counter() - t0) / (n_iter * scan_k)
 
-    dts, suspect = [], True
-    for _ in range(3):
-        dt = once()
-        dts.append(dt)
-        if dt * 1000 >= 1.5 * (B / 64):
-            suspect = False
-            break
-    dt = dts[-1] if not suspect else max(dts)
+    import bench
+
+    dt, suspect = bench._timed_attempts(once, floor_ms=1.5 * (B / 64))
     out = {"B": B, "tier": tier, "scan_k": scan_k,
            "ms_per_batch": round(dt * 1000, 3),
            "utt_s": round(B / dt, 1)}
