@@ -234,3 +234,30 @@ def test_score_rule_consistent_with_eval_step():
             np.testing.assert_allclose(np.asarray(file_score),
                                        np.asarray(eval_score),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_data_mesh_sharded_scoring_matches_single_device(tmp_path):
+    """scoring.py advertises feats 'sharded over the data mesh'; prove the
+    claim: scores produced with batches device_put onto an 8-device data
+    mesh must match the single-device scores (same jitted computation,
+    GSPMD-partitioned — partitioning may reorder float reductions, so
+    equality is to float32 round-off, not bit-for-bit), including the
+    padded final batch."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    model, variables, loss_mod, loss_vars = _setup("ocsoftmax")
+    fn = make_score_fn(model, variables, loss_mod, loss_vars, "ang_iso")
+    ds = SyntheticLabeled(n=19)  # not a multiple of batch: valid-mask path
+
+    single = score_to_file(fn, ds, str(tmp_path / "single.txt"),
+                           labeled=True, batch_size=8, feat_len=T)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    data_sharding = NamedSharding(mesh, P("data"))
+    sharded = score_to_file(
+        fn, ds, str(tmp_path / "sharded.txt"), labeled=True, batch_size=8,
+        feat_len=T, shard=lambda feats: jax.device_put(feats, data_sharding))
+
+    a, b = read_score_file(single), read_score_file(sharded)
+    assert list(a["fname"]) == list(b["fname"])
+    np.testing.assert_allclose(a["score"], b["score"], rtol=3e-5, atol=3e-6)
