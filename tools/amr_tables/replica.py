@@ -70,10 +70,18 @@ def k1_truncated(a, gn, gd, nh=22):
 def subframe_chain(exc, a, st, gn=0.7, gd=0.75, tilt_fac=0.8,
                    tilt_clamp=True, agc_alpha=0.9):
     """One postfiltered subframe. `st` is a dict of filter memories, mutated.
-    Returns the 40 postfiltered samples (before the output HP filter)."""
+    Returns the 40 postfiltered samples (before the output HP filter).
+
+    Postfilter realization (pinned by frame-1 multi-subframe fits): the
+    POLE filter 1/A(z/gd) runs first on the synthesis signal, then the
+    ZERO filter A(z/gn) runs over the pole filter's output, BOTH reading
+    the same pole-output history across subframe boundaries. (The
+    num-first cascade is equivalent only with zero initial state — it
+    fits subframe 0 but diverges from the oracle at subframes 2+.)"""
     x, st["m_syn"] = synth(exc, a, st["m_syn"])
-    r, st["m_num"] = fir_az(x, a, gn, st["m_num"])
-    v, st["m_den"] = iir_az(r, a, gd, st["m_den"])
+    v_tail_prev = st["m_den"]
+    v, st["m_den"] = iir_az(x, a, gd, v_tail_prev)
+    v, _ = fir_az(v, a, gn, v_tail_prev)
     k1 = k1_truncated(a, gn, gd)
     mu = tilt_fac * k1
     if tilt_clamp and mu < 0:
