@@ -39,21 +39,31 @@ B = 64
 WAVE_LEN = 119840  # 750 LFCC frames at 16 kHz (7.49 s)
 
 
-def _timed_attempts(measure, floor_ms: float, attempts: int = 3):
-    """Run `measure()` (returns seconds per unit) up to `attempts` times,
-    re-measuring while the reading is implausibly fast — the axon relay can
-    rarely ack a dispatch burst without the device work having run
-    (.claude/skills/verify/SKILL.md). Returns (dt_seconds, suspect): if no
-    attempt clears `floor_ms`, the MAX of the attempts is recorded (the
-    least-glitched reading) and suspect=True so BENCH json never contains a
-    physically impossible number flying under a plausible flag."""
-    dts = []
-    for _ in range(attempts):
-        dt = measure()
-        dts.append(dt)
-        if dt * 1000 >= floor_ms:
-            return dt, False
-    return max(dts), True
+def _timed_attempts(measure, floor_ms: float, attempts: int = 5):
+    """Run `measure()` (returns seconds per unit) `attempts` times and
+    return (median_dt_seconds, suspect, spread_pct).
+
+    Two failure modes of this backend are guarded (threat model documented
+    in docs/PERFORMANCE.md "Headline rule" and .claude/skills/verify/
+    SKILL.md): (1) the axon relay can rarely ack a dispatch burst without
+    the device work having run, producing a physically impossible fast
+    reading — attempts under `floor_ms` are discarded; if ALL attempts are
+    implausible the MAX is recorded with suspect=True so BENCH json never
+    contains an impossible number flying under a plausible flag. (2)
+    run-to-run relay variance of up to ~10% depending on the process's
+    program mix — every recorded number is therefore the MEDIAN of the
+    plausible attempts and the observed spread (max-min)/median is
+    returned so BENCH_r*.json carries its own error bar."""
+    dts = [measure() for _ in range(attempts)]
+    valid = [dt for dt in dts if dt * 1000 >= floor_ms]
+    if not valid:
+        return max(dts), True, _spread_pct(dts)
+    return float(np.median(valid)), False, _spread_pct(valid)
+
+
+def _spread_pct(dts) -> float:
+    med = float(np.median(dts))
+    return 100.0 * (max(dts) - min(dts)) / med if med > 0 else 0.0
 
 
 def _flagship():
@@ -143,9 +153,10 @@ def stage_infer(batch_mults=(1,)) -> dict:
             jax.block_until_ready(o)
             return (time.perf_counter() - t0) / n_iter
 
-        dt, suspect = _timed_attempts(measure, floor_ms=2.0 * mult)
+        dt, suspect, spread = _timed_attempts(measure, floor_ms=2.0 * mult)
         out[f"b{mult * B}"] = {"utt_s": mult * B / dt,
-                               "ms_per_batch": dt * 1000}
+                               "ms_per_batch": dt * 1000,
+                               "spread_pct": round(spread, 1)}
         if suspect:
             out[f"b{mult * B}"]["suspect_timing"] = True
     return out
@@ -200,8 +211,9 @@ def stage_train() -> dict:
         "wave": jnp.broadcast_to(wave, (K, B, WAVE_LEN)),
         "label": jnp.broadcast_to(labels, (K, B)),
     }
-    dt, suspect = _bench_train_step(multi_step, state, batches, K=K)
-    out = {"utt_s": B / dt, "ms_per_step": dt * 1000}
+    dt, suspect, spread = _bench_train_step(multi_step, state, batches, K=K)
+    out = {"utt_s": B / dt, "ms_per_step": dt * 1000,
+           "spread_pct": round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -249,8 +261,9 @@ def stage_train_aug() -> dict:
     def step(state, b, k, gate):
         return aug_step(state, b, k, gate, fe.params)
 
-    dt, suspect = _bench_train_step(step, state, batches, K=K)
-    out = {"utt_s": B / dt, "ms_per_step": dt * 1000}
+    dt, suspect, spread = _bench_train_step(step, state, batches, K=K)
+    out = {"utt_s": B / dt, "ms_per_step": dt * 1000,
+           "spread_pct": round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -292,8 +305,9 @@ def stage_infer_fused() -> dict:
         jax.block_until_ready(o)
         return (time.perf_counter() - t0) / n_iter
 
-    dt, suspect = _timed_attempts(measure, floor_ms=2.0)
-    out = {"utt_s": B / dt, "ms_per_batch": dt * 1000}
+    dt, suspect, spread = _timed_attempts(measure, floor_ms=2.0)
+    out = {"utt_s": B / dt, "ms_per_batch": dt * 1000,
+           "spread_pct": round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -336,8 +350,9 @@ def stage_infer_int8() -> dict:
         jax.block_until_ready(o)
         return (time.perf_counter() - t0) / n_iter
 
-    dt, suspect = _timed_attempts(measure, floor_ms=1.5)
-    out = {"utt_s": B / dt, "ms_per_batch": dt * 1000}
+    dt, suspect, spread = _timed_attempts(measure, floor_ms=1.5)
+    out = {"utt_s": B / dt, "ms_per_batch": dt * 1000,
+           "spread_pct": round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -405,9 +420,9 @@ def _infer_scan_measure(on_tpu, lfcc, model, ocs, rng, wave, labels, *,
         jax.block_until_ready(o)
         return (time.perf_counter() - t0) / (n_iter * scan_k)
 
-    dt, suspect = _timed_attempts(measure, floor_ms=1.5 * (nb / B))
+    dt, suspect, spread = _timed_attempts(measure, floor_ms=1.5 * (nb / B))
     out = {"utt_s": nb / dt, "ms_per_batch": dt * 1000, "scan_k": scan_k,
-           "batch_size": nb}
+           "batch_size": nb, "spread_pct": round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -523,8 +538,18 @@ def _assemble_result(results: dict, device: str) -> dict:
         serving["bf16_scan"] = results["infer_bf16_scan"]
     if "infer_bf16_scan_b128" in results:
         serving["bf16_scan_b128"] = results["infer_bf16_scan_b128"]
+    # Headline rule (docs/PERFORMANCE.md): every candidate is a median-of-5
+    # measurement; candidates with suspect timing OR an observed spread over
+    # 10% (the documented relay program-mix sensitivity) are excluded from
+    # headline selection, falling back to the full set only if nothing
+    # qualifies (in which case suspect_variance is emitted).
     viable = {k: v for k, v in serving.items()
-              if not v.get("suspect_timing")} or serving
+              if not v.get("suspect_timing")
+              and v.get("spread_pct", 0.0) <= 10.0}
+    suspect_variance = not viable
+    if not viable:
+        viable = {k: v for k, v in serving.items()
+                  if not v.get("suspect_timing")} or serving
     best_name = max(viable, key=lambda k: viable[k]["utt_s"])
     best = serving[best_name]
     best_bs = best.get("batch_size", B)
@@ -540,6 +565,9 @@ def _assemble_result(results: dict, device: str) -> dict:
         "inference_ms_per_batch": round(best["ms_per_batch"], 2),
         "train_ms_per_step": round(results["train"]["ms_per_step"], 2),
         "serving_path": best_name,
+        "spread_pct": best.get("spread_pct"),
+        "train_spread_pct": results["train"].get("spread_pct"),
+        "train_aug_spread_pct": results["train_aug"].get("spread_pct"),
         "infer_standard_utt_s": round(infer64["utt_s"], 1),
         "batch_size": best_bs,
         "device": device,
@@ -562,6 +590,8 @@ def _assemble_result(results: dict, device: str) -> dict:
     if any(v.get("suspect_timing") for v in (best, infer64, results["train"],
                                              results["train_aug"])):
         result["suspect_timing"] = True
+    if suspect_variance:
+        result["suspect_variance"] = True
     return result
 
 

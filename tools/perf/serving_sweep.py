@@ -73,10 +73,11 @@ def measure_point(B: int, tier: str, scan_k: int = 8, n_iter: int = 6):
 
     import bench
 
-    dt, suspect = bench._timed_attempts(once, floor_ms=1.5 * (B / 64))
+    dt, suspect, spread = bench._timed_attempts(once, floor_ms=1.5 * (B / 64))
     out = {"B": B, "tier": tier, "scan_k": scan_k,
            "ms_per_batch": round(dt * 1000, 3),
-           "utt_s": round(B / dt, 1)}
+           "utt_s": round(B / dt, 1),
+           "spread_pct": round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
