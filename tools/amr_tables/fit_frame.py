@@ -37,8 +37,16 @@ def _clone(st):
 
 def fit_frame1(pcm160, a0, gc0, verbose=False):
     """Fit (a_k, gc_k) for k=0..3 sequentially. a0/gc0: warm starts."""
-    st = replica.fresh_state()
-    hp_mem = [0.0] * 4
+    return fit_frame_seq(pcm160, a0, gc0, replica.fresh_state(),
+                         [0.0] * 4, verbose=verbose)
+
+
+def fit_frame_seq(pcm160, a0, gc0, st, hp_mem, verbose=False, signs=None):
+    """Sequential per-subframe (a, gc) fit with CARRIED-IN chain state
+    (st, hp_mem are mutated), for frames past the first of a probe
+    stream: the caller advances the replica through the known earlier
+    frames first. Valid when the frame's excitation is the all-zero-code
+    pulse pattern only (gp index 0 -> zero adaptive gain & sharpening)."""
     out_a, out_gc, resids = [], [], []
     scale = np.abs(pcm160).max()
     for k in range(4):
@@ -47,7 +55,7 @@ def fit_frame1(pcm160, a0, gc0, verbose=False):
 
         def resid(p):
             stx, hpx = _clone(st_in), list(hp_in)
-            out, _ = run_subframe(p[:10], p[10], stx, hpx)
+            out, _ = run_subframe(p[:10], p[10], stx, hpx, signs=signs)
             return (out - target) / scale
 
         x0 = np.concatenate([np.asarray(a0[k] if np.ndim(a0) == 2 else a0),
@@ -57,7 +65,9 @@ def fit_frame1(pcm160, a0, gc0, verbose=False):
         out_gc.append(res.x[10])
         resids.append(float(np.abs(res.fun).max()))
         # advance state with the fitted params
-        _, hp_mem = run_subframe(res.x[:10], res.x[10], st, hp_mem)
+        _, new_hp = run_subframe(res.x[:10], res.x[10], st, hp_mem,
+                                 signs=signs)
+        hp_mem[:] = new_hp
         if verbose:
             print(f"  sf{k}: resid {resids[-1]:.2e} gc {res.x[10]:.3e}")
     return np.array(out_a), np.array(out_gc), resids
