@@ -44,6 +44,22 @@ def lsp_to_a(lsp):
     return A[1:11] / A[0]
 
 
+# Decoder-side minimum LSF spacing (Hz), pinned by fitting the push-up
+# distance on multiple violating rows independently (both converge to
+# 50.049): each quantized LSF set is reordered lsf[i] = max(lsf[i],
+# lsf[i-1] + DMIN) BEFORE interpolation. Rows violating the spacing are
+# exactly the ~6% that the reorder-free model could not fit.
+LSF_MIN_DIST_HZ = 50.049
+
+
+def reorder_lsf(lsf, dmin=LSF_MIN_DIST_HZ):
+    out = np.array(lsf, float)
+    for i in range(1, len(out)):
+        if out[i] < out[i - 1] + dmin:
+            out[i] = out[i - 1] + dmin
+    return out
+
+
 def hz_to_cos(f):
     return np.cos(2.0 * np.pi * np.asarray(f) / 8000.0)
 
@@ -75,7 +91,7 @@ def frame_model(q1_hz, q2_hz, gcs):
     """Decode chain output for frame 1 given the two LSF sets (Hz) and
     per-subframe gains, using the pinned 0.5/0.5 cosine interpolation."""
     r = _ctx["replica"]
-    l1, l2 = hz_to_cos(q1_hz), hz_to_cos(q2_hz)
+    l1, l2 = hz_to_cos(reorder_lsf(q1_hz)), hz_to_cos(reorder_lsf(q2_hz))
     lsps = [_ctx["half_init"] + 0.5 * l1, l1, 0.5 * l1 + 0.5 * l2, l2]
     st = r.fresh_state()
     hp_mem = [0.0] * 4

@@ -33,6 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 LIB = "/usr/lib/x86_64-linux-gnu/libavcodec.so.59.37.100"
 HERE = os.path.dirname(os.path.abspath(__file__))
+# .rodata section (readelf -S): all of lavc's static const tables live
+# here; scanning only it is ~30x faster than the whole image.
+RODATA_OFF, RODATA_SIZE = 0x00AB4000, 0x253C80
 
 
 def load_measured():
@@ -132,10 +135,13 @@ def recover_row_map(a16, off, M, scale):
 
 def main():
     raw = open(LIB, "rb").read()
-    a16 = np.frombuffer(raw, np.int16, count=len(raw) // 2)
+    rod = raw[RODATA_OFF:RODATA_OFF + RODATA_SIZE]
+    a16 = np.frombuffer(rod, np.int16, count=len(rod) // 2)
     meas = load_measured()
+    groups = ([int(g) for g in sys.argv[1:]] if len(sys.argv) > 1
+              else range(5))
     out = {}
-    for g in range(5):
+    for g in groups:
         M = meas[g]
         hits = scan_for_group(a16, M)
         # collapse: a true [N][4] table fires on 4 offsets (one per column)
