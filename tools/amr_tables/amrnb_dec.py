@@ -49,9 +49,12 @@ QUA_GAIN_CODE = np.array(
      1473, 1694, 1948, 2241, 2577, 2963, 3408, 3919, 4507, 5183, 5960,
      6855, 7883, 9065, 10425, 12510, 16263, 21142, 27485],
     np.float64) / 2048.0
+# Pitch gain table pinned BEHAVIORALLY (probe_gp.py LS fits on extracted
+# oracle excitation matched idx 1..3 to 5e-6; NOT the 3GPP Q14 values —
+# the oracle's table sits ~0.55% lower, e.g. idx11 = 16296 not 16384).
 QUA_GAIN_PITCH = np.array(
-    [0, 3277, 6556, 8192, 9830, 11469, 12288, 13107, 13926, 14746, 15565,
-     16384, 17203, 18022, 18842, 19661], np.float64) / 16384.0
+    [0, 3260, 6519, 8146, 9776, 11405, 12221, 13036, 13851, 14666, 15481,
+     16296, 17111, 17926, 18742, 19557], np.float64) / 16384.0
 
 # ------------------------------------------------------- bit map (FACTS)
 LSF_GROUP_BITS = [
@@ -61,10 +64,13 @@ LSF_GROUP_BITS = [
     list(range(24, 29)) + [81, 82, 83],
     list(range(84, 88)) + [120, 121],
 ]
-LAG_BITS = [list(range(29, 38)),            # sf0 absolute, 9 bits
-            list(range(71, 77)),            # sf1 relative, 6 bits (H1)
-            list(range(38, 47)),            # sf2 absolute, 9 bits
-            list(range(77, 81)) + [242, 243]]  # sf3 relative, 6 bits (H1)
+# Lag fields are BIT-INTERLEAVED in storage order (probe_lag2.py: the
+# sf0/sf2 absolute fields alternate over {29..46}; sf1/sf3 relative
+# fields alternate over {71..80} + {242,243}). MSB first.
+LAG_BITS = [list(range(29, 46, 2)),         # sf0 absolute, 9 bits (odd)
+            [71, 73, 75, 77, 79, 242],      # sf1 relative, 6 bits
+            list(range(30, 47, 2)),         # sf2 absolute, 9 bits (even)
+            [72, 74, 76, 78, 80, 243]]      # sf3 relative, 6 bits
 GP_BITS = [[47 + k, 51 + k, 55 + k, 88 + k] for k in range(4)]
 GC_BITS = [[59 + k, 63 + k, 67 + k, 92 + k, 104 + k] for k in range(4)]
 SIGN_BITS = [[96 + k, 100 + k, 108 + k, 112 + k, 116 + k] for k in range(4)]
@@ -81,6 +87,7 @@ PRED_MA = np.array([0.68, 0.58, 0.34, 0.19])  # H3
 MEAN_ENER = 36.0         # H3 (dB)
 ENER_INIT = -14.0        # H3 initial prediction state (dB)
 LSF_PRED_FAC = 0.65      # H5
+EMPH = True              # H7 pitch-contribution emphasis (synthesis only)
 # H6 PINNED (probe_positions.py, learned/posmap_mr122.json): pulse j's
 # 3-bit field = consecutive storage bits POS_BITS[k][3j:3j+3]; block 1 =
 # pulses 0..4 (tracks 0..4 first pulse), block 2 = pulses 5..9 (second
@@ -111,14 +118,16 @@ def dec_lag6_abs(index):
 
 
 def dec_lag6_rel(index, T0_prev):
-    """H1: relative decode around previous subframe integer lag:
-    T0 = T0_min + (index+5)//6, frac = index - 6*((index+5)//6) + 3,
-    window [T0_prev-5, T0_prev+4] clamped to [18, 143]."""
+    """H1 (PINNED by probe_exc2: first-divergent subframes were always
+    sf1/sf3 and off by exactly one integer lag): relative decode around
+    the previous subframe integer lag, T0 = T0_min + (index+5)//6 - 1,
+    frac = index - 6*((index+5)//6) + 3, T0_min = clip(T0_prev-5,
+    [18, 134]). index=0 encodes T0_min-1 with frac +3 (= T0_min - 0.5)."""
     T0_min = max(T0_prev - 5, 18)
     if T0_min > 134:
         T0_min = 134
     i = (index + 5) // 6
-    T0 = T0_min + i
+    T0 = T0_min + i - 1
     frac = index - 6 * i + 3
     return T0, frac
 
@@ -166,7 +175,8 @@ def decode_positions(pos_field_vals, sign_vals):
 
 
 class MR122Decoder:
-    def __init__(self):
+    def __init__(self, trace=None):
+        self.trace = trace  # optional list collecting per-subframe internals
         self.st = replica.fresh_state()
         self.hp = [0.0] * 4
         self.past_lsp = None           # previous frame's q2 LSP (cos)
@@ -221,13 +231,13 @@ class MR122Decoder:
                         for j in range(10)]
             sgn_vals = [bits[b] for b in SIGN_BITS[k]]
             code = decode_positions(pos_vals, sgn_vals)
-            # sharpening uses the PREVIOUS subframe's pitch gain (history
-            # init 0 -> frame-1 sf0 unsharpened), clip per SHARP_MAX
-            sharp = min(self.gp_prev, SHARP_MAX)
+            # sharpening uses the CURRENT subframe's pitch gain clipped to
+            # 1.0 (probe_sharp.py: gc scales exactly 1/sqrt(1+beta^2) with
+            # beta = min(gp, 1.0), incl. frame-1 sf0)
+            sharp = min(gp, SHARP_MAX)
             if T0 < 40:
                 for n in range(T0, 40):
                     code[n] += sharp * code[n - T0]
-            self.gp_prev = gp
             ecode_db = 10.0 * np.log10(np.dot(code, code) / 40.0)
             epred = float(np.dot(PRED_MA, self.ener_pred))
             gc0 = 10.0 ** (0.05 * (epred + MEAN_ENER - ecode_db))
@@ -238,8 +248,25 @@ class MR122Decoder:
             self.ener_pred = [20.0 * np.log10(QUA_GAIN_CODE[gc_idx])] \
                 + self.ener_pred[:3]
             exc = gp * v + gc * code
+            # feedback history keeps the PLAIN excitation; the synthesis
+            # path emphasizes the pitch contribution when gp > 0.5
+            # (H7, probe_gp.py: fitted gc at gp=1.0 is exactly 0.80x the
+            # gp=0 value = the 1/1.25 energy-rescale signature)
             self.exc_hist = np.concatenate([self.exc_hist[40:], exc])
-            y = replica.subframe_chain(exc, a, self.st, **CHAIN)
+            exc_syn = exc
+            if EMPH and gp > 0.5:
+                e0 = float(np.dot(exc, exc))
+                pf = gp * 0.25 * min(gp, 1.0)
+                e2 = exc + pf * v
+                s2 = float(np.dot(e2, e2))
+                if s2 > 0.0:
+                    exc_syn = e2 * np.sqrt(e0 / s2)
+            if self.trace is not None:
+                self.trace.append(dict(
+                    a=a, v=v, code=code, gp=gp, gc=gc, T0=T0, frac=frac,
+                    exc=exc, exc_syn=exc_syn, lag_idx=lag_idx,
+                    gp_idx=field(bits, GP_BITS[k]), gc_idx=gc_idx))
+            y = replica.subframe_chain(exc_syn, a, self.st, **CHAIN)
             o, self.hp = replica.hp_biquad(
                 y, np.array([1.0, -2.0, 1.0]) * HPG, np.asarray(HPP),
                 self.hp)
