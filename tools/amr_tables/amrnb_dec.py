@@ -88,6 +88,7 @@ MEAN_ENER = 36.0         # H3 (dB)
 ENER_INIT = -14.0        # H3 initial prediction state (dB)
 LSF_PRED_FAC = 0.65      # H5
 EMPH = True              # H7 pitch-contribution emphasis (synthesis only)
+FB_TRUNC = True          # H8 feedback excitation truncation (Q ~ 2/32768)
 # H6 PINNED (probe_positions.py, learned/posmap_mr122.json): pulse j's
 # 3-bit field = consecutive storage bits POS_BITS[k][3j:3j+3]; block 1 =
 # pulses 0..4 (tracks 0..4 first pulse), block 2 = pulses 5..9 (second
@@ -248,11 +249,14 @@ class MR122Decoder:
             self.ener_pred = [20.0 * np.log10(QUA_GAIN_CODE[gc_idx])] \
                 + self.ener_pred[:3]
             exc = gp * v + gc * code
-            # feedback history keeps the PLAIN excitation; the synthesis
-            # path emphasizes the pitch contribution when gp > 0.5
-            # (H7, probe_gp.py: fitted gc at gp=1.0 is exactly 0.80x the
-            # gp=0 value = the 1/1.25 energy-rescale signature)
-            self.exc_hist = np.concatenate([self.exc_hist[40:], exc])
+            # feedback history: PLAIN excitation (no emphasis/smoothing),
+            # TRUNCATED toward zero at the oracle's internal integer scale
+            # of 2/32768 output units (pinned by the amplitude sweep in
+            # the lag anomaly hunt: trunc step 2.000 LSB minimizes the
+            # whole-sweep error with a sharp optimum; small pulses below
+            # 1 internal unit vanish from the adaptive history entirely)
+            fb = np.trunc(exc * 16384.0) / 16384.0 if FB_TRUNC else exc
+            self.exc_hist = np.concatenate([self.exc_hist[40:], fb])
             exc_syn = exc
             if EMPH and gp > 0.5:
                 e0 = float(np.dot(exc, exc))
