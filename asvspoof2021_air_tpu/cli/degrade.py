@@ -89,7 +89,10 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
 
     - G.711 / G.726: bit-faithful companding / ADPCM round trips
     - gsmfr: real GSM 06.10 RPE-LTP bitstream round trip
-    - AMR / AMR-WB / SILK / SILK-WB / G.729A / G.728: the native
+    - amr[br=12k2]: REAL 3GPP MR122 bitstream round trip (from-scratch
+      encoder+decoder against probe-recovered tables —
+      native/augment/amrnb.cc; streams decode on libavcodec's amrnb)
+    - other AMR / AMR-WB / SILK / SILK-WB / G.729A / G.728: the native
       analysis-by-synthesis ACELP codec at the mode's bitrate (AMR frame
       structure and pulse ladder; not 3GPP/Skype bit-compatible —
       native/augment/acelp.cc); SILK loss=N adds 20 ms frame-erasure
@@ -140,6 +143,11 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
         if fidelity == "system" and name.startswith("silk"):
             from asvspoof2021_air_tpu.data.system_codecs import opus_silk_channel
             out = opus_silk_channel(wave, 8000, kbps, sr)
+        elif name.startswith("amr[") and abs(kbps - 12.2) < 0.05:
+            # real MR122 bitstream round trip (standard-bitstream tier,
+            # native/augment/amrnb.cc); other AMR rates remain
+            # algorithmic-class ACELP until their tables are recovered
+            out = ah.amrnb_channel(wave, sr)
         else:
             out = ah.acelp_channel(wave, 8000, kbps, sr)
         loss = _parse_loss(name)

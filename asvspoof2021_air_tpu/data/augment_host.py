@@ -162,6 +162,67 @@ def acelp_channel(wave, codec_rate: int = 8000, bitrate_kbps: float = 12.2,
     return out
 
 
+def amrnb_encode(wave) -> bytes:
+    """Encode 8 kHz float mono to real AMR-NB 12.2 storage frames
+    (native/augment/amrnb.cc: from-scratch MR122 against probe-recovered
+    3GPP tables; RFC 4867 octet-aligned, 32 bytes/frame)."""
+    lib = get_lib()
+    if not hasattr(lib.amrnb_encode, "_configured"):
+        lib.amrnb_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.amrnb_encode.restype = ctypes.c_long
+        lib.amrnb_encode._configured = True
+    x = _as_f32(wave)
+    out = np.zeros(((x.size + 159) // 160) * 32, np.uint8)
+    n = lib.amrnb_encode(_ptr(x), x.size,
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return bytes(out[:n])
+
+
+def amrnb_decode(data: bytes) -> np.ndarray:
+    """Decode AMR-NB 12.2 storage frames to 8 kHz float mono (native
+    decoder replica; lavc via interop/avcodec.py is the oracle tier)."""
+    lib = get_lib()
+    if not hasattr(lib.amrnb_decode, "_configured"):
+        lib.amrnb_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+        lib.amrnb_decode.restype = ctypes.c_long
+        lib.amrnb_decode._configured = True
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros((len(data) // 32) * 160, np.float32)
+    n = lib.amrnb_decode(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         buf.size, _ptr(out), out.size)
+    if n < 0:
+        raise ValueError("not an AMR-NB 12.2 stream")
+    return out[:n]
+
+
+def amrnb_channel(wave, sample_rate: int = 16000) -> np.ndarray:
+    """Real AMR-NB 12.2 telephony hop: resample to 8 kHz, full MR122
+    bitstream round trip, resample back. Matches the reference's
+    amr[br=12k2] channel entry
+    (/root/reference/channel_simulation/simulated_channel.py:30-33)."""
+    lib = get_lib()
+    if not hasattr(lib.amrnb_roundtrip, "_configured"):
+        lib.amrnb_roundtrip.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_size_t]
+        lib.amrnb_roundtrip._configured = True
+    x = _as_f32(wave)
+    if sample_rate != 8000:
+        x = _as_f32(resample(x, sample_rate, 8000))
+    out = np.empty_like(x)
+    lib.amrnb_roundtrip(_ptr(x), _ptr(out), x.size)
+    if sample_rate != 8000:
+        out = resample(out, 8000, sample_rate)[: np.asarray(wave).size]
+        pad = np.asarray(wave).size - out.size
+        if pad > 0:
+            out = np.concatenate([out, np.zeros(pad, np.float32)])
+    return out
+
+
 def mdct_codec(wave, bitrate_kbps: float, kind: str = "mp3",
                sample_rate: int = 16000) -> np.ndarray:
     """Transform-codec round trip (native/augment/mdct.cc): MDCT band

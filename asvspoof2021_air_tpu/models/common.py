@@ -202,12 +202,13 @@ def batch_norm(train: bool, dtype=None, **kwargs) -> BatchNorm:
 
 
 def relu_bn(x: jnp.ndarray, train: bool, dtype=None,
-            fused: bool = False) -> jnp.ndarray:
+            fused: bool = False, name: Optional[str] = None) -> jnp.ndarray:
     """The `relu -> batchnorm` pattern (torch `bn(relu(x))`,
     /root/reference/ecapa_tdnn.py:57-76). `fused=True` routes through
     the recompute-VJP train path (ops/bn_relu_vjp); identical math and
-    variable tree either way."""
-    bn = batch_norm(train, dtype, fuse_relu=fused)
+    variable tree either way. ``name`` pins the BatchNorm child's name
+    when the caller's branch structure would shift auto-numbering."""
+    bn = batch_norm(train, dtype, fuse_relu=fused, name=name)
     return bn(x if fused else nn.relu(x))
 
 

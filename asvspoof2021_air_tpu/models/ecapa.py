@@ -42,6 +42,49 @@ class _Conv1x1Params(nn.Module):
         return k, b
 
 
+class _ConvKParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree for a k-tap conv."""
+
+    ksize: int
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.ksize, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _ChainBNParams(nn.Module):
+    """Parameter/stats holder matching models.common.BatchNorm's tree.
+
+    Call once with no stats to declare and fetch (scale, bias); call
+    again with the fused kernel's batch (mu, var) to apply the
+    running-average update."""
+
+    features: int
+    momentum: float
+
+    @nn.compact
+    def __call__(self, mu=None, var=None):
+        f = self.features
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((f,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        if mu is not None and not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value \
+                + (1 - m) * jax.lax.stop_gradient(mu)
+            ra_var.value = m * ra_var.value \
+                + (1 - m) * jax.lax.stop_gradient(var)
+        return scale, bias
+
+
 class Bottle2neck(nn.Module):
     """SE-Res2 block (/root/reference/ecapa_tdnn.py:31-95)."""
 
@@ -51,35 +94,71 @@ class Bottle2neck(nn.Module):
     scale: int = 8
     dtype: Optional[Any] = None
     fused_bn: bool = False   # relu+BN via the recompute-VJP (train mode)
+    fused_chain: bool = False  # whole conv chain via the batched-bwd VJP
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(math.floor(self.planes / self.scale))
         residual = x
 
-        out = nn.Conv(width * self.scale, (1,), dtype=self.dtype)(x)
-        out = relu_bn(out, train, self.dtype, fused=self.fused_bn)
+        out = nn.Conv(width * self.scale, (1,), dtype=self.dtype,
+                      name="Conv_0")(x)
+        out = relu_bn(out, train, self.dtype, fused=self.fused_bn,
+                      name="BatchNorm_0")
 
-        groups = jnp.split(out, self.scale, axis=-1)
-        pad = (self.kernel_size // 2) * self.dilation
-        outs = []
-        sp = None
-        for i in range(self.scale - 1):
-            sp = groups[i] if i == 0 else sp + groups[i]
-            sp = nn.Conv(
-                width, (self.kernel_size,), kernel_dilation=(self.dilation,),
-                padding=((pad, pad),), dtype=self.dtype,
-            )(sp)
-            sp = relu_bn(sp, train, self.dtype, fused=self.fused_bn)
-            outs.append(sp)
-        outs.append(groups[-1])
-        # NOTE: splitting this 1x1 conv over the groups (avoiding the
-        # concat) was measured SLOWER — eight K=64 matmuls lose more MXU
-        # efficiency than the concat costs; XLA fuses this concat well.
-        out = jnp.concatenate(outs, axis=-1)
+        if self.fused_chain and train and self.kernel_size == 3:
+            # whole chain through the custom-VJP op: sequential forward,
+            # batched weight gradients + recompute BN backward
+            # (ops/res2_chain_vjp.py). Parameter/stat trees match the
+            # unfused path exactly (same names, shapes, inits).
+            from asvspoof2021_air_tpu.models.common import (
+                BN_EPS, BN_MOMENTUM)
+            from asvspoof2021_air_tpu.ops.res2_chain_vjp import (
+                res2_chain_train)
+            ks, cbs, ss, bbs, bns = [], [], [], [], []
+            for i in range(1, self.scale):
+                k, cb = _ConvKParams(self.kernel_size, width, width,
+                                     name=f"Conv_{i}")()
+                bn = _ChainBNParams(width, BN_MOMENTUM,
+                                    name=f"BatchNorm_{i}")
+                s, b = bn()
+                ks.append(k)
+                cbs.append(cb)
+                ss.append(s)
+                bbs.append(b)
+                bns.append(bn)
+            out, mus, vrs = res2_chain_train(
+                out, jnp.stack(ks), jnp.stack(cbs), jnp.stack(ss),
+                jnp.stack(bbs), self.dilation, BN_EPS)
+            for i, bn in enumerate(bns):
+                bn(mus[i], vrs[i])
+        else:
+            groups = jnp.split(out, self.scale, axis=-1)
+            pad = (self.kernel_size // 2) * self.dilation
+            outs = []
+            sp = None
+            for i in range(self.scale - 1):
+                sp = groups[i] if i == 0 else sp + groups[i]
+                sp = nn.Conv(
+                    width, (self.kernel_size,),
+                    kernel_dilation=(self.dilation,),
+                    padding=((pad, pad),), dtype=self.dtype,
+                    name=f"Conv_{i + 1}",
+                )(sp)
+                sp = relu_bn(sp, train, self.dtype, fused=self.fused_bn,
+                             name=f"BatchNorm_{i + 1}")
+                outs.append(sp)
+            outs.append(groups[-1])
+            # NOTE: splitting this 1x1 conv over the groups (avoiding the
+            # concat) was measured SLOWER — eight K=64 matmuls lose more
+            # MXU efficiency than the concat costs; XLA fuses this concat
+            # well.
+            out = jnp.concatenate(outs, axis=-1)
 
-        out = nn.Conv(self.planes, (1,), dtype=self.dtype)(out)
-        out = relu_bn(out, train, self.dtype, fused=self.fused_bn)
+        out = nn.Conv(self.planes, (1,), dtype=self.dtype,
+                      name=f"Conv_{self.scale}")(out)
+        out = relu_bn(out, train, self.dtype, fused=self.fused_bn,
+                      name=f"BatchNorm_{self.scale}")
         out = SEModule1D(self.planes, dtype=self.dtype)(out, train)
         return out + residual
 
@@ -115,6 +194,10 @@ class ECAPA_TDNN(nn.Module):
     # autodiff saves only the conv outputs + batch stats instead of the
     # normalized activations and ReLU masks (docs/PERFORMANCE.md).
     fused_bn: bool = False
+    # fused_chain: run each Bottle2neck's 7-conv hierarchical chain
+    # through the custom-VJP op with batched weight gradients
+    # (ops/res2_chain_vjp.py); train-mode only, same variable tree.
+    fused_chain: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -126,7 +209,8 @@ class ECAPA_TDNN(nn.Module):
 
         blk = lambda d: Bottle2neck(self.C, 3, d, self.model_scale,
                                     dtype=self.dtype,
-                                    fused_bn=self.fused_bn)
+                                    fused_bn=self.fused_bn,
+                                    fused_chain=self.fused_chain)
         if self.summed:
             x1 = blk(2)(x, train)
             x2 = blk(3)(x + x1, train)

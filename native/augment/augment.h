@@ -73,6 +73,17 @@ void acelp_roundtrip(const float* in, float* out, size_t n, int sample_rate,
 void acelp_channel(const float* in, float* out, size_t n, int in_rate,
                    int codec_rate, float bitrate_kbps);
 
+/* ---- AMR-NB MR122 (12.2 kbps): real 3GPP-interoperable bitstreams from
+ * probe-recovered tables (native/augment/amrnb.cc; tools/amr_tables/).
+ * 8 kHz mono. amrnb_encode emits RFC 4867 octet-aligned storage frames
+ * (32 bytes/frame incl. TOC 0x3C; size out as ceil(n/160)*32) and
+ * returns bytes written. amrnb_decode returns samples written or -1 on
+ * a non-12.2 frame type. amrnb_roundtrip is encode->decode at 8 kHz. */
+long amrnb_encode(const float* in, size_t n, uint8_t* out);
+long amrnb_decode(const uint8_t* data, size_t size, float* out,
+                  size_t max_samples);
+void amrnb_roundtrip(const float* in, float* out, size_t n);
+
 /* ---- Transform-codec (MDCT) round trip for the mp3/aac compression
  * tier: band-grouped quantization under the mode's bit budget. frame_half:
  * 576 (mp3 granule) or 1024 (aac). */

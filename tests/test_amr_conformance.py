@@ -1,0 +1,162 @@
+"""Conformance of the from-scratch AMR-NB MR122 codec
+(native/augment/amrnb.cc) against the in-image libavcodec `amrnb`
+decoder — the black-box oracle whose tables/laws were recovered in
+tools/amr_tables/ (FACTS.md).
+
+Matches the reference's amr[br=12k2] cellular channel entry
+(/root/reference/channel_simulation/simulated_channel.py:30-33).
+
+Two tiers:
+  - oracle tests (skipped without libavcodec): our encoder's storage
+    frames decode error-free on lavc and reconstruct the input with
+    codec-class fidelity; our native decoder tracks lavc sample-wise.
+  - oracle-free structural tests: framing, determinism, round trip.
+"""
+
+import numpy as np
+import pytest
+
+from asvspoof2021_air_tpu.data import augment_host as ah
+
+try:
+    from tests.avcodec_oracle import OracleUnavailable, ff_decode_packets
+except ImportError:  # run from within tests/
+    from avcodec_oracle import OracleUnavailable, ff_decode_packets
+
+
+def _oracle_or_skip(fn, *a, **kw):
+    try:
+        return fn(*a, **kw)
+    except OracleUnavailable as e:
+        pytest.skip(f"avcodec oracle unavailable: {e}")
+
+
+def _speechlike(n=8000, seed=0, f0=110.0):
+    rng = np.random.default_rng(seed)
+    exc = np.zeros(n)
+    t = 0.0
+    while t < n:
+        exc[int(t)] = 1.0
+        t += 8000.0 / f0 * (1.0 + 0.02 * np.sin(t / 700.0))
+    exc += 0.02 * rng.standard_normal(n)
+    out = np.zeros(n)
+    y1 = np.zeros(2)
+    y2 = np.zeros(2)
+    for i in range(n):
+        fa = 650 + 150 * np.sin(2 * np.pi * i / 1900.0)
+        fb = 1800 + 300 * np.cos(2 * np.pi * i / 2300.0)
+        o = exc[i]
+        for (fc, bw, y) in ((fa, 120, y1), (fb, 180, y2)):
+            r = np.exp(-np.pi * bw / 8000.0)
+            c = 2 * r * np.cos(2 * np.pi * fc / 8000.0)
+            o_new = o + c * y[0] - r * r * y[1]
+            y[1] = y[0]
+            y[0] = o_new
+            o = o_new
+        out[i] = o
+    return (out / np.abs(out).max() * 0.35).astype(np.float32)
+
+
+def _lavc_decode(bs: bytes) -> np.ndarray:
+    pkts = [bs[i * 32:(i + 1) * 32] for i in range(len(bs) // 32)]
+    dec = np.asarray(_oracle_or_skip(ff_decode_packets, "amrnb", pkts, 8000))
+    if dec.dtype == np.int16:
+        dec = dec.astype(np.float64) / 32768.0
+    else:
+        dec = dec.astype(np.float64)
+        if np.abs(dec).max() > 4.0:  # s16-range floats
+            dec = dec / 32768.0
+    return dec
+
+
+# corr threshold per stress class: MR122 is a speech codec; tonal and
+# noise inputs are adversarial and legitimately reconstruct worse.
+CASES = [
+    ("speechlike", lambda n, g, t: _speechlike(n), 0.85),
+    ("chirp", lambda n, g, t:
+     (0.5 * np.sin(2 * np.pi * (100 + 3000 * t / t[-1]) * t))
+     .astype(np.float32), 0.80),
+    ("tone_440", lambda n, g, t:
+     (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), 0.50),
+    ("noise", lambda n, g, t:
+     (0.1 * g.standard_normal(n)).astype(np.float32), 0.20),
+]
+
+
+@pytest.mark.parametrize("name,make,thr", CASES,
+                         ids=[c[0] for c in CASES])
+def test_streams_decode_on_lavc(name, make, thr):
+    """Our encoder's storage frames are REAL AMR: lavc decodes every
+    frame (no errors, full length) and reconstructs the signal."""
+    n = 8000
+    g = np.random.default_rng(42)
+    t = np.arange(n) / 8000.0
+    sig = make(n, g, t)
+    bs = ah.amrnb_encode(sig)
+    assert len(bs) == (n // 160) * 32
+    dec = _lavc_decode(bs)
+    assert len(dec) >= n - 160  # every frame produced output
+    m = min(n, len(dec))
+    c = np.corrcoef(sig[:m].astype(np.float64), dec[:m])[0, 1]
+    assert c > thr, f"{name}: corr {c:.3f} <= {thr}"
+
+
+def test_native_decoder_tracks_lavc():
+    """Our from-scratch decoder and lavc agree sample-wise on our
+    streams (the replica's pinned decode chain, incl. pitch emphasis and
+    feedback truncation)."""
+    sig = _speechlike(4800)
+    bs = ah.amrnb_encode(sig)
+    lavc = _lavc_decode(bs)
+    nat = ah.amrnb_decode(bs)
+    m = min(len(lavc), len(nat))
+    scale = np.abs(lavc[:m]).max()
+    assert scale > 1e-3
+    err = np.abs(nat[:m] - lavc[:m]).max() / scale
+    # residual unmodeled fixed-point detail compounds through the
+    # adaptive-codebook feedback (~1%/frame, resetting at low-gp frames;
+    # FACTS.md "Residual accuracy") — peak-bounded, energy-tight below
+    assert err < 0.25, f"native vs lavc rel err {err:.3f}"
+    # energy-domain agreement is much tighter
+    snr = 10 * np.log10(np.dot(lavc[:m], lavc[:m]) /
+                        max(np.dot(lavc[:m] - nat[:m],
+                                   lavc[:m] - nat[:m]), 1e-12))
+    assert snr > 18.0, f"native vs lavc SNR {snr:.1f} dB"
+
+
+def test_frame_structure():
+    """RFC 4867 octet-aligned storage framing: TOC 0x3C (FT=7, Q=1),
+    32 bytes/frame, deterministic encode."""
+    sig = _speechlike(1600, seed=3)
+    bs = ah.amrnb_encode(sig)
+    assert len(bs) == 10 * 32
+    for i in range(10):
+        assert bs[i * 32] == 0x3C
+    assert bs == ah.amrnb_encode(sig)
+
+
+def test_roundtrip_basic():
+    sig = _speechlike(3200, seed=5)
+    out = ah.amrnb_channel(sig, sample_rate=8000)
+    assert out.shape == sig.shape
+    assert np.abs(out).max() > 0.01
+    c = np.corrcoef(sig.astype(np.float64), out.astype(np.float64))[0, 1]
+    assert c > 0.8
+    # decoder rejects non-12.2 frame types
+    with pytest.raises(ValueError):
+        ah.amrnb_decode(bytes([0x04] + [0] * 31))
+
+
+def test_degrade_routes_12k2_to_real_amr():
+    """The amr[br=12k2] channel entry uses the real MR122 bitstream hop
+    (not the algorithmic-class ACELP tier)."""
+    from asvspoof2021_air_tpu.cli.degrade import apply_codec
+    sig = _speechlike(3200, seed=7)
+    sig16 = ah.resample(sig, 8000, 16000)
+    out_real = apply_codec(sig16, "amr[br=12k2]", 16000)
+    out_acelp = ah.acelp_channel(sig16, 8000, 12.2, 16000)
+    assert out_real.shape == sig16.shape
+    assert np.abs(out_real - out_acelp).max() > 1e-4  # distinct paths
+    c = np.corrcoef(sig16.astype(np.float64),
+                    out_real.astype(np.float64))[0, 1]
+    assert c > 0.75
