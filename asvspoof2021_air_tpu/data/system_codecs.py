@@ -92,9 +92,12 @@ def _align_to_input(out: np.ndarray, ref: np.ndarray, rate: int) -> np.ndarray:
             best, best_lag = c, lag
     shifted = out[best_lag:]
     # A broken system decode must not silently become zero-padded silence:
-    # require the decode to cover most of the input (codec+resampler delay
-    # is only a few ms) before padding the residual tail.
-    if len(shifted) < int(0.9 * len(ref)):
+    # require the decode to cover the input up to the fixed codec+resampler
+    # delay (a few ms, rate-dependent) before padding the residual tail.
+    # Delay-aware rather than a pure ratio so sub-100 ms clips — where the
+    # fixed delay is a large fraction of the signal — still pass.
+    max_delay = rate // 10 + 256  # cross-corr search span + safety margin
+    if len(shifted) < max(len(ref) - max_delay, 0):
         raise SystemCodecUnavailable(
             f"decoded output too short to be a real decode: "
             f"{len(shifted)} of {len(ref)} samples after delay alignment")

@@ -57,7 +57,9 @@ def _timed_attempts(measure, floor_ms: float, attempts: int = 5):
     dts = [measure() for _ in range(attempts)]
     valid = [dt for dt in dts if dt * 1000 >= floor_ms]
     if not valid:
-        return max(dts), True, _spread_pct(dts)
+        # all attempts implausible: the spread of glitched readings is
+        # not an error bar — record None so consumers don't treat it as one
+        return max(dts), True, None
     return float(np.median(valid)), False, _spread_pct(valid)
 
 
@@ -156,7 +158,7 @@ def stage_infer(batch_mults=(1,)) -> dict:
         dt, suspect, spread = _timed_attempts(measure, floor_ms=2.0 * mult)
         out[f"b{mult * B}"] = {"utt_s": mult * B / dt,
                                "ms_per_batch": dt * 1000,
-                               "spread_pct": round(spread, 1)}
+                               "spread_pct": None if spread is None else round(spread, 1)}
         if suspect:
             out[f"b{mult * B}"]["suspect_timing"] = True
     return out
@@ -213,7 +215,7 @@ def stage_train() -> dict:
     }
     dt, suspect, spread = _bench_train_step(multi_step, state, batches, K=K)
     out = {"utt_s": B / dt, "ms_per_step": dt * 1000,
-           "spread_pct": round(spread, 1)}
+           "spread_pct": None if spread is None else round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -263,7 +265,7 @@ def stage_train_aug() -> dict:
 
     dt, suspect, spread = _bench_train_step(step, state, batches, K=K)
     out = {"utt_s": B / dt, "ms_per_step": dt * 1000,
-           "spread_pct": round(spread, 1)}
+           "spread_pct": None if spread is None else round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -307,7 +309,7 @@ def stage_infer_fused() -> dict:
 
     dt, suspect, spread = _timed_attempts(measure, floor_ms=2.0)
     out = {"utt_s": B / dt, "ms_per_batch": dt * 1000,
-           "spread_pct": round(spread, 1)}
+           "spread_pct": None if spread is None else round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -352,7 +354,7 @@ def stage_infer_int8() -> dict:
 
     dt, suspect, spread = _timed_attempts(measure, floor_ms=1.5)
     out = {"utt_s": B / dt, "ms_per_batch": dt * 1000,
-           "spread_pct": round(spread, 1)}
+           "spread_pct": None if spread is None else round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out
@@ -422,7 +424,7 @@ def _infer_scan_measure(on_tpu, lfcc, model, ocs, rng, wave, labels, *,
 
     dt, suspect, spread = _timed_attempts(measure, floor_ms=1.5 * (nb / B))
     out = {"utt_s": nb / dt, "ms_per_batch": dt * 1000, "scan_k": scan_k,
-           "batch_size": nb, "spread_pct": round(spread, 1)}
+           "batch_size": nb, "spread_pct": None if spread is None else round(spread, 1)}
     if suspect:
         out["suspect_timing"] = True
     return out

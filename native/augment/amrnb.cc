@@ -435,7 +435,12 @@ struct EncState {
   double wn_mem[10], wd_mem[10];   /* weighting over input */
   double wqn_mem[10], wqd_mem[10]; /* weighting over quantized synth */
   double sw_in[10], sw_out[10];    /* open-loop weighting memories */
-  EncState() { std::memset(sp_mem, 0, sizeof(*this) - sizeof(dec)); }
+  /* zero everything from sp_mem onward — offsetof, not sizeof(dec), so
+     any padding the compiler inserts after `dec` can't push the write
+     past the end of the object */
+  EncState() {
+    std::memset(sp_mem, 0, sizeof(*this) - offsetof(EncState, sp_mem));
+  }
 };
 
 void levinson(const double* r, double* a /*10*/) {

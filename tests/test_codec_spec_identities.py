@@ -135,3 +135,56 @@ def test_g726_documented_tier_matches_conformance_evidence():
         "CODECS.md G.726 tier claim must track its conformance evidence: "
         f"claims bit-exact={claims_exact}, conformance suite "
         f"present={has_evidence}")
+
+
+def test_codec_tier_docs_are_consistent():
+    """Cross-document tier consistency guard (round-3 verdict "stale,
+    self-contradicting docs"): docs/CODECS.md is the single source of
+    truth for codec fidelity tiers; every other document must defer to it
+    rather than carry its own (drifting) tier claims.
+
+    Caught in round 3: docs/REPRODUCE.md still described mp3/aac as "an
+    MDCT transform codec" after both were closed to standard-bitstream,
+    and README.md/PARITY.md carried a hardcoded test count (311) that
+    undercounted the suite by ~25%."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def read(p):
+        with open(os.path.join(root, p)) as f:
+            return f.read()
+
+    codecs = read("docs/CODECS.md")
+    # The authoritative doc must still carry the tier vocabulary and the
+    # closed-tier rows this guard assumes.
+    for needle in ("standard-bitstream", "bit-exact", "algorithmic-class"):
+        assert needle in codecs, f"CODECS.md lost tier term {needle!r}"
+
+    others = {p: read(p) for p in
+              ("README.md", "PARITY.md", "docs/REPRODUCE.md",
+               "docs/PERFORMANCE.md")
+              if os.path.exists(os.path.join(root, p))}
+
+    # 1. No document may demote mp3/aac back to a transform-class claim.
+    for name, text in others.items():
+        assert "MDCT transform codec" not in text, (
+            f"{name} contradicts CODECS.md: mp3/aac are standard-bitstream"
+        )
+
+    # 2. REPRODUCE.md must defer to CODECS.md for tiers instead of
+    #    restating them.
+    assert "CODECS.md" in others["docs/REPRODUCE.md"], (
+        "docs/REPRODUCE.md must point at docs/CODECS.md as the tier source"
+    )
+
+    # 3. No hardcoded whole-suite test counts outside of live commands —
+    #    they drift (round 3: "311 tests"). Counts inside shell commands
+    #    (pytest --collect-only) are fine; literal "<N> tests" prose is not.
+    for name, text in others.items():
+        stale = re.findall(r"\b(\d{2,4})\s+tests\b", text)
+        assert not stale, (
+            f"{name} hardcodes a test count {stale} — defer to "
+            "`pytest --collect-only -q` instead (counts drift)"
+        )
