@@ -1,15 +1,18 @@
-"""Pin the low-mode pitch lag decode laws (dec_lag3 absolute + the
-4/5/6-bit relative variants) by candidate matching.
+"""Pin the low-mode pitch lag decode laws by candidate matching.
 
-Method: frame-1 sf0 carries a pulse (history), the probed subframe sets
-a lag index; its extracted excitation is fitted as
-    exc ≈ gp * v(T0, frac) + gc * code
-for every candidate (T0, frac) on the 1/3 grid, where v is the b60
-interpolation of the MEASURED truncated-feedback history. The candidate
-with an exact fit (resid ~1e-6 vs ~1e-1 for neighbors) IS the decode.
+Stream layout: every subframe before the probe carries spread pulses
+with a strong-gc/low-gp gain row, building a pulse-rich measured
+history deep enough to cover the probed lag range (abs probes run at
+frame 2 sf2 -> 240 samples of history). The probed subframe uses a
+strong-gp/low-gc row so the adaptive contribution dominates. Its
+excitation is fitted per candidate (T0, frac) on the 1/3 grid as
 
-The LSF chain is exact at index 0 (probe_low_zero.py), so subframe LP
-sets are known for any number of frames.
+  exc ~= gp*v(T0,frac) + gc*code0 [+ dispersed code] [+ sharp shift]
+
+and the candidate whose residual collapses IS the decode (margin =
+second-best/best residual recorded per probe).
+
+Outputs learned/low_lag_probes.json.
 """
 
 from __future__ import annotations
@@ -27,117 +30,121 @@ sys.path.insert(0, HERE)
 import amrnb_low as L  # noqa: E402
 from modes_lab import LowChain, make_frame, MODE_IDX  # noqa: E402
 from oracle import decode_bits  # noqa: E402
+from probe_low_lags_common import all_zero_as, gain_row  # noqa: E402
+
+# spread-pulse field values per mode (positions noted; any value works,
+# these cover the adaptive read windows well)
+RICH_PULSES = {"4k75": 60, "5k15": 60, "5k9": 140, "6k7": 356,
+               "7k4": 4706, "7k95": 4706}
 
 
-def all_zero_as(mode, n_frames):
-    """Replica LP sets for an all-zero-LSF stream of n_frames."""
-    past_r = np.zeros(10)
-    past_lsp = L.LSP_INIT.copy()
-    As = []
-    for _ in range(n_frames):
-        lsf_q, r = L.lsf_decode_3(mode, 0, 0, 0, past_r)
-        past_r = r
-        lsp_new = L.hz_to_cos(L.reorder_lsf(lsf_q))
-        for k in range(4):
-            w = (k + 1) / 4.0
-            lsp = (1.0 - w) * past_lsp + w * lsp_new
-            As.append(L.lsp_to_a(np.sort(lsp)[::-1]))
-        past_lsp = lsp_new
-    return As
-
-
-def gain_rows(mode):
-    """(history_row, probe_row): max gc_corr subject to small gp."""
+def probe_gain_row(mode):
+    """Strong gp, small gc for the probed subframe."""
     if mode in ("5k15", "5k9"):
         T = L.GAINS_LOW
     elif mode in ("6k7", "7k4", "10k2"):
         T = L.GAINS_HIGH
-    elif mode == "4k75":
-        T = None
-    else:
-        return None
-    if mode == "4k75":
-        G = L.GAINS_MR475
-        ok = np.where(np.maximum(G[:, 0], G[:, 2]) < 3000)[0]
-        r = int(ok[np.argmax(np.minimum(G[ok, 1], G[ok, 3]))])
-        return r
-    ok = np.where(T[:, 0] < 3000)[0]
-    return int(ok[np.argmax(T[ok, 1])])
+    else:  # 7k95: scalar; max pitch gain (fixed_gain handled separately)
+        return 15
+    ok = np.where(T[:, 1] < 1000)[0]
+    return int(ok[np.argmax(T[ok, 0])])
 
 
-def probe_lag(args):
-    """Decode a stream with lag index `lag_v` at (frame fi, subframe sf),
-    extract all subframe excitations, and identify (T0, frac)."""
-    (mode, fi, sf, lag_v, t0prev_abs_idx) = args
+def probe_one(args):
+    mode, fi, sf, prev_abs_idx, lag_v = args
     F = L.fields(mode)
-    grow = gain_rows(mode)
-    nsf = 4 * fi + sf  # global subframe index of the probe
-    vals = {}
+    grow = gain_row(mode)
+    base = {}
     for (name, s), bits in F.items():
         if name == "p_gain":
-            vals[(name, s)] = grow
+            base[(name, s)] = grow
         elif name == "p_lag":
-            vals[(name, s)] = (1 << len(bits)) - 1
-    # history pulse in sf0 (field value 2 -> some pulse pair; exact map
-    # irrelevant, history is measured)
-    vals[("pulse0", 0)] = 2
-    # the subframe immediately before the probe sets T0_prev via its own
-    # (absolute) lag field when requested
-    if t0prev_abs_idx is not None:
-        prev_abs = [(s, b) for (n, s), b in F.items()
-                    if n == "p_lag" and len(b) == 8 and s < sf]
-        assert prev_abs, (mode, sf)
-        s_prev = max(s for s, _ in prev_abs)
-        vals[("p_lag", s_prev)] = t0prev_abs_idx
-    vals[("p_lag", sf)] = lag_v
-    frames = [make_frame(mode, {k: v for k, v in vals.items()})
-              for _ in range(fi + 1)]
-    # only frame 0 carries the history pulse / prev-lag settings; the
-    # probe frame is frames[fi] — for fi==0 they're the same dict
-    if fi > 0:
-        f2vals = {("p_lag", sf): lag_v, ("p_gain", 0): grow,
-                  ("p_gain", 2): grow}
-        frames = [make_frame(mode, vals)] + \
-                 [make_frame(mode, f2vals)] * fi
-    pcm = decode_bits(MODE_IDX[mode], frames)
+            base[(name, s)] = (1 << len(bits)) - 1
+        elif name == "pulse0":
+            base[(name, s)] = RICH_PULSES[mode]
+        elif name == "fixed_gain":
+            base[(name, s)] = 20  # 7k95: decent code gain for history
+    nsf = 4 * fi + sf
+    frames_vals = [dict(base) for _ in range(fi + 1)]
+    pv = frames_vals[fi]
+    pv[("p_gain", sf)] = probe_gain_row(mode)
+    if mode == "7k95":
+        pv[("fixed_gain", sf)] = 0
+    if prev_abs_idx is not None:
+        abs_sfs = [s for (n, s), b in F.items()
+                   if n == "p_lag" and len(b) == 8 and s < sf]
+        pv[("p_lag", max(abs_sfs))] = prev_abs_idx
+    pv[("p_lag", sf)] = lag_v
+    pcm = decode_bits(MODE_IDX[mode],
+                      [make_frame(mode, v) for v in frames_vals])
     As = all_zero_as(mode, fi + 1)
     ch = LowChain()
     excs = []
     for k in range(nsf + 1):
-        e, r = ch.fit_exc(As[k], pcm[40 * k: 40 * (k + 1)],
-                          exc0=excs[-1] if excs else None)
-        excs.append(e)
+        e, _ = ch.fit_exc(As[k], pcm[40 * k: 40 * (k + 1)])
+        excs.append(np.asarray(e))
     target = excs[nsf]
-    # truncated-feedback history
-    hist = np.zeros(154)
+    hist = np.zeros(280)
     for e in excs[:nsf]:
-        fb = np.trunc(np.asarray(e) * 16384.0) / 16384.0
+        fb = np.trunc(e * 16384.0) / 16384.0
         hist = np.concatenate([hist[40:], fb])
-    # candidate scan: v(T0, frac) + free code pulses: model target as
-    # gp*v + c where c is fitted per-sample ONLY at the probe-subframe's
-    # own pulse positions (value 0 of pulse0 => unknown; instead allow a
-    # sparse residual: we fit gp by LS on the samples away from the code
-    # support). Simpler: the probe frame sets pulse0=2 as well, and code
-    # contribution is identical across candidates — fit (gp, alpha) with
-    # basis [v_cand, target_codeonly] where target_codeonly is measured
-    # from a twin stream with zero gp. Overkill: here we just fit gp on
-    # a LS with the measured zero-lag-contribution subtracted.
-    best = []
-    for T0 in range(18, 150):
+    code0 = L.pulses_mode(mode, sf, RICH_PULSES[mode], 0)
+    dcols = [np.convolve(code0, L.IR_FILTERS[k])[:40] for k in range(3)]
+    best = (None, None, np.inf)
+    second = np.inf
+    for T0 in range(17, 150):
         for frac in (-1, 0, 1):
-            v = L.pred_lt_3(hist, T0, frac)
-            # LS fit: target ≈ gp*v + code_part; estimate via projecting
-            # out the code direction measured at candidate-independent
-            # samples is fragile — instead fit both gp and a scaled copy
-            # of the SAME subframe's code-only excitation, measured once
-            # below (passed via globals? no — compute residual of LS on
-            # span{v, code_ref})
-            best.append((T0, frac, v))
-    return (mode, fi, sf, lag_v, t0prev_abs_idx), excs, best
+            v = L.pred_lt_6(hist, T0, 2 * frac)
+            cols = [v, code0] + dcols
+            if T0 < 40:
+                shifted = np.zeros(40)
+                shifted[T0:] = code0[:40 - T0]
+                cols.append(shifted)
+            A = np.stack(cols, axis=1)
+            x, res, *_ = np.linalg.lstsq(A, target, rcond=None)
+            r = float(np.linalg.norm(A @ x - target))
+            if r < best[2]:
+                second = best[2]
+                best = (T0, frac, r)
+            elif r < second:
+                second = r
+    T0, frac, r = best
+    scale = float(np.linalg.norm(target))
+    return ("|".join(map(str, (mode, fi, sf, prev_abs_idx, lag_v))),
+            dict(T0=T0, frac=frac, resid=r / max(scale, 1e-12),
+                 margin=float(second / max(r, 1e-15))))
 
 
 def main():
-    pass
+    jobs = []
+    spec = sys.argv[1] if len(sys.argv) > 1 else "all"
+    # absolute law: 5k9 frame-2 sf2 (8 bits; 240-sample history covers
+    # every T0), full sweep
+    if spec in ("all", "abs"):
+        for v in range(256):
+            jobs.append(("5k9", 1, 2, None, v))
+    # relative laws at frame-2 sf3 (prev abs on sf2 decodes by the
+    # pinned absolute law): sweep (prev_abs_idx, rel index)
+    if spec in ("all", "rel"):
+        for prev in (0, 30, 100, 160, 196, 217, 255):
+            for v in range(16):    # 4-bit (5k9 sf3; shared 4k75/5k15/6k7)
+                jobs.append(("5k9", 1, 3, prev, v))
+            for v in range(32):    # 5-bit (7k4 sf3; shared 10k2)
+                jobs.append(("7k4", 1, 3, prev, v))
+            for v in range(64):    # 6-bit (7k95 sf3)
+                jobs.append(("7k95", 1, 3, prev, v))
+    print(f"{len(jobs)} probes")
+    results = {}
+    with ProcessPoolExecutor(max_workers=16) as ex:
+        for key, out in ex.map(probe_one, jobs, chunksize=4):
+            results[key] = out
+    path = os.path.join(HERE, "learned", "low_lag_probes.json")
+    json.dump(results, open(path, "w"), indent=0)
+    bad = {k: v for k, v in results.items()
+           if v["resid"] > 1e-3 or v["margin"] < 10}
+    print(f"saved {path}; {len(bad)} low-confidence probes")
+    for k, v in list(bad.items())[:10]:
+        print(" ", k, v)
 
 
 if __name__ == "__main__":
