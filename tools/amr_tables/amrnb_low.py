@@ -103,49 +103,48 @@ def lsf_decode_3(mode, idx0, idx1, idx2, past_r):
 
 
 # ----------------------------------------------------------------- lags
+# PINNED by probe_low_lags.py (learned/low_lag_probes.json). Convention:
+# delay = T0 + frac/3 with frac in {-1,0,1}; the interpolator is the
+# shared b60 via pred_lt_6(hist, T0, 2*frac).
 def dec_lag3_abs(index):
-    """H-LAG3-ABS: 1/3-resolution absolute decode, [19 1/3 .. 84 2/3]
-    fractional then [85..143] integer (256 values)."""
+    """Absolute 8-bit decode: fractional [19 1/3 .. 84 2/3] for idx<197
+    (idx 0 -> 19+1/3), integer idx-112 above. Pinned at idx
+    {0,100,197,255} plus the full-law confirm sweep."""
     if index < 197:
         T0 = (index + 2) // 3 + 19
-        frac = index - (T0 - 19) * 3 + 58 - 58  # = index - 3*(T0-19)
-        frac = index - ((index + 2) // 3) * 3 + 2 - 2
-        # canonical: frac in {-1,0,1}
-        frac = index + 2 - 3 * ((index + 2) // 3) - 1
+        frac = index - 3 * (T0 - 19) - 1
     else:
         T0 = index - 112
         frac = 0
     return T0, frac
 
 
-def dec_lag3_rel(index, T0_prev, nbits, t0_min_max=(20, 143)):
-    """H-LAG3-REL: relative decode around the previous subframe lag.
-    5 bits (MR74/MR102): 1/3 resolution over [T0_min-2/3, T0_min+9+2/3]
-    with T0_min = clip(T0_prev-5, range). 6 bits (MR795): same but
-    T0_min = clip(T0_prev-10, ...)? — pinned by probe_low_lags.
-    4 bits (MR475/MR515/MR59/MR67): mixed integer/fractional grid."""
-    lo, hi = t0_min_max
+def dec_lag3_rel(index, T0_prev, nbits):
+    """Relative decode around the previous subframe's integer lag.
+
+    4 bits: T0_min = clip(T0_prev-5, [20,134]); idx 0..3 integer
+    T0_min..+3; idx 4..12 the 1/3 grid T0_min+10/3 .. T0_min+6;
+    idx 13..15 integer T0_min+7..+9.
+    5 bits: T0_min = clip(T0_prev-5, [20,134]); delay = T0_min - 2/3
+    + idx/3.
+    6 bits (MR795): T0_min = clip(T0_prev-10, [20,124]); same 1/3 grid.
+    """
     if nbits == 4:
-        # H: indices 0..3 integer T0_prev-5.. , 4..11 fractional around
-        # T0_prev, 12..15 integer (3GPP dec_lag3 flag4 path)
-        T0_min = min(max(T0_prev - 5, lo), hi - 9)
+        T0_min = min(max(T0_prev - 5, 20), 134)
         if index < 4:
             return T0_min + index, 0
-        if index < 12:
-            i = index - 4
-            T0 = T0_min + 4 + (i + 2) // 3
-            frac = i + 2 - 3 * ((i + 2) // 3) - 1
-            return T0, frac
-        return T0_min + index - 6, 0
-    if nbits == 5:
-        T0_min = min(max(T0_prev - 5, lo), hi - 9)
-        T0 = T0_min + (index + 2) // 3
-        frac = index + 2 - 3 * ((index + 2) // 3) - 1
-        return T0, frac
-    # 6 bits (MR795)
-    T0_min = min(max(T0_prev - 5, lo), hi - 9)
-    T0 = T0_min + (index + 2) // 3
-    frac = index + 2 - 3 * ((index + 2) // 3) - 1
+        if index < 13:
+            d3 = 3 * T0_min + index + 6
+        else:
+            return T0_min + index - 6, 0
+    elif nbits == 5:
+        T0_min = min(max(T0_prev - 5, 20), 134)
+        d3 = 3 * T0_min + index - 2
+    else:  # 6 bits
+        T0_min = min(max(T0_prev - 10, 20), 124)
+        d3 = 3 * T0_min + index - 2
+    T0 = (d3 + 1) // 3
+    frac = d3 - 3 * T0
     return T0, frac
 
 
@@ -241,6 +240,19 @@ def pulses_mode(mode, sf, pos_field, sign_field):
     if mode in ("7k4", "7k95"):
         return pulses_7k4(pos_field, sign_field)
     raise NotImplementedError(mode)
+
+
+# ------------------------------------------------------------ dispersion
+def disp_circular(code, row):
+    """Phase dispersion: CIRCULAR convolution of the innovation with
+    ir_filters[row] inside the 40-sample subframe (pinned: late-pulse
+    probe resid 1.8e-6 circular vs 0.43 linear-truncated). Synthesis
+    path only — the adaptive codebook stores the undispersed
+    excitation."""
+    full = np.convolve(code, IR_FILTERS[row])
+    out = full[:40].copy()
+    out[:len(full) - 40] += full[40:]
+    return out
 
 
 # ----------------------------------------------------------------- gains

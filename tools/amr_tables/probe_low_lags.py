@@ -1,16 +1,18 @@
 """Pin the low-mode pitch lag decode laws by candidate matching.
 
-Stream layout: every subframe before the probe carries spread pulses
-with a strong-gc/low-gp gain row, building a pulse-rich measured
-history deep enough to cover the probed lag range (abs probes run at
-frame 2 sf2 -> 240 samples of history). The probed subframe uses a
-strong-gp/low-gc row so the adaptive contribution dominates. Its
-excitation is fitted per candidate (T0, frac) on the 1/3 grid as
+Design (validated on the absolute 8-bit law — idx {0,100,197,255} ->
+(19,+1) (53,-1) (85,0) (143,0), exactly dec_lag3):
 
-  exc ~= gp*v(T0,frac) + gc*code0 [+ dispersed code] [+ sharp shift]
-
-and the candidate whose residual collapses IS the decode (margin =
-second-best/best residual recorded per probe).
+- every subframe before the probe carries pulses at VARIED positions
+  (breaks the period-40 self-similarity of the history) with a
+  strong-gc / low-gp gain row;
+- the adaptive codebook stores the UNDISPERSED excitation, so the
+  history is REBUILT sparse: per history subframe, fit the measured
+  (synthesis) excitation on {code, conv(code, ir_k), prev tail} ->
+  gc = sum of code coefficients; stored history = gc * code;
+- the probed subframe's excitation is fitted per candidate (T0, frac)
+  on {v(T0,frac), code, dispersed code, dispersion tail, sharp shift};
+  the minimal-residual candidate is the decode.
 
 Outputs learned/low_lag_probes.json.
 """
@@ -32,10 +34,14 @@ from modes_lab import LowChain, make_frame, MODE_IDX  # noqa: E402
 from oracle import decode_bits  # noqa: E402
 from probe_low_lags_common import all_zero_as, gain_row  # noqa: E402
 
-# spread-pulse field values per mode (positions noted; any value works,
-# these cover the adaptive read windows well)
-RICH_PULSES = {"4k75": 60, "5k15": 60, "5k9": 140, "6k7": 356,
-               "7k4": 4706, "7k95": 4706}
+# varied spread-pulse values per (mode, global subframe % 6)
+PV = {
+    "5k9": [(8 << 4) | 12, (5 << 4) | 3, (12 << 4) | 8, (3 << 4) | 14,
+            (10 << 4) | 5, (6 << 4) | 11],
+    "5k15": [60, 33, 52, 14, 41, 27],
+    "7k4": [4706, 1234, 3333, 2057, 800, 3901],
+    "7k95": [4706, 1234, 3333, 2057, 800, 3901],
+}
 
 
 def probe_gain_row(mode):
@@ -44,7 +50,7 @@ def probe_gain_row(mode):
         T = L.GAINS_LOW
     elif mode in ("6k7", "7k4", "10k2"):
         T = L.GAINS_HIGH
-    else:  # 7k95: scalar; max pitch gain (fixed_gain handled separately)
+    else:  # 7k95: scalar; max pitch gain (fixed_gain kept small)
         return 15
     ok = np.where(T[:, 1] < 1000)[0]
     return int(ok[np.argmax(T[ok, 0])])
@@ -54,29 +60,32 @@ def probe_one(args):
     mode, fi, sf, prev_abs_idx, lag_v = args
     F = L.fields(mode)
     grow = gain_row(mode)
-    base = {}
-    for (name, s), bits in F.items():
-        if name == "p_gain":
-            base[(name, s)] = grow
-        elif name == "p_lag":
-            base[(name, s)] = (1 << len(bits)) - 1
-        elif name == "pulse0":
-            base[(name, s)] = RICH_PULSES[mode]
-        elif name == "fixed_gain":
-            base[(name, s)] = 20  # 7k95: decent code gain for history
     nsf = 4 * fi + sf
-    frames_vals = [dict(base) for _ in range(fi + 1)]
-    pv = frames_vals[fi]
-    pv[("p_gain", sf)] = probe_gain_row(mode)
+    pv = PV[mode]
+    frames = []
+    for f in range(fi + 1):
+        vals = {}
+        for (name, s), bits in F.items():
+            if name == "p_gain":
+                vals[(name, s)] = grow
+            elif name == "p_lag":
+                vals[(name, s)] = (1 << len(bits)) - 1
+            elif name == "pulse0":
+                vals[(name, s)] = pv[(4 * f + s) % len(pv)]
+            elif name == "fixed_gain":
+                vals[(name, s)] = 20
+        frames.append(vals)
+    last = frames[fi]
+    last[("p_gain", sf)] = probe_gain_row(mode)
     if mode == "7k95":
-        pv[("fixed_gain", sf)] = 0
+        last[("fixed_gain", sf)] = 0
     if prev_abs_idx is not None:
         abs_sfs = [s for (n, s), b in F.items()
                    if n == "p_lag" and len(b) == 8 and s < sf]
-        pv[("p_lag", max(abs_sfs))] = prev_abs_idx
-    pv[("p_lag", sf)] = lag_v
+        last[("p_lag", max(abs_sfs))] = prev_abs_idx
+    last[("p_lag", sf)] = lag_v
     pcm = decode_bits(MODE_IDX[mode],
-                      [make_frame(mode, v) for v in frames_vals])
+                      [make_frame(mode, v) for v in frames])
     As = all_zero_as(mode, fi + 1)
     ch = LowChain()
     excs = []
@@ -84,11 +93,24 @@ def probe_one(args):
         e, _ = ch.fit_exc(As[k], pcm[40 * k: 40 * (k + 1)])
         excs.append(np.asarray(e))
     target = excs[nsf]
+    codes = [L.pulses_mode(mode, g % 4, pv[g % len(pv)], 0)
+             for g in range(nsf + 1)]
     hist = np.zeros(280)
-    for e in excs[:nsf]:
-        fb = np.trunc(e * 16384.0) / 16384.0
-        hist = np.concatenate([hist[40:], fb])
-    code0 = L.pulses_mode(mode, sf, RICH_PULSES[mode], 0)
+    prev_tail = None
+    for i, e in enumerate(excs[:nsf]):
+        cols_h = [codes[i]] + [np.convolve(codes[i],
+                                           L.IR_FILTERS[k])[:40]
+                               for k in range(3)]
+        if prev_tail is not None:
+            cols_h += prev_tail
+        Ah = np.stack(cols_h, axis=1)
+        x, *_ = np.linalg.lstsq(Ah, e, rcond=None)
+        gc = float(np.sum(x[:4]))
+        hist = np.concatenate([hist[40:], gc * codes[i]])
+        prev_tail = [np.concatenate([np.convolve(codes[i],
+                                                 L.IR_FILTERS[k])[40:79],
+                                     np.zeros(1)]) for k in range(3)]
+    code0 = codes[nsf]
     dcols = [np.convolve(code0, L.IR_FILTERS[k])[:40] for k in range(3)]
     best = (None, None, np.inf)
     second = np.inf
@@ -96,12 +118,14 @@ def probe_one(args):
         for frac in (-1, 0, 1):
             v = L.pred_lt_6(hist, T0, 2 * frac)
             cols = [v, code0] + dcols
+            if prev_tail is not None:
+                cols += prev_tail
             if T0 < 40:
-                shifted = np.zeros(40)
-                shifted[T0:] = code0[:40 - T0]
-                cols.append(shifted)
+                sh = np.zeros(40)
+                sh[T0:] = code0[:40 - T0]
+                cols.append(sh)
             A = np.stack(cols, axis=1)
-            x, res, *_ = np.linalg.lstsq(A, target, rcond=None)
+            x, *_ = np.linalg.lstsq(A, target, rcond=None)
             r = float(np.linalg.norm(A @ x - target))
             if r < best[2]:
                 second = best[2]
@@ -118,15 +142,15 @@ def probe_one(args):
 def main():
     jobs = []
     spec = sys.argv[1] if len(sys.argv) > 1 else "all"
-    # absolute law: 5k9 frame-2 sf2 (8 bits; 240-sample history covers
-    # every T0), full sweep
+    # absolute law: already spot-pinned; a coarse confirm sweep
     if spec in ("all", "abs"):
-        for v in range(256):
+        for v in list(range(0, 256, 7)) + [195, 196, 197, 198, 254, 255]:
             jobs.append(("5k9", 1, 2, None, v))
-    # relative laws at frame-2 sf3 (prev abs on sf2 decodes by the
-    # pinned absolute law): sweep (prev_abs_idx, rel index)
+    # relative laws at frame-2 sf3 (prev abs on sf2, pinned law):
+    # prev_abs 100 -> T0_prev=53 keeps the whole candidate window inside
+    # the pulse-rich history; sweep boundaries with small/large T0_prev
     if spec in ("all", "rel"):
-        for prev in (0, 30, 100, 160, 196, 217, 255):
+        for prev in (10, 58, 100, 150, 196, 230, 255):
             for v in range(16):    # 4-bit (5k9 sf3; shared 4k75/5k15/6k7)
                 jobs.append(("5k9", 1, 3, prev, v))
             for v in range(32):    # 5-bit (7k4 sf3; shared 10k2)
@@ -141,9 +165,9 @@ def main():
     path = os.path.join(HERE, "learned", "low_lag_probes.json")
     json.dump(results, open(path, "w"), indent=0)
     bad = {k: v for k, v in results.items()
-           if v["resid"] > 1e-3 or v["margin"] < 10}
+           if v["resid"] > 0.3 or v["margin"] < 1.2}
     print(f"saved {path}; {len(bad)} low-confidence probes")
-    for k, v in list(bad.items())[:10]:
+    for k, v in list(bad.items())[:15]:
         print(" ", k, v)
 
 
