@@ -57,10 +57,15 @@ MODE_IDX = {"4k75": 0, "5k15": 1, "5k9": 2, "6k7": 3, "7k4": 4,
 NPULSE = {"4k75": 2, "5k15": 2, "5k9": 2, "6k7": 3, "7k4": 4,
           "7k95": 4, "10k2": 8}
 
-# H-GAIN-PRED: same MA(4) coefficients as MR122 (shared gc_pred in the
-# decoder), per-mode MEAN_ENER from the extracted energy_mean row.
+# Fixed-gain energy predictor — PINNED by probe_low_pred.py +
+# fit_low_pred.py (all 6 probeable modes, max err < 0.02 dB):
+#   gc = corr * 10^(0.05*(epred + energy_mean[mode] - PRED_C - ecode_db))
+#   epred_i = dot(PRED_MA, u_{i-1..i-4}), u = 20log10(corr), newest first
+#   pre-stream state u = ENER_INIT
+# 7k95's corr is 2*QUA_GAIN_CODE[idx] (twice the MR122 float ladder).
 PRED_MA = np.array([0.68, 0.58, 0.34, 0.19])
-ENER_INIT = -14.0
+ENER_INIT = -7.9803
+PRED_C = 101.0849
 
 # H-SHARP: low modes clip the sharpening gain at 0.8 (3GPP SHARPMAX);
 # driven by the PREVIOUS subframe's pitch gain (FACTS: pinned).
@@ -262,11 +267,11 @@ def gains_decode(mode, st, k, gvals, code):
     predictor state in st."""
     ecode_db = 10.0 * np.log10(np.dot(code, code) / 40.0)
     epred = float(np.dot(PRED_MA, st["ener_pred"]))
-    gc0 = 10.0 ** (0.05 * (epred + ENERGY_MEAN[MODE_IDX[mode]] - ecode_db))
+    gc0 = 10.0 ** (0.05 * (epred + ENERGY_MEAN[MODE_IDX[mode]]
+                           - PRED_C - ecode_db))
     if mode == "7k95":
         gp = QUA_GAIN_PITCH[gvals["p_gain"]]
-        corr = QUA_GAIN_CODE[gvals["fixed_gain"]] / 16384.0 * 16384.0
-        corr = QUA_GAIN_CODE[gvals["fixed_gain"]]  # H: /2048 Q scale
+        corr = 2.0 * QUA_GAIN_CODE[gvals["fixed_gain"]]
         gc = gc0 * corr
         st["ener_pred"] = [20.0 * np.log10(corr)] + st["ener_pred"][:3]
         return gp, gc

@@ -105,11 +105,11 @@ def main():
             gseq = [int(lo[i]) for i in
                     rng.integers(0, len(lo), size=8)]
             jobs.append((mode, gseq))
-    results = {}
+    path = os.path.join(HERE, "learned", "low_pred_probes.json")
+    results = json.load(open(path)) if os.path.exists(path) else {}
     with ProcessPoolExecutor(max_workers=16) as ex:
         for key, out in ex.map(measure_stream, jobs):
             results[key] = out
-    path = os.path.join(HERE, "learned", "low_pred_probes.json")
     json.dump(results, open(path, "w"), indent=0)
     print("saved", path)
 
