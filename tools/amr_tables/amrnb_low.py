@@ -49,6 +49,7 @@ GAINS_HIGH = _z["gains_high"].astype(np.float64)
 GAINS_LOW = _z["gains_low"].astype(np.float64)
 IR_FILTERS = _z["ir_filters"]
 ENERGY_MEAN = _z["energy_mean"]        # per-mode MEAN_ENER, dB
+QUA_GAIN_PITCH_Q14 = _z["qua_gain_pitch_q14"].astype(np.float64)
 SCALE = 4.096
 
 _order = json.load(open(os.path.join(HERE, "learned", "order_maps.json")))
@@ -67,9 +68,9 @@ PRED_MA = np.array([0.68, 0.58, 0.34, 0.19])
 ENER_INIT = -7.9803
 PRED_C = 101.0849
 
-# H-SHARP: low modes clip the sharpening gain at 0.8 (3GPP SHARPMAX);
-# driven by the PREVIOUS subframe's pitch gain (FACTS: pinned).
-SHARP_MAX = 0.8
+# PINNED (probe_emph_law.py): the sharpening/emphasis clamp is
+# Q14 13017/16384; driven by the PREVIOUS subframe's pitch gain.
+SHARP_MAX = 13017.0 / 16384.0
 
 LSP_INIT = np.array([30000, 26000, 21000, 15000, 8000, 0, -8000,
                      -15000, -21000, -26000]) / 32768.0
@@ -117,7 +118,7 @@ def dec_lag3_abs(index):
     {0,100,197,255} plus the full-law confirm sweep."""
     if index < 197:
         T0 = (index + 2) // 3 + 19
-        frac = index - 3 * (T0 - 19) - 1
+        frac = index - 3 * (T0 - 19) + 1
     else:
         T0 = index - 112
         frac = 0
@@ -247,6 +248,50 @@ def pulses_mode(mode, sf, pos_field, sign_field):
     raise NotImplementedError(mode)
 
 
+# --------------------------------------------------------------- MR102
+# Joint pulse coding PINNED by probe_mr102.py + fit_mr102.py (40/40
+# random joint probes exact): 8 pulses, 2 per track (tracks k = {k,
+# k+4, ..., k+36}); pulse4 (10 bits) -> (track0 ordered pair, track1
+# first pulse A); pulse5 (10 bits) -> (track2 ordered pair, track1
+# second pulse B); pulse6 (7 bits) -> track3 ordered pair. Sign bits
+# pulse0..3 give the FIRST pulse's sign per track (0 -> +, 1 -> -,
+# OPPOSITE of the other low modes); the second pulse flips iff its
+# position is strictly lower. The innovation is then smoothed with a
+# CIRCULAR 40-sample kernel (learned/mr102_kernel.npy).
+_MR102 = json.load(open(os.path.join(HERE, "learned",
+                                     "mr102_postables.json")))
+MR102_T4 = {int(k): v for k, v in _MR102["T4"].items()}
+MR102_T5 = {int(k): v for k, v in _MR102["T5"].items()}
+MR102_T6 = {int(k): v for k, v in _MR102["T6"].items()}
+MR102_KERNEL = np.load(os.path.join(HERE, "learned", "mr102_kernel.npy"))
+MR102_KERNEL = MR102_KERNEL / MR102_KERNEL[0]
+
+
+def pulses_10k2(p4, p5, p6, signs):
+    """Plain (unsmoothed) MR102 integer pulse pattern."""
+    a0, a1, A = MR102_T4[p4]
+    c0, c1, B = MR102_T5[p5]
+    d0, d1 = MR102_T6[p6]
+    code = np.zeros(40)
+
+    def add_pair(track, first, second, s):
+        p1, p2 = track + 4 * first, track + 4 * second
+        code[p1] += s
+        code[p2] += s if p2 >= p1 else -s
+
+    add_pair(0, a0, a1, -1.0 if signs & 1 else 1.0)
+    add_pair(1, A, B, -1.0 if (signs >> 1) & 1 else 1.0)
+    add_pair(2, c0, c1, -1.0 if (signs >> 2) & 1 else 1.0)
+    add_pair(3, d0, d1, -1.0 if (signs >> 3) & 1 else 1.0)
+    return code
+
+
+def mr102_smooth(code):
+    """Circular 40-sample convolution with the MR102 kernel."""
+    return np.real(np.fft.ifft(np.fft.fft(code)
+                               * np.fft.fft(MR102_KERNEL)))
+
+
 # ------------------------------------------------------------ dispersion
 def disp_circular(code, row):
     """Phase dispersion: CIRCULAR convolution of the innovation with
@@ -264,13 +309,20 @@ def disp_circular(code, row):
 def gains_decode(mode, st, k, gvals, code):
     """Decode (gp, gc) for subframe k. gvals: dict of decoded gain field
     values for this subframe. Returns (gp, gc) and updates the MA
-    predictor state in st."""
-    ecode_db = 10.0 * np.log10(np.dot(code, code) / 40.0)
+    predictor state in st.
+
+    H-E0: degenerate all-zero codes (two pulses cancelling on the same
+    position) use mean energy 1.0 so gc stays finite."""
+    mean_e = float(np.dot(code, code)) / 40.0
+    ecode_db = 10.0 * np.log10(mean_e if mean_e > 0.0 else 1.0)
     epred = float(np.dot(PRED_MA, st["ener_pred"]))
     gc0 = 10.0 ** (0.05 * (epred + ENERGY_MEAN[MODE_IDX[mode]]
                            - PRED_C - ecode_db))
     if mode == "7k95":
-        gp = QUA_GAIN_PITCH[gvals["p_gain"]]
+        # PINNED (diag row-aware fits): 7k95's pitch gains are the
+        # STANDARD Q14 ladder from the binary @11347424 (0.5 = 8192),
+        # not MR122's 0.9947x-scaled variant.
+        gp = QUA_GAIN_PITCH_Q14[gvals["p_gain"]] / 16384.0
         corr = 2.0 * QUA_GAIN_CODE[gvals["fixed_gain"]]
         gc = gc0 * corr
         st["ener_pred"] = [20.0 * np.log10(corr)] + st["ener_pred"][:3]
@@ -289,13 +341,59 @@ def gains_decode(mode, st, k, gvals, code):
     return gp, gc
 
 
+# H-DISP: anti-sparseness selection state machine. Hypothesis space:
+# per subframe a dispersion level nr in {0 strong, 1 medium, 2 none}
+# chosen from the current pitch gain, with an onset detector on the
+# fixed gain (ratio > 2 vs previous subframe), a 5-deep pitch-gain
+# history vote, hysteresis vs the previous level, and a low-gain
+# bypass. Modes 7k4 and 10k2 never filter (10k2's smoothing kernel is
+# part of its codebook instead); 7k95 uses its own filter pair.
+# Row mapping (binary rows @11344000): strong=row1 (peak 0.448),
+# medium=row0 (peak 0.924); MR795 strong=row2 (peak 0.817).
+DISP_ROWMAP = {"default": {0: 1, 1: 0}, "7k95": {0: 2, 1: 1}}
+GC_INT = 16384.0  # output-float -> internal fixed-gain scale
+
+
+def disp_select(st, gp, gc):
+    """Update the anti-sparseness state and return nr in {0,1,2}."""
+    st.gp_hist = st.gp_hist[1:] + [gp]
+    gci = gc * GC_INT
+    if gp < 0.6:
+        nr = 0
+    elif gp < 0.9:
+        nr = 1
+    else:
+        nr = 2
+    if gci > 2.0 * st.prev_sparse_gc:
+        st.onset = 2
+    elif st.onset:
+        st.onset -= 1
+    if not st.onset:
+        if sum(1 for g in st.gp_hist if g < 0.6) > 2:
+            nr = 0
+        if nr > st.prev_nr + 1:
+            nr -= 1
+    elif nr < 2:
+        nr += 1
+    if gci < 5.0:
+        nr = 2
+    st.prev_sparse_gc = gci
+    st.prev_nr = nr
+    return nr
+
+
 # ----------------------------------------------------------------- main
 class LowDecoder:
-    def __init__(self, mode, trace=None):
+    def __init__(self, mode, trace=None, disp_hook=None):
         assert mode in NPULSE, mode
         self.mode = mode
         self.F = fields(mode)
         self.trace = trace
+        # disp_hook(self, sf, info) -> exc_syn: lets probe scripts try
+        # phase-dispersion candidates against the oracle (the selection
+        # law is the one un-pinned decoder-side stage). info carries
+        # a/v/code/gp/gc/exc; the hook owns emphasis too.
+        self.disp_hook = disp_hook
         self.st_chain = replica.fresh_state()
         self.hp = [0.0] * 4
         self.past_lsp = LSP_INIT.copy()
@@ -304,6 +402,11 @@ class LowDecoder:
         self.state = dict(ener_pred=[ENER_INIT] * 4)
         self.gp_prev = 0.0
         self.T0_prev = 20
+        # anti-sparseness state (H-DISP machine, probe_disp_rows.py)
+        self.gp_hist = [0.0] * 5
+        self.onset = 0
+        self.prev_nr = 0
+        self.prev_sparse_gc = 0.0
 
     def decode_frame(self, bits):
         bits = list(bits)
@@ -316,6 +419,7 @@ class LowDecoder:
         for k in range(4):
             w = (k + 1) / 4.0
             lsp = (1.0 - w) * self.past_lsp + w * lsp_new
+            self._lsp_now = lsp  # exposed for diagnostics
             a = lsp_to_a(np.sort(lsp)[::-1])
             lag_bits = F[("p_lag", k)]
             lag_idx = field_val(bits, lag_bits)
@@ -326,9 +430,20 @@ class LowDecoder:
                                         len(lag_bits))
             self.T0_prev = T0
             v = pred_lt_3(self.exc_hist, T0, frac)
-            pos_field = field_val(bits, F[("pulse0", k)])
-            sign_field = field_val(bits, F[("pulse1", k)])
-            code = pulses_mode(self.mode, k, pos_field, sign_field)
+            if self.mode == "10k2":
+                # H-MR102-FB: the smoothed code IS the innovation
+                # everywhere (E_code, feedback, synthesis) — the kernel
+                # is part of the codebook, not a dispersion stage.
+                code = mr102_smooth(pulses_10k2(
+                    field_val(bits, F[("pulse4", k)]),
+                    field_val(bits, F[("pulse5", k)]),
+                    field_val(bits, F[("pulse6", k)]),
+                    sum(field_val(bits, F[(f"pulse{j}", k)]) << j
+                        for j in range(4))))
+            else:
+                pos_field = field_val(bits, F[("pulse0", k)])
+                sign_field = field_val(bits, F[("pulse1", k)])
+                code = pulses_mode(self.mode, k, pos_field, sign_field)
             sharp = min(max(self.gp_prev, 0.0), SHARP_MAX)
             if T0 < 40:
                 for n in range(T0, 40):
@@ -349,14 +464,33 @@ class LowDecoder:
             exc = gp * v + gc * code
             fb = np.trunc(exc * 16384.0) / 16384.0
             self.exc_hist = np.concatenate([self.exc_hist[40:], fb])
-            exc_syn = exc
-            if gp > 0.5:  # H-EMPH: same synthesis-path emphasis as MR122
-                e0 = float(np.dot(exc, exc))
-                pf = gp * 0.25 * min(gp, 1.0)
-                e2 = exc + pf * v
-                s2 = float(np.dot(e2, e2))
-                if s2 > 0.0:
-                    exc_syn = e2 * np.sqrt(e0 / s2)
+            nr = disp_select(self, gp, gc)
+            if self.disp_hook is not None:
+                exc_syn = self.disp_hook(self, k, dict(
+                    a=a, v=v, code=code, gp=gp, gc=gc, exc=exc, nr=nr))
+                if isinstance(exc_syn, dict):
+                    # hook may override the LP coefficients used for
+                    # the committed chain (true-a diagnostics)
+                    a = exc_syn.get("a", a)
+                    exc_syn = exc_syn["exc_syn"]
+            else:
+                code_syn = code
+                if self.mode not in ("7k4", "10k2") and nr < 2:
+                    rowmap = DISP_ROWMAP.get(self.mode,
+                                             DISP_ROWMAP["default"])
+                    code_syn = disp_circular(code, rowmap[nr])
+                exc_syn = gp * v + gc * code_syn
+                if gp > 0.5:
+                    # PINNED (probe_emph_law.py, all gain rows, rel2
+                    # ~2e-5): low-mode synthesis emphasis factor is
+                    # 0.5*gp*min(gp, SHARP_MAX), with the same energy
+                    # renorm as MR122 (whose factor is 0.25*gp*min(gp,1)).
+                    e0 = float(np.dot(exc_syn, exc_syn))
+                    pf = 0.5 * gp * min(gp, SHARP_MAX)
+                    e2 = exc_syn + pf * v
+                    s2 = float(np.dot(e2, e2))
+                    if s2 > 0.0:
+                        exc_syn = e2 * np.sqrt(e0 / s2)
             if self.trace is not None:
                 self.trace.append(dict(a=a, v=v.copy(), code=code.copy(),
                                        gp=gp, gc=gc, T0=T0, frac=frac,

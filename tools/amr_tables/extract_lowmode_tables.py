@@ -22,12 +22,15 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 # Behaviorally pinned constants (FACTS.md "Low-mode" section): mean LSF
 # vector (frame-1 group medians match to 0.4 table units) and the MA
-# predictor factors (two-frame probes, median over rows; exact Q15
-# rationals).
+# predictor factors. The predictor factors were RE-FIT per coefficient
+# from true-LSF extractions (fit_pred_fac.py; max resid 0.05 table
+# units over 147 multi-stream samples — the earlier median-over-rows
+# fit was contaminated by reorder push-up on coefs 1,2,4,5,6,9), then
+# the fitted Q15 vector was located as float32 in the library image at
+# byte 11370488, pinning it exactly.
 MEAN_LSF_3 = np.array([1546, 2272, 3778, 5488, 6972, 8382, 10047, 11229,
                        12766, 13714], np.float64)  # table units (/4.096=Hz)
-PRED_FAC = np.array([9556, 2549, 5553, 13212, 14200, 10612, 10592, 9675,
-                     8747, 5714], np.float64) / 32768.0
+PRED_FAC_OFF = 11370488  # float32 [10] in the library image
 
 
 def main():
@@ -47,7 +50,7 @@ def main():
         lsf_3_1_795=i16(11363872, 512 * 3).reshape(512, 3),
         lsf_3_3_515=i16(11366944, 128 * 4).reshape(128, 4),
         mean_lsf_3=MEAN_LSF_3,
-        pred_fac=PRED_FAC,
+        pred_fac=f32(PRED_FAC_OFF, 10).astype(np.float64),
         # --- joint gain VQ tables (modes_lab.binary_tables offsets) ---
         gains_MR475=i16(11345248, 256 * 4).reshape(256, 4),
         gains_high=i16(11344736, 128 * 2).reshape(128, 2),
