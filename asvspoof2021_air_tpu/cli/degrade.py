@@ -83,16 +83,28 @@ def _parse_loss(name: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+# AMR-NB bitrates (kbps) -> codec mode index 0..7
+_AMRNB_RATES = (4.75, 5.15, 5.9, 6.7, 7.4, 7.95, 10.2, 12.2)
+
+
+def _amrnb_mode(kbps: float):
+    for i, r in enumerate(_AMRNB_RATES):
+        if abs(kbps - r) < 0.05:
+            return i
+    return None
+
+
 def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
                 erasure_seed: int = 0, fidelity: str = "native") -> np.ndarray:
     """Map a reference codec name onto the native codec tier:
 
     - G.711 / G.726: bit-faithful companding / ADPCM round trips
     - gsmfr: real GSM 06.10 RPE-LTP bitstream round trip
-    - amr[br=12k2]: REAL 3GPP MR122 bitstream round trip (from-scratch
-      encoder+decoder against probe-recovered tables —
-      native/augment/amrnb.cc; streams decode on libavcodec's amrnb)
-    - other AMR / AMR-WB / SILK / SILK-WB / G.729A / G.728: the native
+    - amr[br=4k75 .. 12k2]: REAL 3GPP AMR-NB bitstream round trips at
+      all 8 modes (from-scratch encoders+decoders against
+      probe-recovered tables — native/augment/amrnb.cc + amrnb_low.cc;
+      streams decode on libavcodec's amrnb)
+    - AMR-WB / SILK / SILK-WB / G.729A / G.728: the native
       analysis-by-synthesis ACELP codec at the mode's bitrate (AMR frame
       structure and pulse ladder; not 3GPP/Skype bit-compatible —
       native/augment/acelp.cc); SILK loss=N adds 20 ms frame-erasure
@@ -143,11 +155,14 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
         if fidelity == "system" and name.startswith("silk"):
             from asvspoof2021_air_tpu.data.system_codecs import opus_silk_channel
             out = opus_silk_channel(wave, 8000, kbps, sr)
-        elif name.startswith("amr[") and abs(kbps - 12.2) < 0.05:
-            # real MR122 bitstream round trip (standard-bitstream tier,
-            # native/augment/amrnb.cc); other AMR rates remain
-            # algorithmic-class ACELP until their tables are recovered
-            out = ah.amrnb_channel(wave, sr)
+        elif name.startswith("amr[") and _amrnb_mode(kbps) is not None:
+            # real AMR-NB bitstream round trip at the entry's mode
+            # (standard-bitstream tier, native/augment/amrnb.cc +
+            # amrnb_low.cc against probe-recovered 3GPP tables); dtx is
+            # the 3GPP default — only the explicit `nodtx` entries skip
+            # the VAD/SID comfort-noise framing
+            out = ah.amrnb_channel(wave, sr, mode=_amrnb_mode(kbps),
+                                   dtx="nodtx" not in name)
         else:
             out = ah.acelp_channel(wave, 8000, kbps, sr)
         loss = _parse_loss(name)

@@ -162,59 +162,85 @@ def acelp_channel(wave, codec_rate: int = 8000, bitrate_kbps: float = 12.2,
     return out
 
 
-def amrnb_encode(wave) -> bytes:
-    """Encode 8 kHz float mono to real AMR-NB 12.2 storage frames
-    (native/augment/amrnb.cc: from-scratch MR122 against probe-recovered
-    3GPP tables; RFC 4867 octet-aligned, 32 bytes/frame)."""
+# AMR-NB storage frame sizes (bytes incl. TOC) for modes 0..7
+AMRNB_MODE_BYTES = (13, 14, 16, 18, 20, 21, 27, 32)
+AMRNB_MODE_NAMES = ("4k75", "5k15", "5k9", "6k7", "7k4", "7k95", "10k2",
+                    "12k2")
+
+
+def amrnb_encode(wave, mode: int = 7, dtx: bool = False) -> bytes:
+    """Encode 8 kHz float mono to real AMR-NB storage frames at the
+    given mode (0..7 = 4.75..12.2 kbps; native/augment/amrnb.cc +
+    amrnb_low.cc: from-scratch codecs against probe-recovered 3GPP
+    tables; RFC 4867 octet-aligned framing). With ``dtx`` the stream is
+    VAD-gated: silence runs carry SID comfort-noise updates (type 8)
+    and NO_DATA frames (type 15) — the reference's dtx-default entries.
+    DTX streams decode with amrnb_decode but NOT with the in-image lavc
+    (it rejects SID frames; see docs/CODECS.md)."""
     lib = get_lib()
-    if not hasattr(lib.amrnb_encode, "_configured"):
-        lib.amrnb_encode.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_uint8)]
-        lib.amrnb_encode.restype = ctypes.c_long
-        lib.amrnb_encode._configured = True
+    for fn in ("amrnb_encode_mode", "amrnb_encode_dtx"):
+        f = getattr(lib, fn)
+        if not hasattr(f, "_configured"):
+            f.argtypes = [
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint8)]
+            f.restype = ctypes.c_long
+            f._configured = True
+    if not 0 <= mode <= 7:
+        raise ValueError(f"AMR-NB mode {mode} out of range")
     x = _as_f32(wave)
-    out = np.zeros(((x.size + 159) // 160) * 32, np.uint8)
-    n = lib.amrnb_encode(_ptr(x), x.size,
-                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    fb = AMRNB_MODE_BYTES[mode]
+    out = np.zeros(((x.size + 159) // 160) * fb, np.uint8)
+    enc = lib.amrnb_encode_dtx if dtx else lib.amrnb_encode_mode
+    n = enc(mode, _ptr(x), x.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if n < 0:
+        raise ValueError(f"AMR-NB encode failed (mode {mode})")
     return bytes(out[:n])
 
 
 def amrnb_decode(data: bytes) -> np.ndarray:
-    """Decode AMR-NB 12.2 storage frames to 8 kHz float mono (native
-    decoder replica; lavc via interop/avcodec.py is the oracle tier)."""
+    """Decode AMR-NB storage frames (any mode, per-frame TOC dispatch)
+    to 8 kHz float mono (native decoder replicas; lavc via
+    interop/avcodec.py is the oracle tier)."""
     lib = get_lib()
-    if not hasattr(lib.amrnb_decode, "_configured"):
-        lib.amrnb_decode.argtypes = [
+    if not hasattr(lib.amrnb_decode_any, "_configured"):
+        lib.amrnb_decode_any.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
-        lib.amrnb_decode.restype = ctypes.c_long
-        lib.amrnb_decode._configured = True
+        lib.amrnb_decode_any.restype = ctypes.c_long
+        lib.amrnb_decode_any._configured = True
     buf = np.frombuffer(data, np.uint8)
-    out = np.zeros((len(data) // 32) * 160, np.float32)
-    n = lib.amrnb_decode(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                         buf.size, _ptr(out), out.size)
+    out = np.zeros((len(data) // 13 + 1) * 160, np.float32)
+    n = lib.amrnb_decode_any(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size, _ptr(out), out.size)
     if n < 0:
-        raise ValueError("not an AMR-NB 12.2 stream")
+        raise ValueError("not a decodable AMR-NB stream")
     return out[:n]
 
 
-def amrnb_channel(wave, sample_rate: int = 16000) -> np.ndarray:
-    """Real AMR-NB 12.2 telephony hop: resample to 8 kHz, full MR122
-    bitstream round trip, resample back. Matches the reference's
-    amr[br=12k2] channel entry
-    (/root/reference/channel_simulation/simulated_channel.py:30-33)."""
+def amrnb_channel(wave, sample_rate: int = 16000, mode: int = 7,
+                  dtx: bool = False) -> np.ndarray:
+    """Real AMR-NB telephony hop: resample to 8 kHz, full bitstream
+    round trip at the given mode (VAD/SID-gated when ``dtx``), resample
+    back. Matches the reference's amr[br=*] channel entries
+    (/root/reference/channel_simulation/simulated_channel.py:30-35;
+    dtx is the 3GPP default there, `nodtx` the variant)."""
     lib = get_lib()
-    if not hasattr(lib.amrnb_roundtrip, "_configured"):
-        lib.amrnb_roundtrip.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_size_t]
-        lib.amrnb_roundtrip._configured = True
+    for fn in ("amrnb_roundtrip_mode", "amrnb_roundtrip_dtx"):
+        f = getattr(lib, fn)
+        if not hasattr(f, "_configured"):
+            f.argtypes = [
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+            f._configured = True
     x = _as_f32(wave)
     if sample_rate != 8000:
         x = _as_f32(resample(x, sample_rate, 8000))
     out = np.empty_like(x)
-    lib.amrnb_roundtrip(_ptr(x), _ptr(out), x.size)
+    rt = lib.amrnb_roundtrip_dtx if dtx else lib.amrnb_roundtrip_mode
+    rt(mode, _ptr(x), _ptr(out), x.size)
     if sample_rate != 8000:
         out = resample(out, 8000, sample_rate)[: np.asarray(wave).size]
         pad = np.asarray(wave).size - out.size

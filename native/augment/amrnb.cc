@@ -16,7 +16,8 @@
  * domain target, fractional closed-loop pitch over the decoded lag laws,
  * 10-pulse interleaved-track ACELP search, predictor-quantized gains)
  * with a mirrored decoder state, ported from tools/amr_tables/
- * amrnb_enc.py.
+ * amrnb_enc.py. Shared CELP primitives live in amrnb_celp.h; the
+ * low-rate modes 0..6 are in amrnb_low.cc.
  */
 
 #include <algorithm>
@@ -26,82 +27,18 @@
 #include <cstring>
 #include <vector>
 
+#include "amrnb_celp.h"
 #include "amrnb_tables.h"
 #include "augment.h"
 
 namespace {
 
 using namespace amrnb;
+using namespace amrnb_celp;
 
-constexpr int kSub = 40;
-constexpr int kFrame = 160;
 constexpr int kBits = 244;
 constexpr int kFrameBytes = 32; /* TOC + 31 payload */
 constexpr double kG1 = 0.9, kG2 = 0.6; /* encoder weighting */
-
-/* ---------------------------------------------------------- bit utils */
-struct Bits {
-  uint8_t b[kBits];
-  int get(const int* pos, int n) const {
-    int v = 0;
-    for (int i = 0; i < n; i++) v = (v << 1) | b[pos[i]];
-    return v;
-  }
-  void put(const int* pos, int n, int v) {
-    for (int i = 0; i < n; i++) b[pos[i]] = (v >> (n - 1 - i)) & 1;
-  }
-};
-
-void unpack_frame(const uint8_t* payload, Bits* bits) {
-  for (int i = 0; i < kBits; i++)
-    bits->b[i] = (payload[i >> 3] >> (7 - (i & 7))) & 1;
-}
-
-void pack_frame(const Bits& bits, uint8_t* payload) {
-  std::memset(payload, 0, kFrameBytes - 1);
-  for (int i = 0; i < kBits; i++)
-    if (bits.b[i]) payload[i >> 3] |= 0x80 >> (i & 7);
-}
-
-/* ------------------------------------------------------------- LP/LSF */
-void lsp_to_a(const double* lsp /*cos, descending*/, double* a /*10*/) {
-  /* P from even-indexed, Q from odd-indexed; A = (P(1+z^-1)+Q(1-z^-1))/2 */
-  double P[12], Q[12];
-  auto poly = [](const double* qs, int n, double* p) {
-    p[0] = 1.0;
-    int len = 1;
-    for (int i = 0; i < n; i++) {
-      /* multiply by (1 - 2 q z^-1 + z^-2) */
-      double nxt[12] = {0};
-      for (int j = 0; j < len; j++) {
-        nxt[j] += p[j];
-        nxt[j + 1] += -2.0 * qs[i] * p[j];
-        nxt[j + 2] += p[j];
-      }
-      len += 2;
-      std::memcpy(p, nxt, sizeof(double) * len);
-    }
-  };
-  double qe[5], qo[5];
-  for (int i = 0; i < 5; i++) {
-    qe[i] = lsp[2 * i];
-    qo[i] = lsp[2 * i + 1];
-  }
-  poly(qe, 5, P);
-  poly(qo, 5, Q);
-  double P1[12], Q1[12];
-  for (int i = 0; i < 12; i++) {
-    P1[i] = (i < 11 ? P[i] : 0.0) + (i > 0 ? P[i - 1] : 0.0);
-    Q1[i] = (i < 11 ? Q[i] : 0.0) - (i > 0 ? Q[i - 1] : 0.0);
-  }
-  for (int i = 0; i < 10; i++) a[i] = 0.5 * (P1[i + 1] + Q1[i + 1]);
-}
-
-void reorder_lsf(double* f, int n) {
-  const double dmin = 50.048828125; /* refit_bad.py pinned push-up */
-  for (int i = 1; i < n; i++)
-    if (f[i] < f[i - 1] + dmin) f[i] = f[i - 1] + dmin;
-}
 
 /* ------------------------------------------------------ decoder state */
 struct DecState {
@@ -110,9 +47,7 @@ struct DecState {
   double exc[154];     /* adaptive codebook history */
   double ener_pred[4]; /* gc predictor (dB), newest first */
   int t0_prev;
-  /* postfilter chain */
-  double m_syn[10], m_den[10], m_tilt, m_agc;
-  double hp[4];
+  ChainState chain; /* postfilter chain + output HP */
   bool first;
   DecState() { reset(); }
   void reset() {
@@ -170,28 +105,6 @@ void dec_lag6_rel(int index, int t0_prev, int* T0, int* frac) {
   *frac = index - 6 * i + 3;
 }
 
-/* b60 6-phase fractional interpolation of the past excitation (writes
- * recursively so lags < 40 read freshly interpolated samples). */
-void pred_lt_6(const double* hist /*154*/, int T0, int frac, double* v) {
-  double buf[154 + kSub];
-  std::memcpy(buf, hist, sizeof(double) * 154);
-  frac = -frac;
-  int t0 = T0;
-  if (frac < 0) {
-    frac += 6;
-    t0 += 1;
-  }
-  for (int i = 0; i < kSub; i++) {
-    double s = 0.0;
-    for (int k = 0; k < 10; k++) {
-      s += buf[154 + i - t0 - k] * kB60[frac + 6 * k];
-      s += buf[154 + i - t0 + 1 + k] * kB60[6 - frac + 6 * k];
-    }
-    buf[154 + i] = s;
-    v[i] = s;
-  }
-}
-
 void decode_positions(const int* pv /*10*/, const int* sv /*5*/,
                       double* code) {
   std::memset(code, 0, sizeof(double) * kSub);
@@ -205,126 +118,12 @@ void decode_positions(const int* pv /*10*/, const int* sv /*5*/,
   }
 }
 
-/* ------------------------------------------------- postfilter chain */
-double k1_truncated(const double* a, double gn, double gd) {
-  double h[22] = {0};
-  double wn[10], wd[10];
-  for (int i = 0; i < 10; i++) {
-    wn[i] = a[i] * std::pow(gn, i + 1);
-    wd[i] = a[i] * std::pow(gd, i + 1);
-  }
-  /* impulse response of A(z/gn)/A(z/gd), 22 taps: FIR then IIR on a
-   * delta */
-  double fir[22] = {0};
-  fir[0] = 1.0;
-  for (int n = 1; n < 22 && n <= 10; n++) fir[n] = wn[n - 1];
-  for (int n = 0; n < 22; n++) {
-    double s = fir[n];
-    for (int i = 0; i < 10 && i < n; i++) s -= wd[i] * h[n - 1 - i];
-    h[n] = s;
-  }
-  double r0 = 0, r1 = 0;
-  for (int n = 0; n < 22; n++) r0 += h[n] * h[n];
-  for (int n = 0; n < 21; n++) r1 += h[n] * h[n + 1];
-  return r0 > 0 ? r1 / r0 : 0.0;
-}
-
-void chain_subframe(const double* exc, const double* a, DecState* st,
-                    double* out) {
-  /* synthesis 1/A */
-  double x[kSub];
-  {
-    double m[10];
-    std::memcpy(m, st->m_syn, sizeof(m));
-    for (int n = 0; n < kSub; n++) {
-      double s = exc[n];
-      for (int i = 0; i < 10; i++) {
-        double xm = (n - 1 - i >= 0) ? x[n - 1 - i] : m[10 + (n - 1 - i)];
-        s -= a[i] * xm;
-      }
-      x[n] = s;
-    }
-    for (int i = 0; i < 10; i++) st->m_syn[i] = x[kSub - 10 + i];
-  }
-  /* pole filter 1/A(z/gd) first, then zero filter A(z/gn), BOTH reading
-   * the pole-output history across subframes (pinned realization). */
-  double wd[10], wn[10];
-  for (int i = 0; i < 10; i++) {
-    wd[i] = a[i] * std::pow(kPfGd, i + 1);
-    wn[i] = a[i] * std::pow(kPfGn, i + 1);
-  }
-  double v[kSub], vtail[10];
-  std::memcpy(vtail, st->m_den, sizeof(vtail));
-  for (int n = 0; n < kSub; n++) {
-    double s = x[n];
-    for (int i = 0; i < 10; i++) {
-      double vm = (n - 1 - i >= 0) ? v[n - 1 - i] : vtail[10 + (n - 1 - i)];
-      s -= wd[i] * vm;
-    }
-    v[n] = s;
-  }
-  double vz[kSub];
-  for (int n = 0; n < kSub; n++) {
-    double s = v[n];
-    for (int i = 0; i < 10; i++) {
-      double vm = (n - 1 - i >= 0) ? v[n - 1 - i] : vtail[10 + (n - 1 - i)];
-      s += wn[i] * vm;
-    }
-    vz[n] = s;
-  }
-  for (int i = 0; i < 10; i++) st->m_den[i] = v[kSub - 10 + i];
-  /* tilt */
-  double mu = kTiltFac * k1_truncated(a, kPfGn, kPfGd);
-  double t[kSub];
-  double prev = st->m_tilt;
-  for (int n = 0; n < kSub; n++) {
-    t[n] = vz[n] - mu * prev;
-    prev = vz[n];
-  }
-  st->m_tilt = prev;
-  /* AGC */
-  double ex = 0, et = 0;
-  for (int n = 0; n < kSub; n++) {
-    ex += x[n] * x[n];
-    et += t[n] * t[n];
-  }
-  double gt = et > 0 ? std::sqrt(ex / et) : 1.0;
-  double g = st->m_agc;
-  for (int n = 0; n < kSub; n++) {
-    g = kAgcAlpha * g + (1.0 - kAgcAlpha) * gt;
-    out[n] = t[n] * g;
-  }
-  st->m_agc = g;
-  /* output HP biquad */
-  double y1 = st->hp[0], y2 = st->hp[1], o1 = st->hp[2], o2 = st->hp[3];
-  for (int n = 0; n < kSub; n++) {
-    double o = kHpGain * (out[n] - 2.0 * y1 + y2) + kHpPole1 * o1 +
-               kHpPole2 * o2;
-    y2 = y1;
-    y1 = out[n];
-    o2 = o1;
-    o1 = o;
-    out[n] = o;
-  }
-  st->hp[0] = y1;
-  st->hp[1] = y2;
-  st->hp[2] = o1;
-  st->hp[3] = o2;
-}
-
 /* ------------------------------------------------------ frame decode */
 const double kLspInit[10] = {30000 / 32768.0,  26000 / 32768.0,
                              21000 / 32768.0,  15000 / 32768.0,
                              8000 / 32768.0,   0.0,
                              -8000 / 32768.0,  -15000 / 32768.0,
                              -21000 / 32768.0, -26000 / 32768.0};
-
-void lsf_to_lsp(const double* hz, double* cosv) {
-  for (int i = 0; i < 10; i++)
-    cosv[i] = std::cos(2.0 * M_PI * hz[i] / 8000.0);
-}
-
-void sort_desc(double* v, int n) { std::sort(v, v + n, std::greater<>()); }
 
 struct SubframeParams {
   int T0, frac, gp_idx, gc_idx;
@@ -393,7 +192,7 @@ void commit_subframe(DecState* st, const SubframeParams& sp,
   std::memmove(st->exc, st->exc + kSub, sizeof(double) * (154 - kSub));
   for (int n = 0; n < kSub; n++)
     st->exc[154 - kSub + n] = std::trunc(exc[n] * 16384.0) / 16384.0;
-  if (out) chain_subframe(exc_syn, a, st, out);
+  if (out) chain_subframe(exc_syn, a, kPfGn, kPfGd, &st->chain, out);
 }
 
 void frame_lsps(const Bits& bits, DecState* st, double lsps[4][10]) {
@@ -443,115 +242,13 @@ struct EncState {
   }
 };
 
-void levinson(const double* r, double* a /*10*/) {
-  double A[11] = {1.0};
-  double e = r[0];
-  for (int i = 1; i <= 10; i++) {
-    double acc = r[i];
-    for (int j = 1; j < i; j++) acc += A[j] * r[i - j];
-    double k = -acc / e;
-    double tmp[11];
-    std::memcpy(tmp, A, sizeof(A));
-    for (int j = 1; j < i; j++) A[j] = tmp[j] + k * tmp[i - j];
-    A[i] = k;
-    e *= (1 - k * k);
-    if (e <= 0) e = 1e-12;
-  }
-  std::memcpy(a, A + 1, sizeof(double) * 10);
-}
-
 void lp_analysis(const double* frame, const double* mem, double a1[10],
                  double a2[10]) {
   double buf[240];
   std::memcpy(buf, mem, sizeof(double) * 80);
   std::memcpy(buf + 80, frame, sizeof(double) * kFrame);
-  const int wins[2][2] = {{160, 80}, {232, 8}};
-  double* outs[2] = {a1, a2};
-  for (int w = 0; w < 2; w++) {
-    int n1 = wins[w][0], n2 = wins[w][1];
-    double x[240];
-    for (int i = 0; i < n1; i++)
-      x[i] = buf[i] * (0.54 - 0.46 * std::cos(2 * M_PI * i / (2.0 * n1 - 1)));
-    for (int i = 0; i < n2; i++)
-      x[n1 + i] = buf[n1 + i] * std::cos(2 * M_PI * i / (4.0 * n2 - 1));
-    double r[11];
-    for (int k = 0; k <= 10; k++) {
-      double s = 0;
-      for (int i = 0; i < 240 - k; i++) s += x[i] * x[i + k];
-      r[k] = s;
-    }
-    r[0] *= 1.0001;
-    if (r[0] < 1e-10) r[0] = 1e-10;
-    for (int k = 0; k <= 10; k++) {
-      double f = 2 * M_PI * 60.0 * k / 8000.0;
-      r[k] *= std::exp(-0.5 * f * f);
-    }
-    levinson(r, outs[w]);
-  }
-}
-
-void a_to_lsf_hz(const double* a, double* lsf /*10, ascending*/) {
-  double A[11] = {1.0};
-  std::memcpy(A + 1, a, sizeof(double) * 10);
-  double P1[12], Q1[12];
-  for (int i = 0; i < 12; i++) {
-    double ai = i < 11 ? A[i] : 0.0;
-    P1[i] = ai + ((i >= 1) ? A[11 - i] : 0.0);
-    Q1[i] = ai - ((i >= 1) ? A[11 - i] : 0.0);
-  }
-  /* deflate P1 by (1+z^-1): root -1 ; Q1 by (1-z^-1): root +1 */
-  double p[11], q[11];
-  {
-    double acc = 0;
-    for (int i = 0; i < 11; i++) {
-      acc = P1[i] - acc;
-      p[i] = acc;
-    }
-    acc = 0;
-    for (int i = 0; i < 11; i++) {
-      acc = Q1[i] + acc;
-      q[i] = acc;
-    }
-  }
-  /* both are symmetric degree-10; C(th) = 2 sum_{k<5} c[k] cos((5-k)th)
-   * + c[5] */
-  int found = 0;
-  double roots[16];
-  for (int which = 0; which < 2; which++) {
-    const double* c = which == 0 ? p : q;
-    auto f = [&](double th) {
-      double s = c[5];
-      for (int k = 0; k < 5; k++) s += 2.0 * c[k] * std::cos((5 - k) * th);
-      return s;
-    };
-    const int N = 1024;
-    double prev_th = 1e-4, prev_v = f(prev_th);
-    for (int i = 1; i <= N; i++) {
-      double th = 1e-4 + (M_PI - 2e-4) * i / N;
-      double v = f(th);
-      if (prev_v * v <= 0.0 && found < 16) {
-        double lo = prev_th, hi = th, flo = prev_v;
-        for (int it = 0; it < 40; it++) {
-          double mid = 0.5 * (lo + hi), fm = f(mid);
-          if (flo * fm <= 0) {
-            hi = mid;
-          } else {
-            lo = mid;
-            flo = fm;
-          }
-        }
-        roots[found++] = 0.5 * (lo + hi);
-      }
-      prev_th = th;
-      prev_v = v;
-    }
-  }
-  std::sort(roots, roots + found);
-  if (found < 10) { /* degenerate: pad evenly */
-    for (int i = found; i < 10; i++) roots[i] = 0.1 + 0.3 * i;
-    std::sort(roots, roots + 10);
-  }
-  for (int i = 0; i < 10; i++) lsf[i] = roots[i] * 8000.0 / (2 * M_PI);
+  lp_window(buf, 160, 80, a1);
+  lp_window(buf, 232, 8, a2);
 }
 
 void lsf_quantize(const double* lsf1, const double* lsf2, double* past_r,
@@ -600,81 +297,6 @@ void lsf_quantize(const double* lsf1, const double* lsf2, double* past_r,
   std::memcpy(past_r, sel, sizeof(sel));
   reorder_lsf(q1, 10);
   reorder_lsf(q2, 10);
-}
-
-/* FIR 1 + sum w_i z^-(i+1) with 10-sample memory */
-void fir10(const double* x, int n, const double* w, double* mem,
-           double* out) {
-  double buf[10 + kFrame];
-  std::memcpy(buf, mem, sizeof(double) * 10);
-  std::memcpy(buf + 10, x, sizeof(double) * n);
-  for (int i = 0; i < n; i++) {
-    double s = buf[10 + i];
-    for (int j = 0; j < 10; j++) s += w[j] * buf[10 + i - 1 - j];
-    out[i] = s;
-  }
-  std::memcpy(mem, buf + n, sizeof(double) * 10);
-}
-
-void iir10(const double* x, int n, const double* w, double* mem,
-           double* out) {
-  double buf[10 + kFrame];
-  std::memcpy(buf, mem, sizeof(double) * 10);
-  for (int i = 0; i < n; i++) {
-    double s = x[i];
-    for (int j = 0; j < 10; j++) s -= w[j] * buf[10 + i - 1 - j];
-    buf[10 + i] = s;
-    out[i] = s;
-  }
-  std::memcpy(mem, buf + n, sizeof(double) * 10);
-}
-
-void weighted_ir(const double* a_q, double* h /*40*/) {
-  double w1[10], w2[10];
-  for (int i = 0; i < 10; i++) {
-    w1[i] = a_q[i] * std::pow(kG1, i + 1);
-    w2[i] = a_q[i] * std::pow(kG2, i + 1);
-  }
-  double x[kSub] = {0};
-  x[0] = 1.0;
-  for (int i = 1; i <= 10 && i < kSub; i++) x[i] = w1[i - 1];
-  double m1[10] = {0}, m2[10] = {0};
-  double y[kSub];
-  iir10(x, kSub, a_q, m1, y);
-  iir10(y, kSub, w2, m2, h);
-}
-
-void conv_h(const double* sig, const double* h, double* out) {
-  for (int n = 0; n < kSub; n++) {
-    double s = 0;
-    for (int k = 0; k <= n; k++) s += sig[k] * h[n - k];
-    out[n] = s;
-  }
-}
-
-int open_loop(EncState* st, const double* seg, int n) {
-  double buf[143 + 80];
-  std::memcpy(buf, st->ol_hist, sizeof(double) * 143);
-  std::memcpy(buf + 143, seg, sizeof(double) * n);
-  const double* x0 = buf + 143 + n - n; /* last n samples */
-  double best = -1e30;
-  int bT = 40;
-  for (int T = 18; T <= 143; T++) {
-    const double* x1 = buf + 143 + n - n - T;
-    double c = 0, e = 1e-9;
-    for (int i = 0; i < n; i++) {
-      c += x0[i] * x1[i];
-      e += x1[i] * x1[i];
-    }
-    if (c <= 0) continue;
-    double sc = c / std::sqrt(e);
-    if (sc > best) {
-      best = sc;
-      bT = T;
-    }
-  }
-  std::memmove(st->ol_hist, buf + n, sizeof(double) * 143);
-  return bT;
 }
 
 void acelp_search(const double* x2, const double* h, double* code_out,
@@ -734,6 +356,11 @@ void acelp_search(const double* x2, const double* h, double* code_out,
       remove(j);
       place(j, j % 5);
     }
+  /* decoded gains are always positive: if the greedy settled on an
+   * anti-correlated pattern, its mirror (all signs flipped) scores
+   * identically and correlates positively — use that one */
+  if (dc < 0)
+    for (int j = 0; j < 10; j++) sgn[j] = -sgn[j];
   std::memset(code_out, 0, sizeof(double) * kSub);
   for (int t = 0; t < 5; t++) {
     int pA = pos[t], pB = pos[t + 5];
@@ -772,7 +399,7 @@ void encode_subframe(EncState* st, Bits* bits, int k, const double* sub,
     w2[i] = a_q[i] * std::pow(kG2, i + 1);
   }
   double h[kSub];
-  weighted_ir(a_q, h);
+  weighted_ir(a_q, kG1, kG2, h);
 
   double t1[kSub], sw[kSub];
   fir10(sub, kSub, w1, st->wn_mem, t1);
@@ -988,7 +615,13 @@ void encode_frame(EncState* st, const double* frame, Bits* bits) {
   double t1[kFrame], swf[kFrame];
   fir10(frame, kFrame, w1, st->sw_in, t1);
   iir10(t1, kFrame, w2, st->sw_out, swf);
-  int T_ops[2] = {open_loop(st, swf, 80), open_loop(st, swf + 80, 80)};
+  int T_ops[2];
+  T_ops[0] = open_loop(st->ol_hist, swf, 80, 18);
+  std::memmove(st->ol_hist, st->ol_hist + 80, sizeof(double) * 63);
+  std::memcpy(st->ol_hist + 63, swf, sizeof(double) * 80);
+  T_ops[1] = open_loop(st->ol_hist, swf + 80, 80, 18);
+  std::memmove(st->ol_hist, st->ol_hist + 80, sizeof(double) * 63);
+  std::memcpy(st->ol_hist + 63, swf + 80, sizeof(double) * 80);
 
   for (int k = 0; k < 4; k++) {
     double lsp[10], a_q[10];
@@ -1001,6 +634,51 @@ void encode_frame(EncState* st, const double* frame, Bits* bits) {
 }
 
 }  // namespace
+
+/* ---- internal per-frame hooks for the DTX layer (amrnb_internal.h) */
+#include "amrnb_internal.h"
+
+struct Amrnb122Enc {
+  EncState st;
+};
+struct Amrnb122Dec {
+  DecState st;
+};
+
+Amrnb122Enc* amrnb122_enc_new() { return new Amrnb122Enc(); }
+void amrnb122_enc_free(Amrnb122Enc* e) { delete e; }
+void amrnb122_enc_frame(Amrnb122Enc* e, const double* frame,
+                        amrnb_celp::Bits* bits) {
+  encode_frame(&e->st, frame, bits);
+}
+void amrnb122_enc_push_cn(Amrnb122Enc* e, const double* exc160) {
+  DecState* d = &e->st.dec;
+  for (int k = 0; k < 4; k++) {
+    std::memmove(d->exc, d->exc + kSub, sizeof(double) * (154 - kSub));
+    for (int n = 0; n < kSub; n++)
+      d->exc[154 - kSub + n] =
+          std::trunc(exc160[kSub * k + n] * 16384.0) / 16384.0;
+  }
+}
+
+Amrnb122Dec* amrnb122_dec_new() { return new Amrnb122Dec(); }
+void amrnb122_dec_free(Amrnb122Dec* d) { delete d; }
+void amrnb122_dec_frame(Amrnb122Dec* d, const amrnb_celp::Bits& bits,
+                        double* out160) {
+  decode_frame(bits, &d->st, out160);
+}
+void amrnb122_dec_push_cn(Amrnb122Dec* d, const double* exc160) {
+  DecState* s = &d->st;
+  for (int k = 0; k < 4; k++) {
+    std::memmove(s->exc, s->exc + kSub, sizeof(double) * (154 - kSub));
+    for (int n = 0; n < kSub; n++)
+      s->exc[154 - kSub + n] =
+          std::trunc(exc160[kSub * k + n] * 16384.0) / 16384.0;
+  }
+}
+amrnb_celp::ChainState* amrnb122_dec_chain(Amrnb122Dec* d) {
+  return &d->st.chain;
+}
 
 extern "C" {
 
@@ -1017,17 +695,18 @@ long amrnb_encode(const float* in, size_t n, uint8_t* out) {
       size_t idx = f * kFrame + i;
       buf[i] = idx < n ? in[idx] : 0.0;
     }
-    Bits bits;
+    Bits bits(kBits);
     encode_frame(&st, buf, &bits);
     out[w] = (7 << 3) | 0x04; /* FT=7 (12.2), quality ok */
-    pack_frame(bits, out + w + 1);
+    pack_bits(bits, out + w + 1, kFrameBytes - 1);
     w += kFrameBytes;
   }
   return w;
 }
 
 /* Decode AMR storage frames (12.2 mode only) to 8 kHz float mono.
- * Returns samples written or -1 on a non-12.2 frame type. */
+ * Returns samples written or -1 on a non-12.2 frame type. Modes 0..6
+ * are handled by amrnb_decode_any (amrnb_low.cc). */
 long amrnb_decode(const uint8_t* data, size_t size, float* out,
                   size_t max_samples) {
   DecState st;
@@ -1036,8 +715,8 @@ long amrnb_decode(const uint8_t* data, size_t size, float* out,
   while (p + kFrameBytes <= size) {
     int ft = (data[p] >> 3) & 0x0F;
     if (ft != 7) return -1;
-    Bits bits;
-    unpack_frame(data + p + 1, &bits);
+    Bits bits(kBits);
+    unpack_bits(data + p + 1, &bits);
     double o[kFrame];
     decode_frame(bits, &st, o);
     for (int i = 0; i < kFrame && (size_t)w < max_samples; i++)

@@ -84,6 +84,26 @@ long amrnb_decode(const uint8_t* data, size_t size, float* out,
                   size_t max_samples);
 void amrnb_roundtrip(const float* in, float* out, size_t n);
 
+/* ---- AMR-NB low-rate modes 0..6 (4.75 - 10.2 kbps): real bitstreams
+ * from the same probe-recovered table campaign (amrnb_low.cc;
+ * tools/amr_tables/ FACTS.md "Low-mode"). amrnb_encode_mode emits
+ * storage frames of {13,14,16,18,20,21,27,32} bytes for modes 0..7
+ * (mode 7 delegates to amrnb_encode); amrnb_decode_any dispatches on
+ * each frame's TOC (12.2-only streams delegate to amrnb_decode);
+ * amrnb_roundtrip_mode is encode->decode at 8 kHz. */
+long amrnb_encode_mode(int mode, const float* in, size_t n, uint8_t* out);
+long amrnb_decode_any(const uint8_t* data, size_t size, float* out,
+                      size_t max_samples);
+void amrnb_roundtrip_mode(int mode, const float* in, float* out, size_t n);
+
+/* ---- DTX (the dtx-default amr entries): VAD-gated speech frames with
+ * SID comfort-noise updates (frame type 8, 6 bytes, own payload layout
+ * — the in-image lavc decoder rejects SID, so this tier is oracle-free)
+ * and NO_DATA frames (type 15, TOC only). amrnb_decode_any decodes
+ * DTX streams; lavc does not. */
+long amrnb_encode_dtx(int mode, const float* in, size_t n, uint8_t* out);
+void amrnb_roundtrip_dtx(int mode, const float* in, float* out, size_t n);
+
 /* ---- Transform-codec (MDCT) round trip for the mp3/aac compression
  * tier: band-grouped quantization under the mode's bit budget. frame_half:
  * 576 (mp3 granule) or 1024 (aac). */

@@ -57,8 +57,9 @@ def _speechlike(n=8000, seed=0, f0=110.0):
     return (out / np.abs(out).max() * 0.35).astype(np.float32)
 
 
-def _lavc_decode(bs: bytes) -> np.ndarray:
-    pkts = [bs[i * 32:(i + 1) * 32] for i in range(len(bs) // 32)]
+def _lavc_decode(bs: bytes, frame_bytes: int = 32) -> np.ndarray:
+    pkts = [bs[i * frame_bytes:(i + 1) * frame_bytes]
+            for i in range(len(bs) // frame_bytes)]
     dec = np.asarray(_oracle_or_skip(ff_decode_packets, "amrnb", pkts, 8000))
     if dec.dtype == np.int16:
         dec = dec.astype(np.float64) / 32768.0
@@ -124,6 +125,148 @@ def test_native_decoder_tracks_lavc():
     assert snr > 18.0, f"native vs lavc SNR {snr:.1f} dB"
 
 
+# ---------------------------------------------------------------------
+# Low-rate modes 0..6 (amr[br=4k75 .. 10k2]): same conformance bar as
+# MR122, per mode (native/augment/amrnb_low.cc; tables from the
+# tools/amr_tables/ black-box campaign). Matches the reference's
+# cellular entries (/root/reference/channel_simulation/
+# simulated_channel.py:30-33).
+LOW_MODES = [(0, "4k75"), (1, "5k15"), (2, "5k9"), (3, "6k7"),
+             (4, "7k4"), (5, "7k95"), (6, "10k2")]
+
+
+@pytest.mark.parametrize("mode,name", LOW_MODES,
+                         ids=[m[1] for m in LOW_MODES])
+def test_low_mode_streams_decode_on_lavc(mode, name):
+    """Each low-rate encoder's storage frames are REAL AMR: lavc decodes
+    every frame and reconstructs speechlike input with codec-class
+    fidelity (measured 0.93-0.96; bar leaves margin)."""
+    n = 8000
+    sig = _speechlike(n)
+    bs = ah.amrnb_encode(sig, mode=mode)
+    fb = ah.AMRNB_MODE_BYTES[mode]
+    assert len(bs) == (n // 160) * fb
+    for i in range(n // 160):  # TOC: (mode << 3) | 0x04
+        assert bs[i * fb] == (mode << 3) | 0x04
+    dec = _lavc_decode(bs, fb)
+    assert len(dec) >= n - 160
+    m = min(n, len(dec))
+    c = np.corrcoef(sig[:m].astype(np.float64), dec[:m])[0, 1]
+    assert c > 0.88, f"{name}: corr {c:.3f} <= 0.88"
+
+
+@pytest.mark.parametrize("mode,name", LOW_MODES,
+                         ids=[m[1] for m in LOW_MODES])
+def test_low_mode_native_decoder_tracks_lavc(mode, name):
+    """The native low-mode decoder replica and lavc agree in the energy
+    domain on our streams (open decoder-side laws — dispersion row
+    selection, MR102 fixed-point detail — bound the floor; measured
+    23-53 dB per mode)."""
+    sig = _speechlike(4800)
+    bs = ah.amrnb_encode(sig, mode=mode)
+    lavc = _lavc_decode(bs, ah.AMRNB_MODE_BYTES[mode])
+    nat = ah.amrnb_decode(bs)
+    m = min(len(lavc), len(nat))
+    assert np.abs(lavc[:m]).max() > 1e-3
+    snr = 10 * np.log10(np.dot(lavc[:m], lavc[:m]) /
+                        max(np.dot(lavc[:m] - nat[:m],
+                                   lavc[:m] - nat[:m]), 1e-12))
+    assert snr > 18.0, f"{name}: native vs lavc SNR {snr:.1f} dB"
+
+
+def test_low_mode_roundtrip_channel():
+    """amrnb_channel at 16 kHz input for a couple of low modes."""
+    sig = _speechlike(3200, seed=5)
+    sig16 = ah.resample(sig, 8000, 16000)
+    for mode in (0, 6):
+        out = ah.amrnb_channel(sig16, sample_rate=16000, mode=mode)
+        assert out.shape == sig16.shape
+        c = np.corrcoef(sig16.astype(np.float64),
+                        out.astype(np.float64))[0, 1]
+        assert c > 0.7, f"mode {mode}: corr {c:.3f}"
+
+
+def test_degrade_routes_all_amr_to_real_bitstream():
+    """Every amr[br=*] channel entry (dtx and nodtx) now uses the real
+    bitstream hop, not the algorithmic-class ACELP tier."""
+    from asvspoof2021_air_tpu.cli.degrade import apply_codec, _amrnb_mode
+    sig = _speechlike(1600, seed=9)
+    sig16 = ah.resample(sig, 8000, 16000)
+    for name, kbps in [("amr[br=4k75]", 4.75), ("amr[br=5k15]", 5.15),
+                       ("amr[br=5k9,nodtx]", 5.9), ("amr[br=6k7]", 6.7),
+                       ("amr[br=7k4,nodtx]", 7.4), ("amr[br=7k95]", 7.95),
+                       ("amr[br=10k2]", 10.2)]:
+        assert _amrnb_mode(kbps) is not None
+        out_real = apply_codec(sig16, name, 16000)
+        out_acelp = ah.acelp_channel(sig16, 8000, kbps, 16000)
+        assert out_real.shape == sig16.shape
+        assert np.abs(out_real - out_acelp).max() > 1e-4  # distinct paths
+
+
+# ---------------------------------------------------------------------
+# DTX / SID (the dtx-default amr entries, simulated_channel.py:30-35).
+# ORACLE-FREE tier: the in-image lavc amrnb decoder REJECTS SID frames
+# ("dtx mode is not implemented"), so conformance here is structural +
+# round-trip through our own decoder (docs/CODECS.md carries the
+# caveat). Speech frames inside DTX streams are the same lavc-verified
+# encoders as above.
+def _speech_silence_speech():
+    sp = _speechlike(4800)
+    sil = (5e-4 * np.random.default_rng(1)
+           .standard_normal(4800)).astype(np.float32)
+    return np.concatenate([sp, sil, 0.8 * sp]).astype(np.float32)
+
+
+def test_dtx_framing_and_roundtrip():
+    """DTX streams carry VAD-gated speech + SID (type 8, 6 bytes) +
+    NO_DATA (type 15, TOC only); our decoder reconstructs speech AND
+    matches the comfort-noise level to the input silence."""
+    sig = _speech_silence_speech()
+    for mode in (0, 4, 7):
+        bs = ah.amrnb_encode(sig, mode=mode, dtx=True)
+        fts = []
+        p = 0
+        while p < len(bs):
+            ft = (bs[p] >> 3) & 0xF
+            fts.append(ft)
+            if ft == 8:
+                p += 6
+            elif ft == 15:
+                p += 1
+            else:
+                p += ah.AMRNB_MODE_BYTES[ft]
+        assert fts.count(8) >= 2, f"mode {mode}: no SID updates"
+        assert fts.count(15) >= 10, f"mode {mode}: no NO_DATA frames"
+        assert fts.count(mode) >= 50, f"mode {mode}: speech frames gated"
+        # SID cadence: a SID opens each silence run, then every 8th frame
+        dec = ah.amrnb_decode(bs)
+        m = min(len(sig), len(dec))
+        c = np.corrcoef(sig[:m].astype(np.float64),
+                        dec[:m].astype(np.float64))[0, 1]
+        assert c > 0.85, f"mode {mode}: dtx corr {c:.3f}"
+        sil_in = float(np.sqrt((sig[5600:8800] ** 2).mean()))
+        sil_out = float(np.sqrt((dec[5600:8800] ** 2).mean()))
+        assert 0.5 * sil_in < sil_out < 2.0 * sil_in, (
+            f"mode {mode}: CN level {sil_out:.2e} vs input {sil_in:.2e}")
+
+
+def test_dtx_differs_from_nodtx():
+    """dtx and nodtx produce measurably different output on
+    silence-padded speech (the reference's dtx-default entries vs their
+    nodtx twins), while both reconstruct the speech run."""
+    from asvspoof2021_air_tpu.cli.degrade import apply_codec
+    sig = _speech_silence_speech()
+    sig16 = ah.resample(sig, 8000, 16000)
+    out_dtx = apply_codec(sig16, "amr[br=6k7]", 16000)
+    out_nodtx = apply_codec(sig16, "amr[br=6k7,nodtx]", 16000)
+    assert out_dtx.shape == out_nodtx.shape == sig16.shape
+    assert np.abs(out_dtx - out_nodtx).max() > 1e-4
+    for out in (out_dtx, out_nodtx):
+        c = np.corrcoef(sig16[:9000].astype(np.float64),
+                        out[:9000].astype(np.float64))[0, 1]
+        assert c > 0.85
+
+
 def test_frame_structure():
     """RFC 4867 octet-aligned storage framing: TOC 0x3C (FT=7, Q=1),
     32 bytes/frame, deterministic encode."""
@@ -142,9 +285,9 @@ def test_roundtrip_basic():
     assert np.abs(out).max() > 0.01
     c = np.corrcoef(sig.astype(np.float64), out.astype(np.float64))[0, 1]
     assert c > 0.8
-    # decoder rejects non-12.2 frame types
+    # decoder rejects reserved frame types (9..14)
     with pytest.raises(ValueError):
-        ah.amrnb_decode(bytes([0x04] + [0] * 31))
+        ah.amrnb_decode(bytes([(9 << 3) | 0x04] + [0] * 5))
 
 
 def test_degrade_routes_12k2_to_real_amr():
