@@ -114,9 +114,11 @@ def test_native_decoder_tracks_lavc():
     scale = np.abs(lavc[:m]).max()
     assert scale > 1e-3
     err = np.abs(nat[:m] - lavc[:m]).max() / scale
-    # residual unmodeled fixed-point detail compounds through the
-    # adaptive-codebook feedback (~1%/frame, resetting at low-gp frames;
-    # FACTS.md "Residual accuracy") — peak-bounded, energy-tight below
+    # residual unmodeled fixed-point detail drifts through the
+    # adaptive-codebook feedback but is STATIONARY at workload length
+    # (low-gp frames reset it — test_long_stream_error_is_stationary
+    # pins a flat per-5s-window floor over 30 s); peak-bounded here,
+    # energy-tight below
     assert err < 0.25, f"native vs lavc rel err {err:.3f}"
     # energy-domain agreement is much tighter
     snr = 10 * np.log10(np.dot(lavc[:m], lavc[:m]) /
@@ -201,6 +203,36 @@ def test_degrade_routes_all_amr_to_real_bitstream():
         out_acelp = ah.acelp_channel(sig16, 8000, kbps, 16000)
         assert out_real.shape == sig16.shape
         assert np.abs(out_real - out_acelp).max() > 1e-4  # distinct paths
+
+
+# ---------------------------------------------------------------------
+@pytest.mark.parametrize("mode", [7, 0, 6], ids=["12k2", "4k75", "10k2"])
+def test_long_stream_error_is_stationary(mode):
+    """Workload-length conformance (round-3 verdict: 'harden MR122
+    conformance to workload length'): on a 30 s speech-modulated stream
+    the native-vs-lavc error does NOT compound through the adaptive
+    feedback — every 5 s window holds the same SNR floor (measured
+    ~21-24 dB flat, incl. the LAST window; low-gp frames reset the
+    feedback)."""
+    n = 240000  # 30 s
+    sig = _speechlike(n)
+    bs = ah.amrnb_encode(sig, mode=mode)
+    lavc = _lavc_decode(bs, ah.AMRNB_MODE_BYTES[mode])
+    nat = ah.amrnb_decode(bs)
+    m = min(len(lavc), len(nat), n)
+    assert m >= n - 160  # every frame decoded
+    c = np.corrcoef(sig[:m].astype(np.float64), lavc[:m])[0, 1]
+    assert c > 0.9, f"30 s encode corr {c:.3f}"
+    for t0 in range(0, 30, 5):
+        a = lavc[t0 * 8000:(t0 + 5) * 8000]
+        b = nat[t0 * 8000:(t0 + 5) * 8000].astype(np.float64)
+        k = min(len(a), len(b))
+        snr = 10 * np.log10(np.dot(a[:k], a[:k]) /
+                            max(np.dot(a[:k] - b[:k], a[:k] - b[:k]),
+                                1e-12))
+        assert snr > 18.0, (
+            f"mode {mode}: window {t0}-{t0 + 5}s SNR {snr:.1f} dB — "
+            "error must stay stationary, not compound")
 
 
 # ---------------------------------------------------------------------
