@@ -189,8 +189,17 @@ def export_system(model_dir: str, output: str, batch_size: int = 64,
                                       frontend)
             ref = np.asarray(jax.jit(float_fn)(*test_args))
             quant_dev = float(np.abs(got - ref).max())
+            # score-ORDER agreement: the corpus-level metrics (EER/tDCF)
+            # only see score order, so report the fraction of pairs the
+            # int8 and float scorers rank identically (the synthetic-
+            # corpus EER-delta gate lives in
+            # tests/test_ecapa_int8.py::test_int8_eer_delta_on_synthetic_corpus)
+            go = np.sign(got.ravel()[:, None] - got.ravel()[None, :])
+            ro = np.sign(ref.ravel()[:, None] - ref.ravel()[None, :])
+            quant_rank = float((go == ro).mean())
         else:
             quant_dev = None
+            quant_rank = None
 
     meta = {
         "platforms": list(exported.platforms),
@@ -212,6 +221,7 @@ def export_system(model_dir: str, output: str, batch_size: int = 64,
         meta["param_bytes_f32"] = fbytes
         if check:
             meta["quantized_score_max_dev"] = quant_dev
+            meta["quantized_rank_agreement"] = quant_rank
     os.makedirs(os.path.dirname(os.path.abspath(output)), exist_ok=True)
     with open(output, "wb") as f:
         f.write(blob)

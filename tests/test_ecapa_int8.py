@@ -190,3 +190,75 @@ def test_mfa_only_tier_tracks_f32_model():
     assert np.all(cos > 0.999), cos
     np.testing.assert_allclose(
         np.asarray(got_logits), np.asarray(want_logits), atol=0.05, rtol=0.1)
+
+
+def test_int8_eer_delta_on_synthetic_corpus():
+    """Corpus-level accuracy gate (round-3 verdict item 8): train a tiny
+    flagship on a synthetic separable corpus, score a held-out set
+    through the f32 path AND the int8 serving path, and assert the EER
+    is unchanged. This closes the gap the cosine/logit tests leave:
+    score ORDER around the operating point is what serving must
+    preserve."""
+    import jax
+
+    from asvspoof2021_air_tpu.losses import build_loss
+    from asvspoof2021_air_tpu.metrics.eer import compute_eer
+    from asvspoof2021_air_tpu.train.state import (
+        create_train_state, make_backbone_optimizer, make_loss_optimizer)
+    from asvspoof2021_air_tpu.train.steps import StepConfig, make_train_step
+
+    B, T, C, enc = 8, 48, 64, 32
+    model = ECAPA_TDNN(C=C, model_scale=4, n_out=2, n_feat=60, enc_dim=enc)
+    loss_mod = build_loss("ang_iso", enc_dim=enc, r_real=0.9, r_fake=0.2,
+                          alpha=20.0)
+    g = np.random.default_rng(11)
+    labels = (np.arange(B) % 2).astype(np.int32)
+    n_steps = 40
+    sep = 0.25
+    feats = (g.standard_normal((n_steps, B, T, 60))
+             + sep * labels[None, :, None, None]).astype(np.float32)
+
+    btx = make_backbone_optimizer(lambda _: 1e-3)
+    ltx = make_loss_optimizer(lambda _: 1e-3)
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, jnp.asarray(feats[0]),
+        loss_module=loss_mod, example_feat=jnp.zeros((B, enc)),
+        example_labels=jnp.asarray(labels), backbone_tx=btx, loss_tx=ltx)
+    step = jax.jit(make_train_step(model, loss_mod, btx, ltx,
+                                   StepConfig(add_loss="ang_iso")))
+    for s in range(n_steps):
+        state, _ = step(state, {"feat": jnp.asarray(feats[s]),
+                                "label": jnp.asarray(labels)},
+                        jax.random.PRNGKey(s))
+
+    n_hold = 64
+    hold_labels = (np.arange(n_hold) % 2).astype(np.int32)
+    hold = (g.standard_normal((n_hold, T, 60))
+            + sep * hold_labels[:, None, None]).astype(np.float32)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    emb_f32, _ = model.apply(variables, jnp.asarray(hold), False)
+    calib = [jnp.asarray(feats[s]) for s in range(2)]
+    scales = calibrate_act_scales(variables, calib, model_scale=4,
+                                  enc_dim=enc, interpret=True)
+    emb_i8, _ = ecapa_apply_int8(variables, jnp.asarray(hold),
+                                 model_scale=4, enc_dim=enc,
+                                 dtype=jnp.float32, interpret=True,
+                                 act_scales=scales)
+
+    def eer_of(emb):
+        _, score = loss_mod.apply({"params": state.loss_params}, emb,
+                                  jnp.asarray(hold_labels))
+        # ang_iso returns -cos: negate so bona fide (label 0, pushed
+        # to high cos) is the high-scoring target class
+        s = -np.asarray(score)
+        eer, _ = compute_eer(s[hold_labels == 0], s[hold_labels == 1])
+        return eer
+
+    eer_f32 = eer_of(emb_f32)
+    eer_i8 = eer_of(emb_i8)
+    # trained system must actually separate the classes
+    assert eer_f32 < 0.25
+    # the quantized path reproduces the corpus-level operating point
+    assert abs(eer_f32 - eer_i8) <= 1.0 / 32 + 1e-9, (
+        f"int8 EER moved: f32 {eer_f32:.4f} vs int8 {eer_i8:.4f}")
