@@ -37,7 +37,7 @@ FIELDS = {
     "f2a": [52, 53, 55, 56, 57, 65],
     "f2b": [59, 63, 64, 66, 81, 82, 87],
     "f2c": [71, 75, 85, 86, 89, 90, 94],
-    "f2d": [93, 95, 96, 97, 100],
+    "f2d": [50, 93, 96, 97, 100],
     "f2e": [88, 101, 102, 103, 104],
 }
 LAG_ECHO_FREE = [12, 13, 14, 46]     # sf0 abs lag index 120 -> T>=64
