@@ -168,6 +168,47 @@ AMRNB_MODE_NAMES = ("4k75", "5k15", "5k9", "6k7", "7k4", "7k95", "10k2",
                     "12k2")
 
 
+def amrwb_encode(wave) -> bytes:
+    """Encode 16 kHz float mono to AMR-WB 12.65k storage frames
+    (native/augment/amrwb.cc: from-scratch codec against the
+    behaviorally recovered 3GPP tables/laws, tools/amrwb_tables/;
+    RFC 4867 octet-aligned framing, TOC 0x14 + 32 payload bytes).
+    Frames decode error-free on libavcodec's amrwb decoder; waveform
+    conformance is below the NB bar pending finer ISF tables (see
+    docs/CODECS.md and tools/amrwb_tables/FACTS.md)."""
+    lib = get_lib()
+    if not hasattr(lib.amrwb_encode, "_configured"):
+        lib.amrwb_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.amrwb_encode.restype = ctypes.c_long
+        lib.amrwb_encode._configured = True
+    sig = np.ascontiguousarray(wave, np.float32)
+    out = np.zeros((len(sig) // 320 + 4) * 33, np.uint8)
+    n = lib.amrwb_encode(
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(sig),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return bytes(out[:max(n, 0)].tobytes())
+
+
+def amrwb_decode(data: bytes) -> np.ndarray:
+    """Decode AMR-WB 12.65k storage frames to 16 kHz float mono
+    (native tracking decoder; lavc is the oracle tier)."""
+    lib = get_lib()
+    if not hasattr(lib.amrwb_decode, "_configured"):
+        lib.amrwb_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+        lib.amrwb_decode.restype = ctypes.c_long
+        lib.amrwb_decode._configured = True
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros((len(data) // 33 + 1) * 320, np.float32)
+    n = lib.amrwb_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(out))
+    return out[:max(n, 0)].copy()
+
+
 def amrnb_encode(wave, mode: int = 7, dtx: bool = False) -> bytes:
     """Encode 8 kHz float mono to real AMR-NB storage frames at the
     given mode (0..7 = 4.75..12.2 kbps; native/augment/amrnb.cc +

@@ -49,17 +49,29 @@ def response(assign, p):
     return out[320 * S2.WARM + 240: 320 * S2.WARM + 240 + S2.WIN]
 
 
+def lpc_autocorr(x, order=16):
+    """Autocorrelation-method LPC: fits the SPECTRAL ENVELOPE, which
+    absorbs the chain's numerator wavelet into the poles and puts the
+    tables in the same domain as a standard encoder's LP analysis."""
+    r = np.array([np.dot(x[:len(x) - k], x[k:]) for k in range(order + 1)])
+    r[0] *= 1.0001
+    r[0] += 1e-12
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    e = r[0]
+    for m_ in range(1, order + 1):
+        acc = r[m_] + np.dot(a[1:m_], r[m_ - 1:0:-1])
+        k = -acc / e
+        a[1:m_] = a[1:m_] + k * a[m_ - 1:0:-1]
+        a[m_] = k
+        e *= (1 - k * k)
+    return a
+
+
 def isf_ar(assign, p):
     r = response(assign, p)
     h = L.resample_to_128(r, 300)
-    o = 17
-    rows = range(40, 300)
-    M = np.array([[h[t - k] for k in range(1, o + 1)] for t in rows])
-    y = np.array([h[t] for t in rows])
-    a, _, _, _ = np.linalg.lstsq(M, -y, rcond=None)
-    a17 = np.concatenate([[1.0], a])
-    a16, _ = S.deemph_deconv(a17)
-    return P.a_to_isf(a16)
+    return P.a_to_isf(lpc_autocorr(h))
 
 
 def main():
