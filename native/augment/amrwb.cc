@@ -30,6 +30,10 @@
 
 #include "amrwb_tables.h"
 
+#ifndef AMRWB_ISF_SHRINK
+#define AMRWB_ISF_SHRINK 0.0
+#endif
+
 namespace amrwb {
 
 using namespace amrwb_tables;
@@ -597,15 +601,22 @@ struct Encoder {
     double wgt[16];
     for (int i = 0; i < 15; ++i) wgt[i] = 1.0;
     wgt[15] = 0.25;
+    // shrinkage toward small deflections: the measured delta tables
+    // are most accurate near the base (FACTS 'Native codec state'), so
+    // penalize large rows by the model-noise growth.
+    constexpr double kShrink = AMRWB_ISF_SHRINK;
     auto pick = [&](const float (*tab)[16], int n) {
       int best = 0;
       double be = 1e30;
       for (int idx = 0; idx < n; ++idx) {
         double e = 0.0;
+        double rn = 0.0;
         for (int i = 0; i < 16; ++i) {
           double d = resid[i] - tab[idx][i];
           e += wgt[i] * d * d;
+          rn += (double)tab[idx][i] * tab[idx][i];
         }
+        e += kShrink * rn;
         if (e < be) { be = e; best = idx; }
       }
       for (int i = 0; i < 16; ++i) resid[i] -= tab[best][i];
