@@ -252,7 +252,22 @@ def amrnb_decode(data: bytes) -> np.ndarray:
         lib.amrnb_decode_any.restype = ctypes.c_long
         lib.amrnb_decode_any._configured = True
     buf = np.frombuffer(data, np.uint8)
-    out = np.zeros((len(data) // 13 + 1) * 160, np.float32)
+    # Size the output for the actual frame count by walking the TOCs:
+    # DTX streams carry 1-byte NO_DATA and 6-byte SID frames, so the
+    # old >=13-bytes/frame assumption undercounted and the C decoder
+    # silently truncated at max_samples (round-4 advisor finding).
+    sizes = {8: 6, 15: 1}
+    sizes.update({m: b for m, b in enumerate(AMRNB_MODE_BYTES)})
+    nframes, pos = 0, 0
+    while pos < len(data):
+        ft = (data[pos] >> 3) & 0x0F
+        step = sizes.get(ft)
+        if step is None:  # unknown frame type: let the C decoder reject
+            nframes = len(data)
+            break
+        nframes += 1
+        pos += step
+    out = np.zeros(max(nframes, 1) * 160, np.float32)
     n = lib.amrnb_decode_any(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         buf.size, _ptr(out), out.size)

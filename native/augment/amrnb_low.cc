@@ -1274,7 +1274,12 @@ struct VadState {
       nf_db = edb;
     else
       nf_db = std::min(nf_db + 0.1, edb);
-    bool raw = edb > nf_db + 9.0 && edb > -55.0;
+    /* Relative-SNR gate with only a deep -80 dBFS absolute floor so
+     * quiet-but-valid speech survives the dtx-default path (round-4
+     * advisor finding: a hard -55 dBFS floor replaced whole quiet
+     * utterances with comfort noise); true digital silence still
+     * never trips the gate. */
+    bool raw = edb > nf_db + 9.0 && edb > -80.0;
     if (raw) {
       if (++burst >= 2) hang = 5;
       return true;

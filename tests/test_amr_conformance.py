@@ -272,6 +272,11 @@ def test_dtx_framing_and_roundtrip():
         assert fts.count(mode) >= 50, f"mode {mode}: speech frames gated"
         # SID cadence: a SID opens each silence run, then every 8th frame
         dec = ah.amrnb_decode(bs)
+        # Full-length decode: NO_DATA/SID frames must still emit their
+        # 160 samples (pins the round-4 buffer-truncation bug where the
+        # output buffer assumed >=13 bytes/frame).
+        assert len(dec) >= len(sig) - 160, (
+            f"mode {mode}: dtx decode truncated to {len(dec)}")
         m = min(len(sig), len(dec))
         c = np.corrcoef(sig[:m].astype(np.float64),
                         dec[:m].astype(np.float64))[0, 1]
