@@ -52,10 +52,10 @@ ISF_TABLES = [("d1", slice(0, 9)), ("d2", slice(9, 16)),
 CFG = dict(
     mu=1.0 / 3.0,            # ISF MA predictor factor
     isp15_angle=4.0,         # isp[15] = cos(isf15 * this * pi)
-    pred_init=-84.0,         # initial energy-predictor state (dB/tap)
+    pred_init=-14.0,         # initial energy-predictor state (dB/tap, exp2-hook verified)
     energy_mean=30.0,
     gc_q=2048.0,             # gain-correction column Q
-    code_energy_term=False,  # subtract 10log10(code energy)/64 in gc
+    code_energy_term=True,   # gc /= sqrt(dot(code,code)/64) (asm-verified)
     use_hpf=True,
     noise_enh=True,
     pitch_enh=True,
@@ -83,18 +83,29 @@ def dec_2p_track(v):
 
 
 def dec_lag_abs(idx):
+    """Absolute 9-bit lag (behaviorally pinned high-mode law),
+    normalized to frac in {0..3} so lag_int == floor(delay) — the
+    stored base byte (ctx+0x4b9) proves lavc keeps the floor."""
     if idx < 376:
         T0 = (idx + 137) >> 2
-        return T0, idx - (T0 << 2) + 136
-    if idx < 440:
+        frac = idx - (T0 << 2) + 136
+    elif idx < 440:
         T0 = (idx + 257 - 376) >> 1
-        return T0, (idx - (T0 << 1) + 256 - 376) * 2
-    return idx - 280, 0
+        frac = (idx - (T0 << 1) + 256 - 376) * 2
+    else:
+        T0, frac = idx - 280, 0
+    while frac < 0:
+        frac += 4
+        T0 -= 1
+    return T0, frac
 
 
 def dec_lag_rel(idx, base):
-    T0 = (idx + 1) >> 1
-    return T0 + base, (idx - (T0 << 1)) * 2
+    """12.65k+ sf1/sf3 relative lag: QUARTER resolution over 16 lags
+    from the clipped base (fixed round 5: the exc-memory dump showed
+    pitch sharpening at T = base + idx//4; the old half-lag ladder
+    was wrong)."""
+    return base + (idx >> 2), idx & 3
 
 
 def isf2isp(isf):
@@ -186,9 +197,15 @@ class WBDecoder:
             [[20.0 * np.log10(max(factor, 1e-20))], self.pred_err[:3]])
         return gp, gc
 
-    def frame(self, bits):
+    def frame(self, bits, code_override=None):
         isf_q = self.decode_isf(bits)
         isp_new = isf2isp(isf_q)
+        if getattr(self, "first_frame", True):
+            # lavc copies the first frame's ISP into isp_sub4_past
+            # (amrwb_decode_frame 0x36cc): no interpolation from
+            # isf_init on frame 0.
+            self.isp_old = isp_new.copy()
+            self.first_frame = False
         out12 = np.zeros(256)
         self.exc[:self.eoff] = self.exc[256:self.eoff + 256]
         synth = np.zeros(256 + 16)
@@ -206,15 +223,25 @@ class WBDecoder:
                     get_field(bits, self.lay[f"lag{sf}"]), base)
             self.prev_lag_int = lag_int
             e0 = self.eoff + sf * 64
-            adap = np.array([interp_read(self.exc, e0 + n, lag_int, frac)
-                             for n in range(64)])
+            # in-place adaptive extension (lavc interpolates the exc
+            # buffer in place, so lags < 64 re-read the fresh samples)
+            adap = np.empty(64)
+            saved = self.exc[e0:e0 + 64].copy()
+            for n in range(64):
+                v = interp_read(self.exc, e0 + n, lag_int, frac)
+                adap[n] = v
+                self.exc[e0 + n] = v
+            self.exc[e0:e0 + 64] = saved
             if get_field(bits, self.lay[f"ltp{sf}"]) == 0:
                 adap = np.convolve(adap, [0.18, 0.64, 0.18])[1:65]
-            code = np.zeros(64)
-            for t in range(4):
-                v = get_field(bits, self.lay[f"code{sf}"][t])
-                for pos, sgn in dec_2p_track(v):
-                    code[4 * pos + t] += sgn
+            if code_override is not None and sf in code_override:
+                code = np.asarray(code_override[sf], float).copy()
+            else:
+                code = np.zeros(64)
+                for t in range(4):
+                    v = get_field(bits, self.lay[f"code{sf}"][t])
+                    for pos, sgn in dec_2p_track(v):
+                        code[4 * pos + t] += sgn
             for i in range(63, 0, -1):
                 code[i] -= code[i - 1] * self.tilt
             if lag_int < 64:
@@ -223,18 +250,19 @@ class WBDecoder:
             ce = float(code @ code) / 64.0
             row = get_field(bits, self.lay[f"gain{sf}"])
             gp, gc = self.decode_gains(row, ce)
+            # voice factor with the asm-verified 0.01 epsilon guard
             ep = gp * gp * float(adap @ adap)
             ec = gc * gc * float(code @ code)
-            vf = (ep - ec) / (ep + ec + 1e-12)
+            vf = (ep - ec) / (ep + ec + 0.01)
             self.tilt = 0.25 * vf + 0.25
             gc_enh = gc
             if CFG["noise_enh"]:
-                if gc < self.prev_tr_gain:
+                if self.prev_tr_gain > gc:
                     g0 = min(self.prev_tr_gain, gc * 1.19)
                 else:
                     g0 = max(self.prev_tr_gain, gc * 0.84033)
                 self.prev_tr_gain = g0
-                sm = 0.5 * self.stab_fac * (1.0 - np.clip(vf, 0.0, 1.0))
+                sm = 0.5 * (1.0 - vf) * self.stab_fac
                 gc_enh = g0 * sm + gc * (1.0 - sm)
             code_enh = code.copy()
             if CFG["pitch_enh"]:
@@ -246,7 +274,10 @@ class WBDecoder:
                     ce2[i] = code[i] - cpe * (prev + nxt)
                     prev = code[i]
                 code_enh = ce2
-            exc_mem = gp * adap + gc * code
+            # adaptive-memory excitation: integer-truncated (the lavc
+            # float decoder emulates the fixed-point reference;
+            # amrwbdec.asm 0x1f90-0x2009)
+            exc_mem = np.trunc(gp * adap + gc * code)
             exc_syn = gp * adap + gc_enh * code_enh
             self.exc[e0:e0 + 64] = exc_mem if CFG["exc_unenhanced"] else exc_syn
             for n in range(64):
@@ -279,31 +310,33 @@ class WBDecoder:
         return np.concatenate([self.frame(b) for b in bit_frames])
 
     def run16(self, bit_frames):
-        return upsample_5_4(self.run12(bit_frames))
+        """16 kHz output in the oracle's float scale (the decoder works
+        in int16-equivalent amplitudes; the f32 output is /32768)."""
+        return upsample_5_4(self.run12(bit_frames)) / 32768.0
 
 
 def upsample_5_4(x):
     """lavc's exact 5/4 polyphase upsampler (pinned round 5 against the
     16k chain-impulse probe, per-phase corr > 0.9998, unit gain):
-      m%5==0: y[m] = x[base - 11]       (base = 4m/5)
-      m%5==1: FIR_B  @ shift 0          (frac .8)
-      m%5==2: FIR_A  @ shift 0          (frac .6)
-      m%5==3: FIR_A reversed @ shift 1  (frac .4)
-      m%5==4: FIR_B reversed @ shift 1  (frac .2)
-    y[m] = sum_j F[j] * x[floor(0.8 m) + s - j]; the common 11-sample
+      m%5==0: y[m] = x[base - 12]       (base = 4m/5)
+      m%5==1: FIR_B  @ shift -1         (frac .8)
+      m%5==2: FIR_A  @ shift -1         (frac .6)
+      m%5==3: FIR_A reversed @ shift 0  (frac .4)
+      m%5==4: FIR_B reversed @ shift 0  (frac .2)
+    y[m] = sum_j F[j] * x[floor(0.8 m) + s - j]; the common 12-sample
     causal delay was pinned from the burst onset (the phase-consistency
     calibration is blind to it)."""
     n16 = len(x) * 5 // 4
     xp = np.concatenate([np.zeros(32), x, np.zeros(32)])
     y = np.zeros(n16)
-    F = {1: (UP_FIR_B, 0), 2: (UP_FIR_A, 0),
-         3: (UP_FIR_A[::-1], 1), 4: (UP_FIR_B[::-1], 1)}
+    F = {1: (UP_FIR_B, -1), 2: (UP_FIR_A, -1),
+         3: (UP_FIR_A[::-1], 0), 4: (UP_FIR_B[::-1], 0)}
     j = np.arange(23)
     for m in range(n16):
         base = (4 * m) // 5 + 32
         ph = m % 5
         if ph == 0:
-            y[m] = xp[base - 11]
+            y[m] = xp[base - 12]
         else:
             Fk, s = F[ph]
             y[m] = float(Fk @ xp[base + s - j])
