@@ -1,119 +1,120 @@
-/* AMR-WB 12.65 kbps codec — real 3GPP-interoperable bitstreams.
+/* AMR-WB 12.65 kbps codec — EXACT decoder replica + AbS encoder.
  *
- * The reference's cellular tier runs AMR-WB through the external
- * acoustic-simulator (/root/reference/channel_simulation/
- * simulated_channel.py:34-35). This file implements the 12.65 kbps
- * mode from scratch against tables and decode laws recovered by
- * black-box probing of the in-image lavc `amrwb` decoder
- * (tools/amrwb_tables/, FACTS.md there): the 253-bit storage field
- * map, the 2-pulse-per-track algebraic codebook law, the absolute
- * (T = 34 + idx/4) and relative pitch-lag laws, the joint gain VQ
- * with its dB-domain MA(4) correction predictor, and the behaviorally
- * measured ISF MSVQ delta tables. Streams use RFC 4867 octet-aligned
- * storage framing (TOC 0x14 + 32 payload bytes per frame) and decode
- * on libavcodec's amrwb decoder; conformance is pinned by
- * tests/test_amrwb_conformance.py.
+ * Round-5 rewrite on the fully recovered lavc pipeline
+ * (tools/amrwb_tables/truedec.py is the validated Python reference:
+ * 0.9997 waveform corr vs the in-image lavc decoder on fully random
+ * bitstreams).  The decoder here ports that model 1:1; the encoder
+ * runs analysis-by-synthesis against an embedded replica so encoder
+ * and decoder state stay in lockstep.
  *
- * Encoder: analysis-by-synthesis CELP at 12.8 kHz (5/4 resampling at
- * the edges, 50 Hz highpass, 0.68 pre-emphasis, order-16 LP, MSVQ ISF
- * quantization over the recovered delta tables, closed-loop fractional
- * pitch on the decoded lag grids, per-track 2-pulse ACELP, joint gain
- * VQ with the mirrored predictor) feeding a mirrored tracking decoder.
- * The high band (6.4-7 kHz noise synthesis) is not modelled; lavc
- * regenerates it from the decoded parameters.
+ * Pipeline (TS 26.190 structure, constants/tables binary-exact from
+ * the lavc image — see native/augment/amrwb_truth.h):
+ *   bits -> {ISF split-MSVQ + mean + MA(1/3) + reorder 1/256}
+ *        -> ISP cos(2pi .) (entry 15 doubled) -> interpolated A(z)
+ *   exc  -> gp * interp(past exc, 65-tap 1/4-phase kernel, in place)
+ *         + gc * 2-pulse-per-track code (tilt + 0.85 sharpening)
+ *        -> integer-truncated adaptive memory; enhanced (noise/pitch
+ *           enhancer) synthesis excitation
+ *   out  -> 1/A -> de-emphasis 0.68 -> 31 Hz HPF -> 5/4 polyphase
+ *           upsample (23-tap phase FIRs) -> /32768
+ *
+ * Matches the reference's amrwb channel entries
+ * (/root/reference/channel_simulation/simulated_channel.py:33-35).
  */
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
 
-#include "amrwb_tables.h"
+#include "amrwb_truth.h"
 
-#ifndef AMRWB_ISF_SHRINK
-#define AMRWB_ISF_SHRINK 0.0
-#endif
+namespace wb {
 
-namespace amrwb {
-
-using namespace amrwb_tables;
-
-constexpr int kFrame = 256;        // 12.8 kHz samples per frame
-constexpr int kSub = 64;           // subframe
-constexpr int kOrder = 16;
 constexpr int kBits = 253;
-constexpr int kPayload = 32;       // bytes after TOC
-constexpr int kOut16k = 320;
-constexpr double kDeemph = 0.68;
-constexpr double kSharp = 0.85;
-constexpr double kIsfMa = 0.25;    // MA predictor factor (measured .15-.2,
-                                   // spec-shaped 1/3; tuned on conformance)
-constexpr double kPredTaps[4] = {0.5, 0.4, 0.3, 0.2};
-constexpr int kMaxLag = 231;
-constexpr int kHistLen = kMaxLag + 10 + kFrame;
+constexpr int kSub = 64;
+constexpr int kFrame = 256;
+constexpr int kPayload = 32;
+constexpr int kHist = 256;          // exc history kept behind the frame
+constexpr double kScale = 1.0 / 32768.0;
 
-/* ----------------------------------------------------------- bits -- */
+/* ------------------------------------------------ bit packing ---- */
 struct Bits {
   uint8_t b[kBits];
   void clear() { std::memset(b, 0, sizeof(b)); }
-  void put(const int* map, int nbits, int value) {
-    for (int i = 0; i < nbits; ++i)
-      b[map[i]] = (value >> (nbits - 1 - i)) & 1;
-  }
-  int get(const int* map, int nbits) const {
+  int get(const int* map, int n) const {
     int v = 0;
-    for (int i = 0; i < nbits; ++i) v = (v << 1) | b[map[i]];
+    for (int i = 0; i < n; ++i) v = (v << 1) | b[map[i]];
     return v;
+  }
+  void put(const int* map, int n, int v) {
+    for (int i = 0; i < n; ++i) b[map[i]] = (v >> (n - 1 - i)) & 1;
   }
 };
 
-inline void track_map(int sf, int t, int* map /*9*/) {
-  map[0] = 109 + 4 * sf + t;
-  for (int k = 0; k < 4; ++k) {
-    map[1 + 2 * k] = 125 + 32 * k + 8 * t + sf;
-    map[2 + 2 * k] = 129 + 32 * k + 8 * t + sf;
-  }
+/* ------------------------------------------------ ISF <-> A ------ */
+inline void isf_residual(const int idx[7], double r[16]) {
+  // float-order adds, as the lavc dequant does (each element scaled
+  // by 2^-15 in float, then the stage-2 element added in float)
+  float rf[16];
+  for (int i = 0; i < 9; ++i) rf[i] = wbt::k_d1[idx[0]][i] * (float)kScale;
+  for (int i = 0; i < 7; ++i)
+    rf[9 + i] = wbt::k_d2[idx[1]][i] * (float)kScale;
+  for (int i = 0; i < 3; ++i) rf[i] += wbt::k_d21[idx[2]][i] * (float)kScale;
+  for (int i = 0; i < 3; ++i)
+    rf[3 + i] += wbt::k_d22[idx[3]][i] * (float)kScale;
+  for (int i = 0; i < 3; ++i)
+    rf[6 + i] += wbt::k_d23[idx[4]][i] * (float)kScale;
+  for (int i = 0; i < 3; ++i)
+    rf[9 + i] += wbt::k_d24[idx[5]][i] * (float)kScale;
+  for (int i = 0; i < 4; ++i)
+    rf[12 + i] += wbt::k_d25[idx[6]][i] * (float)kScale;
+  for (int i = 0; i < 16; ++i) r[i] = rf[i];
 }
 
-/* -------------------------------------------------- ISF <-> LP ------ */
-/* ISF convention (tools/amrwb_tables/isf_param.py): entries 0,2,..,14
- * are the 8 root frequencies (Hz @12.8k) of F1 = A + rev(A); entries
- * 1,3,..,13 the 7 roots of F2/(z^2-1); entry 15 = acos(a16)-mapped. */
-inline void isf_to_a(const double* isf, double* a /*17*/) {
-  double f1[17] = {1.0};
-  int n1 = 1;
+inline void isf_to_isp(const double isf[16], double isp[16]) {
+  for (int i = 0; i < 15; ++i) isp[i] = std::cos(2.0 * M_PI * isf[i]);
+  isp[15] = std::cos(4.0 * M_PI * isf[15]);
+}
+
+inline void isp_to_a(const double isp[16], double a[17]) {
+  double f1[18] = {1.0};
   for (int i = 0; i < 8; ++i) {
-    double c = -2.0 * std::cos(isf[2 * i] * (2.0 * M_PI / 12800.0));
-    // multiply f1 by (1 + c z + z^2)
-    double nxt[17] = {0};
-    for (int j = 0; j < n1; ++j) {
-      nxt[j] += f1[j];
-      nxt[j + 1] += c * f1[j];
-      nxt[j + 2] += f1[j];
+    double q = isp[2 * i];
+    // convolve f1 with (1, -2q, 1)
+    double tmp[18];
+    int len = 2 * i + 1;
+    for (int j = 0; j < len + 2; ++j) {
+      double v = 0.0;
+      if (j < len) v += f1[j];
+      if (j >= 1 && j - 1 < len) v += -2.0 * q * f1[j - 1];
+      if (j >= 2 && j - 2 < len) v += f1[j - 2];
+      tmp[j] = v;
     }
-    n1 += 2;
-    std::memcpy(f1, nxt, sizeof(f1));
+    std::memcpy(f1, tmp, (len + 2) * sizeof(double));
   }
-  double f2[17] = {1.0, 0.0, -1.0};
-  int n2 = 3;
+  double f2[18] = {1.0, 0.0, -1.0};
   for (int i = 0; i < 7; ++i) {
-    double c = -2.0 * std::cos(isf[2 * i + 1] * (2.0 * M_PI / 12800.0));
-    double nxt[17] = {0};
-    for (int j = 0; j < n2; ++j) {
-      nxt[j] += f2[j];
-      nxt[j + 1] += c * f2[j];
-      nxt[j + 2] += f2[j];
+    double q = isp[2 * i + 1];
+    double tmp[18];
+    int len = 2 * i + 3;
+    for (int j = 0; j < len + 2; ++j) {
+      double v = 0.0;
+      if (j < len) v += f2[j];
+      if (j >= 1 && j - 1 < len) v += -2.0 * q * f2[j - 1];
+      if (j >= 2 && j - 2 < len) v += f2[j - 2];
+      tmp[j] = v;
     }
-    n2 += 2;
-    std::memcpy(f2, nxt, sizeof(f2));
+    std::memcpy(f2, tmp, (len + 2) * sizeof(double));
   }
-  double a16 = std::cos(isf[15] * (2.0 * M_PI / 12800.0));
+  double a16 = isp[15];
   for (int i = 0; i < 17; ++i)
     a[i] = 0.5 * ((1.0 + a16) * f1[i] + (1.0 - a16) * f2[i]);
 }
 
-/* a (order 16, monic) -> isf[16]; Chebyshev-grid root scan. */
-inline void a_to_isf(const double* a, double* isf) {
+/* A(z) -> normalized isf (encoder side; root-finding on F1/F2). */
+inline void a_to_isf(const double a[17], double isf[16]) {
   double f1[17], f2[17];
   for (int i = 0; i < 17; ++i) {
     f1[i] = a[i] + a[16 - i];
@@ -122,795 +123,937 @@ inline void a_to_isf(const double* a, double* isf) {
   // deflate f2 by (1 - z^-2)
   double f2d[15];
   {
-    double rem[17];
-    std::memcpy(rem, f2, sizeof(rem));
+    double r[17];
+    std::memcpy(r, f2, sizeof(r));
     double q1[16];
     for (int i = 0; i < 16; ++i) {
-      q1[i] = rem[i];
-      rem[i + 1] += q1[i];  // divide by (1 - z^-1)
+      q1[i] = r[i];
+      r[i + 1] += q1[i];
     }
-    double rem2[16];
-    std::memcpy(rem2, q1, sizeof(rem2));
+    double* rr = q1;
     for (int i = 0; i < 15; ++i) {
-      f2d[i] = rem2[i];
-      rem2[i + 1] -= f2d[i];  // divide by (1 + z^-1)
+      f2d[i] = rr[i];
+      rr[i + 1] -= f2d[i];
     }
   }
-  // evaluate a palindromic poly of even degree 2m at z=e^{jw}:
-  // P(w) = 2 sum_{k=0}^{m-1} p[k] cos((m-k) w) + p[m]
-  auto scan = [](const double* p, int m, double* roots, int want) {
+  auto roots_of = [](const double* p, int deg, int expect, double* ang) {
+    // evaluate on a fine cosine grid; p is symmetric -> use Chebyshev
+    // form: P(w) = sum p[i] cos((deg/2-i) w) over half
+    int found = 0;
+    int half = deg / 2;
     auto val = [&](double w) {
-      double s = p[m];
-      for (int k = 0; k < m; ++k) s += 2.0 * p[k] * std::cos((m - k) * w);
+      double s = p[half];
+      for (int i = 0; i < half; ++i)
+        s += 2.0 * p[i] * std::cos((half - i) * w);
       return s;
     };
-    int found = 0;
-    const int grid = 4096;
-    double prev = val(0.0), wprev = 0.0;
-    for (int g = 1; g <= grid && found < want; ++g) {
-      double w = M_PI * g / grid;
+    double prev = val(0.0);
+    double pw = 0.0;
+    for (int g = 1; g <= 4096 && found < expect; ++g) {
+      double w = M_PI * g / 4096.0;
       double v = val(w);
-      if ((prev < 0) != (v < 0)) {
-        double lo = wprev, hi = w;
+      if (prev == 0.0) prev = 1e-12;
+      if (v == 0.0 || (v > 0) != (prev > 0)) {
+        double lo = pw, hi = w;
         for (int it = 0; it < 40; ++it) {
           double mid = 0.5 * (lo + hi);
-          if ((val(lo) < 0) != (val(mid) < 0)) hi = mid; else lo = mid;
+          if ((val(mid) > 0) == (prev > 0)) lo = mid; else hi = mid;
         }
-        roots[found++] = 0.5 * (lo + hi);
+        ang[found++] = 0.5 * (lo + hi);
       }
       prev = v;
-      wprev = w;
+      pw = w;
     }
-    // fill any unfound roots near pi (degenerate cases)
-    while (found < want) roots[found++] = M_PI * 0.98;
+    while (found < expect) ang[found++] = M_PI * 0.98;
   };
-  double r1[8], r2[7];
-  scan(f1, 8, r1, 8);
-  scan(f2d, 7, r2, 7);
-  for (int i = 0; i < 8; ++i) isf[2 * i] = r1[i] * (12800.0 / (2.0 * M_PI));
-  for (int i = 0; i < 7; ++i)
-    isf[2 * i + 1] = r2[i] * (12800.0 / (2.0 * M_PI));
-  double a16 = a[16];
-  if (a16 > 1.0) a16 = 1.0;
-  if (a16 < -1.0) a16 = -1.0;
-  isf[15] = std::acos(a16) * (12800.0 / (2.0 * M_PI));
+  double t1[8], t2[7];
+  roots_of(f1, 16, 8, t1);
+  roots_of(f2d, 14, 7, t2);
+  for (int i = 0; i < 8; ++i) isf[2 * i] = t1[i] / (2.0 * M_PI);
+  for (int i = 0; i < 7; ++i) isf[2 * i + 1] = t2[i] / (2.0 * M_PI);
+  double a16 = std::max(-1.0, std::min(1.0, a[16]));
+  isf[15] = std::acos(a16) / (4.0 * M_PI);
 }
 
-/* ---------------------------------------------- ISF MSVQ model ------ */
-struct IsfFields {
-  int f1a, f1b, f2a, f2b, f2c, f2d, f2e;
-};
-
-inline void isf_delta_sum(const IsfFields& f, double* d /*16*/) {
-  for (int i = 0; i < 16; ++i)
-    d[i] = kIsfDelta_f1a[f.f1a][i] + kIsfDelta_f1b[f.f1b][i] +
-           kIsfDelta_f2a[f.f2a][i] + kIsfDelta_f2b[f.f2b][i] +
-           kIsfDelta_f2c[f.f2c][i] + kIsfDelta_f2d[f.f2d][i] +
-           kIsfDelta_f2e[f.f2e][i];
-}
-
-/* decoded isf(n) = base + Delta(n) + mu * Delta(n-1), reordered. */
-inline void isf_decode(const IsfFields& f, double* delta_prev,
-                       double* isf /*16*/) {
-  double d[16];
-  isf_delta_sum(f, d);
-  for (int i = 0; i < 16; ++i)
-    isf[i] = kIsfBase[i] + d[i] + kIsfMa * delta_prev[i];
-  std::memcpy(delta_prev, d, 16 * sizeof(double));
-  // stability: enforce ordering WITHIN each root set (even indices are
-  // F1 roots, odd are F2 roots; the interleaved vector need not be
-  // globally sorted — the measured base itself has isf[2] > isf[3])
-  for (int par = 0; par < 2; ++par) {
-    int lim = par == 0 ? 15 : 14;
-    for (int i = par + 2; i < lim; i += 2)
-      if (isf[i] < isf[i - 2] + 1.0) isf[i] = isf[i - 2] + 1.0;
-  }
-  for (int i = 0; i < 15; ++i) {
-    if (isf[i] < 40.0) isf[i] = 40.0;
-    if (isf[i] > 6300.0) isf[i] = 6300.0;
-  }
-  if (isf[15] < 500.0) isf[15] = 500.0;
-  if (isf[15] > 6300.0) isf[15] = 6300.0;
-}
-
-/* per-subframe interpolation in the cos (ISP-like) domain */
-inline void interp_isf(const double* old_isf, const double* new_isf,
-                       int sf, double* out) {
-  static const double w[4] = {0.45, 0.8, 0.96, 1.0};
-  for (int i = 0; i < 16; ++i)
-    out[i] = (1.0 - w[sf]) * old_isf[i] + w[sf] * new_isf[i];
-}
-
-/* ------------------------------------------------ lag laws ---------- */
-/* abs (sf0/sf2), 9 bits: lavc high-mode law, pinned by the echo sweep:
- * idx<376: int=(idx+137)>>2, frac=idx-(int<<2)+136 in [-1..2] quarters */
+/* ------------------------------------------------ lag laws ------- */
 inline void dec_lag_abs(int idx, int* T, int* frac) {
+  int t, f;
   if (idx < 376) {
-    *T = (idx + 137) >> 2;
-    *frac = idx - (*T << 2) + 136;
+    t = (idx + 137) >> 2;
+    f = idx - (t << 2) + 136;
   } else if (idx < 440) {
-    *T = (idx + 257 - 376) >> 1;
-    *frac = (idx - (*T << 1) + 256 - 376) * 2;
+    t = (idx + 257 - 376) >> 1;
+    f = (idx - (t << 1) + 256 - 376) * 2;
   } else {
-    *T = idx - 280;
-    *frac = 0;
+    t = idx - 280;
+    f = 0;
   }
+  while (f < 0) { f += 4; t -= 1; }
+  *T = t;
+  *frac = f;
 }
 
-inline int enc_lag_abs(int T, int frac) {  // frac in [-1..2]
-  return (T << 2) + frac - 136;
-}
-
-/* rel (sf1/sf3), 6 bits: half-lag ladder around base =
- * clip(T_prev - 8 - (frac_prev < 0), 34, 216). */
-inline int rel_base(int T_prev, int frac_prev) {
-  int b = T_prev - 8 - (frac_prev < 0 ? 1 : 0);
-  if (b < 34) b = 34;
-  if (b > 216) b = 216;
-  return b;
+inline int rel_base(int prev_T) {
+  // clip [34, 216]: 216 + 15.75 = the 231.75 max addressable lag
+  // (base-clip probed round 5 via long-read echoes at T_prev 217/231)
+  return std::min(std::max(prev_T - 8, 34), 216);
 }
 
 inline void dec_lag_rel(int idx, int base, int* T, int* frac) {
-  int li = (idx + 1) >> 1;
-  *frac = (idx - (li << 1)) * 2;  // 0 or -2 quarters
-  *T = li + base;
+  // delay = base + idx/4; the SHARPENING lag adds the lavc frac bump
+  // (pitch_lag_int += frac > 0), handled by the caller.
+  *T = base + (idx >> 2);
+  *frac = idx & 3;
 }
 
-inline int enc_lag_rel(int T, int frac, int base) {
-  int li = T - base;
-  return (li << 1) + (frac < 0 ? -1 : 0);
+/* ------------------------------------------------ code tracks ---- */
+inline void dec_track(int v, int pos[2], double sign[2]) {
+  int s = (v >> 8) & 1;
+  int b = (v >> 4) & 0xF;
+  int a = v & 0xF;
+  double s1 = s ? -1.0 : 1.0;
+  pos[0] = b;
+  sign[0] = s1;
+  pos[1] = a;
+  sign[1] = (a >= b) ? s1 : -s1;
 }
 
-/* ------------------------------------------- fractional delay ------- */
-/* windowed-sinc interpolator for exc[n - (T - frac/4)], 12.8 kHz */
-inline double frac_read(const double* exc, int n, int T, int frac) {
-  // delay = T + frac/4 with frac in [-2..2]
-  if (frac == 0) return exc[n - T];
-  double d = frac * 0.25;
-  // read exc at position n - T - d
-  double acc = 0.0;
-  for (int k = -7; k <= 8; ++k) {
-    double tau = k - d;
-    double w = 0.54 + 0.46 * std::cos(M_PI * tau / 8.5);
-    double s = (std::fabs(tau) < 1e-9)
-                   ? 1.0
-                   : std::sin(M_PI * tau) / (M_PI * tau);
-    acc += exc[n - T - k] * s * w;
+inline int enc_track(int posB, double signB, int posA, double signA) {
+  // inverse of dec_track: pulse1 (posB, signB), pulse2 (posA, signA)
+  int s = signB < 0 ? 1 : 0;
+  (void)signA;
+  return (s << 8) | (posB << 4) | posA;
+}
+
+/* ------------------------------------------- fractional read -----
+ * float32 with lavc's accumulation order (ff_acelp_interpolatef):
+ * the integer-truncated excitation memory makes the loop sensitive
+ * to rounding, so the replica must use float arithmetic. */
+inline float interp_read(const float* exc, int n, int T, int frac) {
+  int f, li;
+  if (frac == 0) { f = 4; li = T; }
+  else { f = frac; li = T + 1; }
+  int base = n + 1 - li;
+  float acc = 0.0f;
+  for (int i = 0; i < 16; ++i) {
+    acc += exc[base + i] * (float)wbt::kInterp[i * 4 + f];
+    acc += exc[base - i - 1] * (float)wbt::kInterp[(i + 1) * 4 - f];
   }
   return acc;
 }
 
-/* --------------------------------------------- code (ACELP) --------- */
-/* 9-bit 2-pulse track law (FACTS "2-pulse track coding law"):
- * A = v-bits {0,2,4,6}, B = v-bits {1,3,5,7}, s = v-bit 8;
- * pulse1 @B sign (s?+:-), pulse2 @A sign = sign1 if A>=B else -sign1. */
-inline void dec_track(int v, int* pos /*2*/, int* sign /*2*/) {
-  int A = 0, B = 0;
-  for (int i = 0; i < 4; ++i) {
-    A |= ((v >> (2 * i)) & 1) << i;
-    B |= ((v >> (2 * i + 1)) & 1) << i;
-  }
-  int s = (v >> 8) & 1;
-  int s1 = s ? 1 : -1;
-  pos[0] = B;
-  sign[0] = s1;
-  pos[1] = A;
-  sign[1] = (A >= B) ? s1 : -s1;
-}
-
-inline int enc_track(int posB, int signB, int posA, int signA) {
-  // choose s so that pulse@B has sign signB and pulse@A is consistent
-  // (signA must equal signB if posA>=posB else -signB; caller ensures)
-  int s = signB > 0 ? 1 : 0;
-  (void)signA;
-  int v = s << 8;
-  for (int i = 0; i < 4; ++i) {
-    v |= ((posA >> i) & 1) << (2 * i);
-    v |= ((posB >> i) & 1) << (2 * i + 1);
-  }
-  return v;
-}
-
-/* build the 64-sample fixed vector from the 4 track values */
-inline void dec_code(const int* tv /*4*/, double* code /*64*/) {
-  std::memset(code, 0, kSub * sizeof(double));
-  for (int t = 0; t < 4; ++t) {
-    int pos[2], sign[2];
-    dec_track(tv[t], pos, sign);
-    code[4 * pos[0] + t] += sign[0];
-    code[4 * pos[1] + t] += sign[1];
-  }
-}
-
-/* ------------------------------------------------ gains ------------- */
-struct GainPred {
-  double hist[4] = {0, 0, 0, 0};  // past correction dB relative to row0
-  double predict() const {
-    double p = 0.0;
-    for (int i = 0; i < 4; ++i) p += kPredTaps[i] * hist[i];
-    return p;
-  }
-  void push(int row) {
-    double c = 20.0 * std::log10((double)kGain[row][1] / 441.0);
-    hist[3] = hist[2];
-    hist[2] = hist[1];
-    hist[1] = hist[0];
-    hist[0] = c;
-  }
+/* ------------------------------------------------ field bundle --- */
+struct SubfrParams {
+  int lag_idx;
+  int ltp;
+  int gain_row;
+  int track[4];
+};
+struct FrameParams {
+  int isf_idx[7];
+  SubfrParams sf[4];
 };
 
-constexpr double kGcBase = 1.0;  // absolute row-0 code gain (calibrated
-                                 // against lavc by test_amrwb_conformance)
-
-inline void gains_of(int row, const GainPred& gp, double* g_pitch,
-                     double* g_code) {
-  *g_pitch = kGain[row][0] / 16384.0;
-  double pred_db = gp.predict();
-  *g_code = kGcBase * (kGain[row][1] / 441.0) *
-            std::pow(10.0, pred_db / 20.0);
+inline void parse_frame(const Bits& bits, FrameParams* p) {
+  static const int* isfmaps[7] = {wbt::kIsfBits0, wbt::kIsfBits1,
+                                  wbt::kIsfBits2, wbt::kIsfBits3,
+                                  wbt::kIsfBits4, wbt::kIsfBits5,
+                                  wbt::kIsfBits6};
+  static const int isfn[7] = {8, 8, 6, 7, 7, 5, 5};
+  for (int i = 0; i < 7; ++i) p->isf_idx[i] = bits.get(isfmaps[i], isfn[i]);
+  static const int* lagmaps[4] = {wbt::kLagBits0, wbt::kLagBits1,
+                                  wbt::kLagBits2, wbt::kLagBits3};
+  static const int lagn[4] = {9, 6, 9, 6};
+  static const int* ltpmaps[4] = {wbt::kLtpBit0, wbt::kLtpBit1,
+                                  wbt::kLtpBit2, wbt::kLtpBit3};
+  static const int* gmaps[4] = {wbt::kGainBits0, wbt::kGainBits1,
+                                wbt::kGainBits2, wbt::kGainBits3};
+  static const int* cmaps[4][4] = {
+      {wbt::kCodeBits0_0, wbt::kCodeBits0_1, wbt::kCodeBits0_2,
+       wbt::kCodeBits0_3},
+      {wbt::kCodeBits1_0, wbt::kCodeBits1_1, wbt::kCodeBits1_2,
+       wbt::kCodeBits1_3},
+      {wbt::kCodeBits2_0, wbt::kCodeBits2_1, wbt::kCodeBits2_2,
+       wbt::kCodeBits2_3},
+      {wbt::kCodeBits3_0, wbt::kCodeBits3_1, wbt::kCodeBits3_2,
+       wbt::kCodeBits3_3}};
+  for (int sf = 0; sf < 4; ++sf) {
+    p->sf[sf].lag_idx = bits.get(lagmaps[sf], lagn[sf]);
+    p->sf[sf].ltp = bits.get(ltpmaps[sf], 1);
+    p->sf[sf].gain_row = bits.get(gmaps[sf], 7);
+    for (int t = 0; t < 4; ++t)
+      p->sf[sf].track[t] = bits.get(cmaps[sf][t], 9);
+  }
 }
 
-/* ------------------------------------------------- resamplers ------- */
-/* stateful windowed-sinc rational resamplers (16k<->12.8k, ratio 4:5) */
-struct Resampler {
-  std::vector<double> buf;  // accumulated input
-  double ratio;             // input samples per output sample
-  double pos = 16.0;        // read position (leave kernel margin)
-  int consumed = 0;
-  explicit Resampler(double r) : ratio(r), buf(32, 0.0) {}
-  void push(const double* x, int n) { buf.insert(buf.end(), x, x + n); }
-  int pull(double* out, int maxn) {
-    int m = 0;
-    while (m < maxn) {
-      int ip = (int)pos;
-      if (ip + 17 >= (int)buf.size()) break;
-      double fr = pos - ip;
-      double acc = 0.0;
-      double cut = ratio > 1.0 ? 1.0 / ratio : 1.0;  // anti-alias
-      for (int k = -15; k <= 16; ++k) {
-        double tau = k - fr;
-        double w = 0.5 * (1.0 + std::cos(M_PI * tau / 16.5));
-        double s = (std::fabs(tau) < 1e-12)
-                       ? cut
-                       : std::sin(M_PI * cut * tau) / (M_PI * tau);
-        acc += buf[ip + k] * s * w;
-      }
-      out[m++] = acc;
-      pos += ratio;
-    }
-    // drop consumed prefix, keep kernel margin
-    int drop = (int)pos - 16;
-    if (drop > 0) {
-      buf.erase(buf.begin(), buf.begin() + drop);
-      pos -= drop;
-    }
-    return m;
+inline void write_frame(const FrameParams& p, Bits* bits) {
+  bits->clear();
+  static const int* isfmaps[7] = {wbt::kIsfBits0, wbt::kIsfBits1,
+                                  wbt::kIsfBits2, wbt::kIsfBits3,
+                                  wbt::kIsfBits4, wbt::kIsfBits5,
+                                  wbt::kIsfBits6};
+  static const int isfn[7] = {8, 8, 6, 7, 7, 5, 5};
+  for (int i = 0; i < 7; ++i) bits->put(isfmaps[i], isfn[i], p.isf_idx[i]);
+  static const int* lagmaps[4] = {wbt::kLagBits0, wbt::kLagBits1,
+                                  wbt::kLagBits2, wbt::kLagBits3};
+  static const int lagn[4] = {9, 6, 9, 6};
+  static const int* ltpmaps[4] = {wbt::kLtpBit0, wbt::kLtpBit1,
+                                  wbt::kLtpBit2, wbt::kLtpBit3};
+  static const int* gmaps[4] = {wbt::kGainBits0, wbt::kGainBits1,
+                                wbt::kGainBits2, wbt::kGainBits3};
+  static const int* cmaps[4][4] = {
+      {wbt::kCodeBits0_0, wbt::kCodeBits0_1, wbt::kCodeBits0_2,
+       wbt::kCodeBits0_3},
+      {wbt::kCodeBits1_0, wbt::kCodeBits1_1, wbt::kCodeBits1_2,
+       wbt::kCodeBits1_3},
+      {wbt::kCodeBits2_0, wbt::kCodeBits2_1, wbt::kCodeBits2_2,
+       wbt::kCodeBits2_3},
+      {wbt::kCodeBits3_0, wbt::kCodeBits3_1, wbt::kCodeBits3_2,
+       wbt::kCodeBits3_3}};
+  for (int sf = 0; sf < 4; ++sf) {
+    bits->put(lagmaps[sf], lagn[sf], p.sf[sf].lag_idx);
+    bits->put(ltpmaps[sf], 1, p.sf[sf].ltp);
+    bits->put(gmaps[sf], 7, p.sf[sf].gain_row);
+    for (int t = 0; t < 4; ++t)
+      bits->put(cmaps[sf][t], 9, p.sf[sf].track[t]);
   }
-};
+}
 
-/* ------------------------------------------------- decoder ---------- */
+/* ================================================== DECODER ====== */
 struct Decoder {
-  double isf_prev[16];
-  double delta_prev[16] = {0};
-  double exc[kHistLen] = {0};  // excitation history; frame writes at end
-  double synth_mem[kOrder] = {0};
-  GainPred gp;
-  int prev_T = 64, prev_frac = 0;
-  // output chain state: wavelet conv history + sinc upsampler
-  double w_hist[64] = {0};   // last synthesis samples (for kWave conv)
-  Resampler up{0.8};
+  /* float32 state: the lavc decoder runs single precision and the
+   * integer truncation of the excitation memory makes the adaptive
+   * loop rounding-sensitive, so the replica mirrors the float ops
+   * (doubles only where the disassembly shows doubles). */
+  float isf_past[16] = {0};             // raw residual MA state
+  float isf_past_final[16];             // stab comparison state
+  double isp_old[16];
+  bool first_frame = true;
+  float exc[kHist + kFrame] = {0};      // history + current frame
+  float pred_err[4];                    // newest first, dB
+  float tilt = 0.0f;
+  int prev_lag_int = 64;
+  float prev_tr_gain = 0.0f;
+  double stab_fac = 0.0;                // NOTE: no upper clip (<=1.25)
+  float demph_mem = 0.0f;
+  float hpf_x1 = 0, hpf_x2 = 0, hpf_y1 = 0, hpf_y2 = 0;
+  float synth_mem[16] = {0};
+  float up_hist[32] = {0};              // 12.8k tail for the upsampler
 
   Decoder() {
-    std::memcpy(isf_prev, kIsfBase, sizeof(isf_prev));
+    for (int i = 0; i < 4; ++i) pred_err[i] = -14.0f;
+    double isf0[16];
+    for (int i = 0; i < 16; ++i) {
+      isf0[i] = (float)(wbt::kIsfInit[i] * (float)kScale);
+      isf_past_final[i] = (float)isf0[i];
+    }
+    isf_to_isp(isf0, isp_old);
   }
 
-  /* decode one frame's 253 bits -> 256 samples @12.8k (preemph domain
-   * removed), plus push to the upsampler. */
-  void frame(const Bits& bits, double* out12k8 /*kFrame*/) {
-    IsfFields f;
-    f.f1a = bits.get(kIsf_f1a, 8);
-    f.f1b = bits.get(kIsf_f1b, 8);
-    f.f2a = bits.get(kIsf_f2a, 6);
-    f.f2b = bits.get(kIsf_f2b, 7);
-    f.f2c = bits.get(kIsf_f2c, 7);
-    f.f2d = bits.get(kIsf_f2d, 5);
-    f.f2e = bits.get(kIsf_f2e, 5);
-    double isf_new[16];
-    isf_decode(f, delta_prev, isf_new);
+  void decode_isf(const int idx[7], float isf_q[16]) {
+    float r[16];
+    {
+      double rd[16];
+      isf_residual(idx, rd);
+      for (int i = 0; i < 16; ++i) r[i] = (float)rd[i];
+    }
+    for (int i = 0; i < 16; ++i) {
+      float base = r[i] + (float)wbt::kIsfMean[i];
+      double q = (double)base + (1.0 / 3.0) * (double)isf_past[i];
+      isf_q[i] = (float)q;
+      isf_past[i] = r[i];
+    }
+    float prev = 0.0f;
+    for (int i = 0; i < 15; ++i) {
+      isf_q[i] = std::max(isf_q[i], prev + (float)(1.0 / 256.0));
+      prev = isf_q[i];
+    }
+    float d2 = 0.0f;
+    for (int i = 0; i < 15; ++i) {
+      float d = isf_q[i] - isf_past_final[i];
+      d2 += d * d;
+    }
+    stab_fac = std::max(0.0, 1.25 - (double)d2 * 0.8 * 512.0);
+    std::memcpy(isf_past_final, isf_q, sizeof(isf_past_final));
+  }
 
-    // shift excitation history left by one frame
-    std::memmove(exc, exc + kFrame, (kHistLen - kFrame) * sizeof(double));
-    double* e = exc + (kHistLen - kFrame);
+  void gains(int row, double code_energy64, double* gp, double* gc) const {
+    *gp = (float)(wbt::kGain7[row][0] * (float)(1.0 / 16384.0));
+    float factor = (float)(wbt::kGain7[row][1] * (float)(1.0 / 2048.0));
+    float dot = pred_err[3] * 0.2f;   // avpriv order: a[0]*b[0]+..
+    dot = 0.2f * pred_err[3] + 0.3f * pred_err[2];
+    dot += 0.4f * pred_err[1];
+    dot += 0.5f * pred_err[0];
+    double v = ((double)(dot + 30.0f)) * 3.3219280948873623 *
+               0.05000000000000000277;
+    double g = (double)factor * std::exp2(v);
+    if (code_energy64 > 0.0) g /= std::sqrt((double)(float)code_energy64);
+    *gc = (float)g;
+  }
+  void push_gain(int row) {
+    float factor = (float)(wbt::kGain7[row][1] * (float)(1.0 / 2048.0));
+    pred_err[3] = pred_err[2];
+    pred_err[2] = pred_err[1];
+    pred_err[1] = pred_err[0];
+    pred_err[0] = 20.0f * std::log10(factor);
+  }
 
+  void build_code(const SubfrParams& s, int lag_int, float code[kSub]) const {
+    std::memset(code, 0, kSub * sizeof(float));
+    for (int t = 0; t < 4; ++t) {
+      int pos[2];
+      double sg[2];
+      dec_track(s.track[t], pos, sg);
+      code[4 * pos[0] + t] += (float)sg[0];
+      code[4 * pos[1] + t] += (float)sg[1];
+    }
+    for (int i = kSub - 1; i > 0; --i) code[i] -= code[i - 1] * tilt;
+    if (lag_int < kSub)
+      for (int i = lag_int; i < kSub; ++i)
+        code[i] += 0.85f * code[i - lag_int];
+  }
+
+  /* one subframe given parsed params; writes the 12.8k core
+   * (pre-deemphasis) into synth_out and updates all state. */
+  void subframe(int sf, const SubfrParams& s, const float a[17],
+                float synth_out[kSub]) {
+    int lag_int, frac;
+    if (sf == 0 || sf == 2) {
+      dec_lag_abs(s.lag_idx, &lag_int, &frac);
+    } else {
+      dec_lag_rel(s.lag_idx, rel_base(prev_lag_int), &lag_int, &frac);
+    }
+    prev_lag_int = lag_int;
+    int t_sharp = lag_int + (frac == 3);  // round at 3/4 (probed)
+    int e0 = kHist + sf * kSub;
+    float adap[kSub];
+    for (int n = 0; n < kSub; ++n) {
+      float v = interp_read(exc, e0 + n, lag_int, frac);
+      adap[n] = v;
+      exc[e0 + n] = v;          // in-place extension, as lavc does
+    }
+    if (s.ltp == 0) {
+      float sm[kSub];
+      for (int n = 0; n < kSub; ++n) {
+        float p = n > 0 ? adap[n - 1] : 0.0f;
+        float q = n < kSub - 1 ? adap[n + 1] : 0.0f;
+        sm[n] = 0.18f * p + 0.64f * adap[n] + 0.18f * q;
+      }
+      std::memcpy(adap, sm, sizeof(sm));
+      for (int n = 0; n < kSub; ++n) exc[e0 + n] = adap[n];
+    }
+    float code[kSub];
+    build_code(s, t_sharp, code);
+    float ce = 0.0f;
+    for (int n = 0; n < kSub; ++n) ce += code[n] * code[n];
+    double gp, gc;
+    gains(s.gain_row, (double)(ce * (float)(1.0 / 64.0)), &gp, &gc);
+    push_gain(s.gain_row);
+    float gpf = (float)gp, gcf = (float)gc;
+    float dotp = 0.0f;
+    for (int n = 0; n < kSub; ++n) dotp += adap[n] * adap[n];
+    double ep = (double)dotp * gp * gp;
+    double ecd = (double)ce * gc * gc;
+    double vf = (ep - ecd) / (ep + ecd + 0.01);
+    tilt = (float)(vf * 0.25 + 0.25);
+    float vff = (float)vf;
+    float gc_enh;
+    {
+      float g0;
+      if (prev_tr_gain > gcf) g0 = std::min(prev_tr_gain, gcf + gcf * 0.19f);
+      else g0 = std::max(prev_tr_gain, gcf * 0.84033203f);
+      prev_tr_gain = g0;
+      float sm = (float)((double)(1.0f - vff) * 0.5 * stab_fac);
+      gc_enh = g0 * sm + gcf * (1.0f - sm);
+    }
+    float cpe = (vff + 1.0f) * 0.125f;
+    float code_enh[kSub];
+    {
+      code_enh[0] = code[0] - cpe * code[1];
+      for (int n = 1; n < kSub - 1; ++n)
+        code_enh[n] = code[n] - cpe * (code[n - 1] + code[n + 1]);
+      code_enh[kSub - 1] = code[kSub - 1] - cpe * code[kSub - 2];
+    }
+    for (int n = 0; n < kSub; ++n) {
+      float m = exc[e0 + n] * gpf + gcf * code[n];
+      if (std::fabs(m) < 8388608.0f) m = (float)(int)m;
+      exc[e0 + n] = m;
+    }
+    for (int n = 0; n < kSub; ++n) {
+      float syn = gpf * adap[n] + gc_enh * code_enh[n];
+      float v = syn;
+      for (int k = 1; k <= 16; ++k) {
+        float past = (n - k >= 0) ? synth_out[n - k] : synth_mem[16 + n - k];
+        v -= a[k] * past;
+      }
+      synth_out[n] = v;
+    }
+    std::memcpy(synth_mem, synth_out + kSub - 16, 16 * sizeof(float));
+  }
+
+  void frame_lpc(const int isf_idx[7], float a4[4][17]) {
+    float isf_q[16];
+    decode_isf(isf_idx, isf_q);
+    double isp_new[16];
+    {
+      // lavc: lsp[i] = cos(pi * lsf2[i]) with lsf2 = 2*isf (float
+      // doubling, exact), entry 15 doubled once more in float.
+      for (int i = 0; i < 15; ++i)
+        isp_new[i] = std::cos((double)(isf_q[i] + isf_q[i]) * M_PI);
+      float e15 = isf_q[15] + isf_q[15];
+      isp_new[15] = std::cos((double)(e15 + e15) * M_PI);
+    }
+    if (first_frame) {
+      std::memcpy(isp_old, isp_new, sizeof(isp_old));
+      first_frame = false;
+    }
+    static const double WO[4] = {0.55, 0.2, 0.04, 0.0};
+    static const double WN[4] = {0.45, 0.8, 0.96, 1.0};
     for (int sf = 0; sf < 4; ++sf) {
-      double isf_i[16], a[17];
-      interp_isf(isf_prev, isf_new, sf, isf_i);
-      isf_to_a(isf_i, a);
-
-      int T, frac;
-      if (sf == 0) {
-        dec_lag_abs(bits.get(kLagSf0, 9), &T, &frac);
-      } else if (sf == 2) {
-        dec_lag_abs(bits.get(kLagSf2, 9), &T, &frac);
-      } else {
-        int base = rel_base(prev_T, prev_frac);
-        dec_lag_rel(bits.get(sf == 1 ? kLagSf1 : kLagSf3, 6), base, &T,
-                    &frac);
-      }
-      prev_T = T;
-      prev_frac = frac;
-
-      int row = 0;
-      {
-        int map[7];
-        for (int i = 0; i < 7; ++i) map[i] = kGainSf0[i] + sf;
-        row = bits.get(map, 7);
-      }
-      double g_pitch, g_code;
-      gains_of(row, gp, &g_pitch, &g_code);
-      gp.push(row);
-
-      int tv[4];
-      for (int t = 0; t < 4; ++t) {
-        int map[9];
-        track_map(sf, t, map);
-        tv[t] = bits.get(map, 9);
-      }
-      double code[kSub];
-      dec_code(tv, code);
-      // pitch sharpening (periodicity part; echo amplitude pinned 0.85)
-      if (T < kSub)
-        for (int i = T; i < kSub; ++i) code[i] += kSharp * code[i - T];
-
-      double* esf = e + sf * kSub;
-      for (int n = 0; n < kSub; ++n) {
-        int gi = (int)(e - exc) + sf * kSub + n;
-        double v = frac_read(exc, gi, T, frac);
-        esf[n] = g_pitch * v + g_code * code[n];
-      }
-
-      // synthesis 1/A + deemphasis
-      double* osf = out12k8 + sf * kSub;
-      for (int n = 0; n < kSub; ++n) {
-        double s = esf[n];
-        for (int k = 0; k < kOrder; ++k) {
-          int idx = n - 1 - k;
-          double past = (idx >= 0) ? osf[idx] : synth_mem[kOrder - 1 -
-                                                          (-idx - 1)];
-          s -= a[k + 1] * past;
-        }
-        osf[n] = s;
-      }
-      // update synth memory: last 16 preemph-domain outputs
-      for (int k = 0; k < kOrder; ++k) synth_mem[k] = osf[kSub - kOrder + k];
+      double isp_i[16], ad[17];
+      for (int i = 0; i < 16; ++i)
+        isp_i[i] = WO[sf] * isp_old[i] + WN[sf] * isp_new[i];
+      isp_to_a(isp_i, ad);
+      for (int i = 0; i < 17; ++i) a4[sf][i] = (float)ad[i];
     }
-    std::memcpy(isf_prev, isf_new, sizeof(isf_prev));
+    std::memcpy(isp_old, isp_new, sizeof(isp_old));
   }
 
-  /* output: chain wavelet at 12.8k, then 5/4 sinc upsample to 16k. */
-  int emit16k(const double* s_frame, float* out, double scale) {
-    double buf[64 + kFrame];
-    std::memcpy(buf, w_hist, 64 * sizeof(double));
-    std::memcpy(buf + 64, s_frame, kFrame * sizeof(double));
-    std::memcpy(w_hist, buf + kFrame, 64 * sizeof(double));
-    double conv[kFrame];
+  /* full frame -> 12.8k output (post deemph+HPF), 256 samples */
+  void frame(const FrameParams& p, float out12[kFrame]) {
+    float a4[4][17];
+    frame_lpc(p.isf_idx, a4);
+    std::memmove(exc, exc + kFrame, kHist * sizeof(float));
+    for (int sf = 0; sf < 4; ++sf)
+      subframe(sf, p.sf[sf], a4[sf], out12 + sf * kSub);
     for (int n = 0; n < kFrame; ++n) {
-      double acc = 0.0;
-      for (int j = 0; j < kWaveTaps; ++j) {
-        int idx = 64 + n - j + kWaveOff;
-        if (idx >= 0 && idx < 64 + kFrame) acc += kWave[j] * buf[idx];
-      }
-      conv[n] = acc * scale;
+      demph_mem = out12[n] + 0.68f * demph_mem;
+      out12[n] = demph_mem;
     }
-    up.push(conv, kFrame);
-    double tmp[kOut16k + 64];
-    int m = up.pull(tmp, kOut16k + 64);
-    for (int i = 0; i < m; ++i) out[i] = (float)tmp[i];
-    return m;
+    // ff_acelp_apply_order_2_transfer_function (direct form II),
+    // poles/zeros/gain bit-exact from the lavc image:
+    // poles {-1.9788818359375, 0.9791259765625}, zeros {-2, 1},
+    // gain 0.989501953125 (31 Hz high-pass at 12.8 kHz).
+    for (int n = 0; n < kFrame; ++n) {
+      float x = out12[n];
+      float tmp = x - (-1.9788818359375f) * hpf_x1 -
+                  0.9791259765625f * hpf_x2;
+      float v = 0.989501953125f *
+                (tmp + (-2.0f) * hpf_x1 + 1.0f * hpf_x2);
+      hpf_x2 = hpf_x1;
+      hpf_x1 = tmp;
+      out12[n] = v;
+    }
+  }
+
+  /* streaming 5/4 upsample of one frame -> 320 samples at 16 kHz,
+   * already divided to the oracle float scale. */
+  void upsample(const float in12[kFrame], float out16[320]) {
+    float buf[32 + kFrame];
+    std::memcpy(buf, up_hist, 32 * sizeof(float));
+    std::memcpy(buf + 32, in12, kFrame * sizeof(float));
+    for (int m = 0; m < 320; ++m) {
+      int base = (4 * m) / 5 + 32;
+      int ph = m % 5;
+      float v;
+      if (ph == 0) {
+        v = buf[base - 12];
+      } else {
+        float acc = 0.0f;
+        if (ph == 1) {
+          for (int j = 0; j < 23; ++j)
+            acc += (float)wbt::kUpFirB[j] * buf[base - 1 - j];
+        } else if (ph == 2) {
+          for (int j = 0; j < 23; ++j)
+            acc += (float)wbt::kUpFirA[j] * buf[base - 1 - j];
+        } else if (ph == 3) {
+          for (int j = 0; j < 23; ++j)
+            acc += (float)wbt::kUpFirA[22 - j] * buf[base - j];
+        } else {
+          for (int j = 0; j < 23; ++j)
+            acc += (float)wbt::kUpFirB[22 - j] * buf[base - j];
+        }
+        v = acc;
+      }
+      out16[m] = v * (float)kScale;
+    }
+    std::memcpy(up_hist, buf + kFrame, 32 * sizeof(float));
   }
 };
 
-}  // namespace amrwb
-
-namespace amrwb {
-
-/* ================================================== encoder ========= */
-
+/* ================================================== ENCODER ====== */
 struct Encoder {
-  // analysis state
-  double lookahead[kSub] = {0};     // 64-sample analysis lookahead
-  double past_speech[kFrame] = {0}; // previous frame (synthesis domain)
-  double delta_prev[16] = {0};      // quantizer MA state (mirror)
-  double isf_prev_q[16];
-  // AbS state (mirrors the decoder) + weighting memories (NB pattern)
-  double exc[kHistLen] = {0};
-  double synth_mem[kOrder] = {0};
-  double wn_mem[kOrder] = {0}, wd_mem[kOrder] = {0};    // W on speech
-  double wqn_mem[kOrder] = {0}, wqd_mem[kOrder] = {0};  // W on synth
-  GainPred gp;
-  int prev_T = 64, prev_frac = 0;
+  Decoder local;                 // exact replica for state lockstep
+  double isf_enc_past[16] = {0}; // quantizer MA state (tracks decoder)
+  double t_synth_mem = 0.0;      // pre-emphasis memory of the target
 
-  Encoder() {
-    std::memcpy(isf_prev_q, kIsfBase, sizeof(isf_prev_q));
-  }
-
-  static void fir16(const double* x, int n, const double* w, double* mem,
-                    double* y) {
-    for (int i = 0; i < n; ++i) {
-      double s = x[i];
-      for (int k = 0; k < kOrder; ++k) {
-        int idx = i - 1 - k;
-        s += w[k] * (idx >= 0 ? x[idx] : mem[kOrder - 1 + idx + 1]);
-      }
-      y[i] = s;
+  /* LP analysis on the pre-emphasized 12.8k target */
+  void lp_analysis(const double* sp /* kFrame + lookahead, centered */,
+                   double a[17]) {
+    // asymmetric window over [ -64 .. 256+64 ) around the frame
+    constexpr int N = 384;
+    double w[N], x[N];
+    for (int i = 0; i < N; ++i) {
+      w[i] = 0.54 - 0.46 * std::cos(2.0 * M_PI * i / (N - 1));
+      x[i] = sp[i - kSub] * w[i];
     }
-    for (int k = 0; k < kOrder; ++k) mem[k] = x[n - kOrder + k];
-  }
-
-  static void iir16(const double* x, int n, const double* w, double* mem,
-                    double* y) {
-    for (int i = 0; i < n; ++i) {
-      double s = x[i];
-      for (int k = 0; k < kOrder; ++k) {
-        int idx = i - 1 - k;
-        s -= w[k] * (idx >= 0 ? y[idx] : mem[kOrder - 1 + idx + 1]);
-      }
-      y[i] = s;
-    }
-    for (int k = 0; k < kOrder; ++k) mem[k] = y[n - kOrder + k];
-  }
-
-  void lp_analysis(const double* speech, double* a /*17*/) {
-    constexpr int W = 320;
-    double w[W], buf[W];
-    for (int i = 0; i < W; ++i) {
-      w[i] = 0.54 - 0.46 * std::cos(2.0 * M_PI * i / (W - 1));
-      buf[i] = speech[kFrame + kSub - W + i] * w[i];
-    }
-    double r[kOrder + 1];
-    for (int k = 0; k <= kOrder; ++k) {
-      double acc = 0.0;
-      for (int i = k; i < W; ++i) acc += buf[i] * buf[i - k];
-      r[k] = acc;
+    double r[17];
+    for (int k = 0; k <= 16; ++k) {
+      double s = 0.0;
+      for (int i = k; i < N; ++i) s += x[i] * x[i - k];
+      r[k] = s;
     }
     r[0] *= 1.0001;
-    if (r[0] < 1e-12) r[0] = 1e-12;
-    for (int k = 1; k <= kOrder; ++k) {
-      double f = 2.0 * M_PI * 60.0 * k / 12800.0;
+    r[0] += 1e-10;
+    for (int k = 1; k <= 16; ++k) {
+      double f = 2.0 * M_PI * 60.0 * k / 12800.0;   // 60 Hz lag window
       r[k] *= std::exp(-0.5 * f * f);
     }
-    double A[kOrder + 1] = {1.0}, tmp[kOrder + 1];
+    double A[17] = {1.0};
     double err = r[0];
-    for (int m = 1; m <= kOrder; ++m) {
-      double acc = r[m];
-      for (int j = 1; j < m; ++j) acc += A[j] * r[m - j];
-      double k_ = -acc / err;
+    for (int i = 1; i <= 16; ++i) {
+      double acc = r[i];
+      for (int j = 1; j < i; ++j) acc += A[j] * r[i - j];
+      double k = -acc / err;
+      double tmp[17];
       std::memcpy(tmp, A, sizeof(tmp));
-      for (int j = 1; j < m; ++j) A[j] = tmp[j] + k_ * tmp[m - j];
-      A[m] = k_;
-      err *= (1.0 - k_ * k_);
-      if (err < 1e-12) err = 1e-12;
+      for (int j = 1; j < i; ++j) A[j] = tmp[j] + k * tmp[i - j];
+      A[i] = k;
+      err *= (1.0 - k * k);
+      if (err <= 0) err = 1e-9;
     }
-    std::memcpy(a, A, (kOrder + 1) * sizeof(double));
+    std::memcpy(a, A, 17 * sizeof(double));
   }
 
-  void quantize_isf(const double* isf_t, IsfFields* f, double* isf_q) {
-    double resid[16];
+  /* split-MSVQ quantization with the decoder's MA semantics */
+  void quantize_isf(const double isf_t[16], int idx[7]) {
+    double target[16];
     for (int i = 0; i < 16; ++i)
-      resid[i] = isf_t[i] - kIsfBase[i] - kIsfMa * delta_prev[i];
-    double wgt[16];
-    for (int i = 0; i < 15; ++i) wgt[i] = 1.0;
-    wgt[15] = 0.25;
-    // shrinkage toward small deflections: the measured delta tables
-    // are most accurate near the base (FACTS 'Native codec state'), so
-    // penalize large rows by the model-noise growth.
-    constexpr double kShrink = AMRWB_ISF_SHRINK;
-    auto pick = [&](const float (*tab)[16], int n) {
-      int best = 0;
-      double be = 1e30;
-      for (int idx = 0; idx < n; ++idx) {
-        double e = 0.0;
-        double rn = 0.0;
-        for (int i = 0; i < 16; ++i) {
-          double d = resid[i] - tab[idx][i];
-          e += wgt[i] * d * d;
-          rn += (double)tab[idx][i] * tab[idx][i];
+      target[i] = (isf_t[i] - wbt::kIsfMean[i] -
+                   (1.0 / 3.0) * isf_enc_past[i]) / kScale;
+    auto best = [](const double* t, const int16_t* tab, int rows, int dims,
+                   int stride) {
+      int bi = 0;
+      double bd = 1e30;
+      for (int rix = 0; rix < rows; ++rix) {
+        const int16_t* row = tab + rix * stride;
+        double d = 0.0;
+        for (int j = 0; j < dims; ++j) {
+          double e = t[j] - row[j];
+          d += e * e;
         }
-        e += kShrink * rn;
-        if (e < be) { be = e; best = idx; }
+        if (d < bd) { bd = d; bi = rix; }
       }
-      for (int i = 0; i < 16; ++i) resid[i] -= tab[best][i];
-      return best;
+      return bi;
     };
-    f->f1a = pick(kIsfDelta_f1a, 256);
-    f->f1b = pick(kIsfDelta_f1b, 256);
-    f->f2a = pick(kIsfDelta_f2a, 64);
-    f->f2b = pick(kIsfDelta_f2b, 128);
-    f->f2c = pick(kIsfDelta_f2c, 128);
-    f->f2d = pick(kIsfDelta_f2d, 32);
-    f->f2e = pick(kIsfDelta_f2e, 32);
-    isf_decode(*f, delta_prev, isf_q);
+    idx[0] = best(target, &wbt::k_d1[0][0], 256, 9, 9);
+    idx[1] = best(target + 9, &wbt::k_d2[0][0], 256, 7, 7);
+    double res[16];
+    for (int i = 0; i < 9; ++i) res[i] = target[i] - wbt::k_d1[idx[0]][i];
+    for (int i = 0; i < 7; ++i)
+      res[9 + i] = target[9 + i] - wbt::k_d2[idx[1]][i];
+    idx[2] = best(res, &wbt::k_d21[0][0], 64, 3, 3);
+    idx[3] = best(res + 3, &wbt::k_d22[0][0], 128, 3, 3);
+    idx[4] = best(res + 6, &wbt::k_d23[0][0], 128, 3, 3);
+    idx[5] = best(res + 9, &wbt::k_d24[0][0], 32, 3, 3);
+    idx[6] = best(res + 12, &wbt::k_d25[0][0], 32, 4, 4);
+    double r[16];
+    isf_residual(idx, r);
+    for (int i = 0; i < 16; ++i) isf_enc_past[i] = r[i];
   }
 
-  int open_loop(const double* sp) {
-    double best = -1e30;
-    int bestT = 64;
-    for (int T = 34; T <= 205; ++T) {
-      double num = 0, den = 1e-9;
-      for (int n = 0; n < kFrame; n += 2) {
-        double p = sp[n - T];
-        num += sp[n] * p;
-        den += p * p;
-      }
-      double sc = num > 0 ? num * num / den : 0.0;
-      sc *= 1.0 / (1.0 + 0.0006 * T);
-      if (sc > best) { best = sc; bestT = T; }
-    }
-    return bestT;
-  }
-
-  void encode_subframe(Bits* bits, int sf, const double* ssf,
-                       const double* a, int olT) {
-    constexpr double kG1 = 0.92, kG2 = 0.6;
-    double w1[kOrder], w2[kOrder];
-    for (int i = 0; i < kOrder; ++i) {
-      w1[i] = a[i + 1] * std::pow(kG1, i + 1);
-      w2[i] = a[i + 1] * std::pow(kG2, i + 1);
-    }
-    // weighted impulse response h = W * 1/A
-    double h[kSub];
-    {
-      double imp[kSub] = {0};
-      imp[0] = 1.0;
-      double t1[kSub], t2[kSub];
-      double m0[kOrder] = {0}, m1[kOrder] = {0}, m2[kOrder] = {0};
-      iir16(imp, kSub, a + 1, m0, t1);
-      fir16(t1, kSub, w1, m1, t2);
-      iir16(t2, kSub, w2, m2, h);
-    }
-    // weighted speech and ZIR-weighted target
-    double sw[kSub], x[kSub];
-    {
-      double t1[kSub];
-      fir16(ssf, kSub, w1, wn_mem, t1);
-      iir16(t1, kSub, w2, wd_mem, sw);
-      double zeros[kSub] = {0}, zs[kSub], zt[kSub], zw[kSub];
-      double ms[kOrder], mn[kOrder], md[kOrder];
-      std::memcpy(ms, synth_mem, sizeof(ms));
-      std::memcpy(mn, wqn_mem, sizeof(mn));
-      std::memcpy(md, wqd_mem, sizeof(md));
-      iir16(zeros, kSub, a + 1, ms, zs);
-      fir16(zs, kSub, w1, mn, zt);
-      iir16(zt, kSub, w2, md, zw);
-      for (int n = 0; n < kSub; ++n) x[n] = sw[n] - zw[n];
-    }
-
-    // ---- closed-loop pitch on the legal grid
-    int bestT = 64, bestFrac = 0, lagIdx = 0;
-    double y[kSub], v_best[kSub];
-    {
-      double bestSc = -1e30;
-      auto try_lag = [&](int T, int frac, int idx) {
-        double v[kSub], yy[kSub];
-        int gbase = kHistLen - kFrame + sf * kSub;
-        for (int n = 0; n < kSub; ++n)
-          v[n] = frac_read(exc, gbase + n, T, frac);
-        for (int n = 0; n < kSub; ++n) {
-          double s = 0.0;
-          for (int k = 0; k <= n; ++k) s += v[k] * h[n - k];
-          yy[n] = s;
-        }
-        double num = 0, den = 1e-9;
-        for (int n = 0; n < kSub; ++n) {
-          num += x[n] * yy[n];
-          den += yy[n] * yy[n];
-        }
-        double sc = num > 0 ? num * num / den : 0.0;
-        if (sc > bestSc) {
-          bestSc = sc;
-          bestT = T;
-          bestFrac = frac;
-          lagIdx = idx;
-          std::memcpy(y, yy, sizeof(y));
-          std::memcpy(v_best, v, sizeof(v));
-        }
-      };
-      if (sf == 0 || sf == 2) {
-        int lo = olT - 5, hi = olT + 5;
-        if (lo < 34) lo = 34;
-        if (hi > 205) hi = 205;
-        for (int T = lo; T <= hi; ++T)
-          for (int frac = -1; frac <= 2; ++frac) {
-            int idx = enc_lag_abs(T, frac);
-            if (idx < 0 || idx >= 376) continue;
-            try_lag(T, frac, idx);
-          }
-      } else {
-        int base = rel_base(prev_T, prev_frac);
-        for (int idx = 0; idx < 64; ++idx) {
-          int T, frac;
-          dec_lag_rel(idx, base, &T, &frac);
-          if (T > kMaxLag) continue;
-          try_lag(T, frac, idx);
-        }
-      }
-    }
-    prev_T = bestT;
-    prev_frac = bestFrac;
-    if (sf == 0) bits->put(kLagSf0, 9, lagIdx);
-    else if (sf == 2) bits->put(kLagSf2, 9, lagIdx);
-    else bits->put(sf == 1 ? kLagSf1 : kLagSf3, 6, lagIdx);
-    bits->b[kLtpFlag[sf]] = 1;
-
-    double gp_unq;
-    {
-      double num = 0, den = 1e-9;
-      for (int n = 0; n < kSub; ++n) {
-        num += x[n] * y[n];
-        den += y[n] * y[n];
-      }
-      gp_unq = num / den;
-      if (gp_unq < 0) gp_unq = 0;
-      if (gp_unq > 1.2) gp_unq = 1.2;
-    }
-
-    double x2[kSub];
-    for (int n = 0; n < kSub; ++n) x2[n] = x[n] - gp_unq * y[n];
-
-    // ---- ACELP: sequential per-track 2-pulse search
-    double hs[kSub];
-    std::memcpy(hs, h, sizeof(hs));
-    if (bestT < kSub)
-      for (int n = bestT; n < kSub; ++n) hs[n] += kSharp * h[n - bestT];
-    int tv[4];
-    double code[kSub] = {0};
-    double x2w[kSub];
-    std::memcpy(x2w, x2, sizeof(x2w));
-    for (int t = 0; t < 4; ++t) {
-      double d[16];        // correlations at this track's positions
-      double ee[16];       // energies of hs@track positions
-      double cross[16][16];
-      for (int p = 0; p < 16; ++p) {
-        int i0 = 4 * p + t;
-        double s = 0.0;
-        for (int n = i0; n < kSub; ++n) s += x2w[n] * hs[n - i0];
-        d[p] = s;
-        s = 0.0;
-        for (int n = i0; n < kSub; ++n) s += hs[n - i0] * hs[n - i0];
-        ee[p] = s;
-      }
-      for (int p = 0; p < 16; ++p)
-        for (int q = p; q < 16; ++q) {
-          int i0 = 4 * p + t, i1 = 4 * q + t;
-          double s = 0.0;
-          for (int n = i1; n < kSub; ++n) s += hs[n - i0] * hs[n - i1];
-          cross[p][q] = cross[q][p] = s;
-        }
-      double bestE = -1e30;
-      int bp0 = 0, bs0 = 1, bp1 = 0, bs1 = 1;
-      for (int p0 = 0; p0 < 16; ++p0)
-        for (int s0 = -1; s0 <= 1; s0 += 2)
-          for (int p1 = 0; p1 < 16; ++p1) {
-            int s1 = (p1 >= p0) ? s0 : -s0;
-            double num = s0 * d[p0] + s1 * d[p1];
-            double en = ee[p0] + ee[p1] + 2.0 * s0 * s1 * cross[p0][p1];
-            if (en < 1e-9) en = 1e-9;
-            double crit = num > 0 ? num * num / en : -1e-9 / en;
-            if (crit > bestE) {
-              bestE = crit;
-              bp0 = p0; bs0 = s0; bp1 = p1; bs1 = s1;
-            }
-          }
-      tv[t] = enc_track(bp0, bs0, bp1, bs1);
-      code[4 * bp0 + t] += bs0;
-      code[4 * bp1 + t] += bs1;
-      // subtract this track's filtered contribution from the target
-      for (int n = 0; n < kSub; ++n) {
-        int i0 = 4 * bp0 + t, i1 = 4 * bp1 + t;
-        double c = 0.0;
-        if (n >= i0) c += bs0 * hs[n - i0];
-        if (n >= i1) c += bs1 * hs[n - i1];
-        x2w[n] -= c;
-      }
-    }
-    for (int t = 0; t < 4; ++t) {
-      int map[9];
-      track_map(sf, t, map);
-      bits->put(map, 9, tv[t]);
-    }
-
-    // sharpened code + filtered z
-    double codes[kSub];
-    std::memcpy(codes, code, sizeof(codes));
-    if (bestT < kSub)
-      for (int n = bestT; n < kSub; ++n)
-        codes[n] += kSharp * codes[n - bestT];
-    double z[kSub];
+  /* impulse response of 1/A truncated to kSub */
+  static void imp_response(const double a[17], double h[kSub]) {
     for (int n = 0; n < kSub; ++n) {
-      double s = 0.0;
-      for (int k = 0; k <= n; ++k) s += codes[k] * h[n - k];
-      z[n] = s;
+      double v = (n == 0) ? 1.0 : 0.0;
+      for (int k = 1; k <= 16 && k <= n; ++k) v -= a[k] * h[n - k];
+      h[n] = v;
     }
-
-    // ---- joint gain VQ with the mirrored predictor
-    double eyy = 0, ezz = 0, eyz = 0, exy = 0, exz = 0;
-    for (int n = 0; n < kSub; ++n) {
-      eyy += y[n] * y[n];
-      ezz += z[n] * z[n];
-      eyz += y[n] * z[n];
-      exy += x[n] * y[n];
-      exz += x[n] * z[n];
-    }
-    int bestRow = 0;
-    {
-      double be = 1e30;
-      for (int row = 0; row < 128; ++row) {
-        double gpv, gcv;
-        gains_of(row, gp, &gpv, &gcv);
-        double err = gpv * gpv * eyy + gcv * gcv * ezz +
-                     2.0 * gpv * gcv * eyz - 2.0 * gpv * exy -
-                     2.0 * gcv * exz;
-        if (err < be) { be = err; bestRow = row; }
-      }
-    }
-    {
-      int map[7];
-      for (int i = 0; i < 7; ++i) map[i] = kGainSf0[i] + sf;
-      bits->put(map, 7, bestRow);
-    }
-    double gpv, gcv;
-    gains_of(bestRow, gp, &gpv, &gcv);
-    gp.push(bestRow);
-
-    // ---- commit: excitation + filter memories (NB pattern)
-    double exc_sf[kSub];
-    {
-      int gbase = kHistLen - kFrame + sf * kSub;
-      for (int n = 0; n < kSub; ++n)
-        exc_sf[n] = gpv * v_best[n] + gcv * codes[n];
-      for (int n = 0; n < kSub; ++n) exc[gbase + n] = exc_sf[n];
-    }
-    double syn[kSub], qt[kSub], dummy[kSub];
-    iir16(exc_sf, kSub, a + 1, synth_mem, syn);
-    fir16(syn, kSub, w1, wqn_mem, qt);
-    iir16(qt, kSub, w2, wqd_mem, dummy);
   }
 
-  void encode_frame(const double* frame, Bits* bits) {
-    bits->clear();
-    bits->b[kVadBit] = 1;
-    double an[kFrame * 2 + kSub];
-    std::memcpy(an, past_speech, kFrame * sizeof(double));
-    std::memcpy(an + kFrame, frame, kFrame * sizeof(double));
-    std::memcpy(an + 2 * kFrame, lookahead, kSub * sizeof(double));
-    double a_q[17], isf_t[16];
-    lp_analysis(an + kFrame, a_q);
-    a_to_isf(a_q, isf_t);
-    IsfFields f;
-    double isf_q[16];
-    quantize_isf(isf_t, &f, isf_q);
-    bits->put(kIsf_f1a, 8, f.f1a);
-    bits->put(kIsf_f1b, 8, f.f1b);
-    bits->put(kIsf_f2a, 6, f.f2a);
-    bits->put(kIsf_f2b, 7, f.f2b);
-    bits->put(kIsf_f2c, 7, f.f2c);
-    bits->put(kIsf_f2d, 5, f.f2d);
-    bits->put(kIsf_f2e, 5, f.f2e);
+  /* encode one frame of 12.8k PRE-EMPHASIZED target speech t_synth
+   * (the decoder synthesis domain), lookahead included for LP. */
+  void encode_frame(const double* t_synth /* -64 .. 320 */,
+                    FrameParams* p) {
+    double a_t[17], isf_t[16];
+    lp_analysis(t_synth, a_t);
+    a_to_isf(a_t, isf_t);
+    quantize_isf(isf_t, p->isf_idx);
 
-    int olT = open_loop(an + kFrame);
-    std::memmove(exc, exc + kFrame, (kHistLen - kFrame) * sizeof(double));
+    // decoder-side LPC for the frame (exact float replica)
+    float a4[4][17];
+    local.frame_lpc(p->isf_idx, a4);
+    std::memmove(local.exc, local.exc + kFrame, kHist * sizeof(float));
     for (int sf = 0; sf < 4; ++sf) {
-      double isf_i[16], a[17];
-      interp_isf(isf_prev_q, isf_q, sf, isf_i);
-      isf_to_a(isf_i, a);
-      encode_subframe(bits, sf, frame + sf * kSub, a, olT);
+      double a[17];
+      for (int i = 0; i < 17; ++i) a[i] = a4[sf][i];
+      search_subframe(sf, t_synth + sf * kSub, a, &p->sf[sf]);
+      float synth[kSub];
+      local.subframe(sf, p->sf[sf], a4[sf], synth);
     }
-    std::memcpy(isf_prev_q, isf_q, sizeof(isf_prev_q));
-    std::memcpy(past_speech, frame, kFrame * sizeof(double));
+  }
+
+  void search_subframe(int sf, const double* tgt, const double a[17],
+                       SubfrParams* s) {
+    double h[kSub];
+    imp_response(a, h);
+    // zero-input response from the local decoder's synth memory
+    double zir[kSub];
+    for (int n = 0; n < kSub; ++n) {
+      double v = 0.0;
+      for (int k = 1; k <= 16; ++k) {
+        double past = (n - k >= 0) ? zir[n - k] : local.synth_mem[16 + n - k];
+        v -= a[k] * past;
+      }
+      zir[n] = v;
+    }
+    double x[kSub];          // target for the excitation contribution
+    for (int n = 0; n < kSub; ++n) x[n] = tgt[n] - zir[n];
+    // backward-filtered target and Toeplitz correlations of h
+    double d[kSub];
+    for (int n = 0; n < kSub; ++n) {
+      double sum = 0.0;
+      for (int j = n; j < kSub; ++j) sum += x[j] * h[j - n];
+      d[n] = sum;
+    }
+    double phi[kSub];        // phi[k] = sum h[j] h[j+k]
+    for (int k = 0; k < kSub; ++k) {
+      double sum = 0.0;
+      for (int j = 0; j + k < kSub; ++j) sum += h[j] * h[j + k];
+      phi[k] = sum;
+    }
+    auto filt_dot = [&](const double* u, const double* v) {
+      // u' Phi v  via the Toeplitz structure
+      double sum = 0.0;
+      for (int i = 0; i < kSub; ++i) {
+        if (u[i] == 0.0) continue;
+        double acc = 0.0;
+        for (int j = 0; j < kSub; ++j)
+          if (v[j] != 0.0) acc += v[j] * phi[std::abs(i - j)];
+        sum += u[i] * acc;
+      }
+      return sum;
+    };
+
+    // ---------------- adaptive search -------------------------
+    int e0 = kHist + sf * kSub;
+    int best_idx = 0;
+    double best_score = -1e30;
+    double best_adap[kSub] = {0};
+    int best_lag = 64, best_frac = 0;
+    auto eval_lag = [&](int idx, int lag_int, int frac) {
+      double adap[kSub];
+      float saved[kSub];
+      std::memcpy(saved, local.exc + e0, sizeof(saved));
+      for (int n = 0; n < kSub; ++n) {
+        float v = interp_read(local.exc, e0 + n, lag_int, frac);
+        adap[n] = v;
+        local.exc[e0 + n] = v;
+      }
+      std::memcpy(local.exc + e0, saved, sizeof(saved));
+      // y = h * adap
+      double num = 0.0, den = 1e-9;
+      double y[kSub];
+      for (int n = 0; n < kSub; ++n) {
+        double v = 0.0;
+        for (int k = 0; k <= n; ++k) v += h[k] * adap[n - k];
+        y[n] = v;
+        num += x[n] * v;
+        den += v * v;
+      }
+      double sc = num * num / den;
+      if (sc > best_score) {
+        best_score = sc;
+        best_idx = idx;
+        best_lag = lag_int;
+        best_frac = frac;
+        std::memcpy(best_adap, adap, sizeof(best_adap));
+      }
+    };
+    if (sf == 0 || sf == 2) {
+      // coarse: exact filtered metric at integer lags (frac 0), then
+      // full fractional refinement around the top scorer
+      double rbest = -1e30;
+      int Tb = 64;
+      for (int T = 34; T <= 231; ++T) {
+        double y[kSub];
+        double num = 0.0, den = 1e-9;
+        for (int n = 0; n < kSub; ++n) {
+          double v = (n >= T) ? y[n - T] : (double)local.exc[e0 + n - T];
+          double acc = 0.0;
+          (void)acc;
+          y[n] = v;
+          num += d[n] * v;
+          den += v * v;
+        }
+        double sc = num * num / den;
+        if (sc > rbest) { rbest = sc; Tb = T; }
+      }
+      for (int T = std::max(34, Tb - 3); T <= std::min(231, Tb + 3); ++T) {
+        for (int f = 0; f < 4; ++f) {
+          int idx;
+          if (T < 128) idx = ((T << 2) + f) - 136;
+          else if (T < 160 && (f % 2) == 0) idx = 376 + ((T << 1) + f / 2) - 256;
+          else if (f == 0) idx = T + 280;
+          else continue;
+          if (idx < 0 || idx > 511) continue;
+          int ti, fi;
+          dec_lag_abs(idx, &ti, &fi);
+          eval_lag(idx, ti, fi);
+        }
+      }
+    } else {
+      int base = rel_base(local.prev_lag_int);
+      for (int idx = 0; idx < 64; ++idx) {
+        int ti, fi;
+        dec_lag_rel(idx, base, &ti, &fi);
+        eval_lag(idx, ti, fi);
+      }
+    }
+    s->lag_idx = best_idx;
+    best_lag = best_lag + (best_frac == 3);  // sharpening rounds at 3/4
+    s->ltp = 1;   // unfiltered adaptive (searched below)
+    // optional LTP filtering: test both and keep the better
+    {
+      double sm[kSub];
+      for (int n = 0; n < kSub; ++n) {
+        double pp = n > 0 ? best_adap[n - 1] : 0.0;
+        double qq = n < kSub - 1 ? best_adap[n + 1] : 0.0;
+        sm[n] = 0.18 * pp + 0.64 * best_adap[n] + 0.18 * qq;
+      }
+      double n1 = 0, d1 = 1e-9, n2 = 0, d2 = 1e-9;
+      double y[kSub];
+      for (int n = 0; n < kSub; ++n) {
+        double v = 0.0, v2 = 0.0;
+        for (int k = 0; k <= n; ++k) {
+          v += h[k] * best_adap[n - k];
+          v2 += h[k] * sm[n - k];
+        }
+        n1 += x[n] * v;
+        d1 += v * v;
+        n2 += x[n] * v2;
+        d2 += v2 * v2;
+        y[n] = v;
+      }
+      (void)y;
+      if (n2 * n2 / d2 > n1 * n1 / d1) {
+        s->ltp = 0;
+        std::memcpy(best_adap, sm, sizeof(sm));
+      }
+    }
+    double gp_opt;
+    {
+      double num = 0, den = 1e-9;
+      double y[kSub];
+      for (int n = 0; n < kSub; ++n) {
+        double v = 0.0;
+        for (int k = 0; k <= n; ++k) v += h[k] * best_adap[n - k];
+        y[n] = v;
+        num += x[n] * v;
+        den += v * v;
+      }
+      gp_opt = std::max(0.0, std::min(1.29, num / den));
+      for (int n = 0; n < kSub; ++n) x[n] -= gp_opt * y[n];
+      for (int n = 0; n < kSub; ++n) {
+        double sum = 0.0;
+        for (int j = n; j < kSub; ++j) sum += x[j] * h[j - n];
+        d[n] = sum;
+      }
+    }
+
+    // ---------------- fixed-code search -----------------------
+    // decode-side shaping: tilt (current local.tilt) then 0.85
+    // sharpening at best_lag. Search per track with the shaped
+    // impulse contributions folded into d via superposition.
+    double code[kSub] = {0};
+    auto shape_pulse = [&](int p128, double sign, double* vec) {
+      std::memset(vec, 0, kSub * sizeof(double));
+      vec[p128] = sign;
+      for (int i = kSub - 1; i > 0; --i) vec[i] -= vec[i - 1] * local.tilt;
+      if (best_lag < kSub)
+        for (int i = best_lag; i < kSub; ++i) vec[i] += 0.85 * vec[i - best_lag];
+    };
+    for (int t = 0; t < 4; ++t) {
+      int bestv = 0;
+      double bsc = -1e30;
+      double bvec[kSub] = {0};
+      for (int v = 0; v < 512; ++v) {
+        int pos[2];
+        double sg[2];
+        dec_track(v, pos, sg);
+        double cv[kSub] = {0};
+        cv[4 * pos[0] + t] += sg[0];
+        cv[4 * pos[1] + t] += sg[1];
+        // shape
+        for (int i = kSub - 1; i > 0; --i) cv[i] -= cv[i - 1] * local.tilt;
+        if (best_lag < kSub)
+          for (int i = best_lag; i < kSub; ++i) cv[i] += 0.85 * cv[i - best_lag];
+        double num = 0.0;
+        for (int i = 0; i < kSub; ++i)
+          if (cv[i] != 0.0) num += cv[i] * d[i];
+        double tot[kSub];
+        for (int i = 0; i < kSub; ++i) tot[i] = code[i] + cv[i];
+        double den = filt_dot(tot, tot) + 1e-9;
+        double cnum = 0.0;
+        for (int i = 0; i < kSub; ++i)
+          if (code[i] != 0.0) cnum += code[i] * d[i];
+        double sc = (cnum + num) * (cnum + num) / den;
+        if (sc > bsc) {
+          bsc = sc;
+          bestv = v;
+          std::memcpy(bvec, cv, sizeof(bvec));
+        }
+      }
+      s->track[t] = bestv;
+      for (int i = 0; i < kSub; ++i) code[i] += bvec[i];
+    }
+    // second pass: re-optimize each track given the other three
+    double shaped[4][kSub];
+    for (int t = 0; t < 4; ++t) {
+      int pos[2];
+      double sg[2];
+      dec_track(s->track[t], pos, sg);
+      double cv[kSub] = {0};
+      cv[4 * pos[0] + t] += sg[0];
+      cv[4 * pos[1] + t] += sg[1];
+      for (int i = kSub - 1; i > 0; --i) cv[i] -= cv[i - 1] * local.tilt;
+      if (best_lag < kSub)
+        for (int i = best_lag; i < kSub; ++i) cv[i] += 0.85 * cv[i - best_lag];
+      std::memcpy(shaped[t], cv, sizeof(cv));
+    }
+    for (int pass = 0; pass < 1; ++pass) {
+      for (int t = 0; t < 4; ++t) {
+        double others[kSub];
+        for (int i = 0; i < kSub; ++i)
+          others[i] = code[i] - shaped[t][i];
+        double onum = 0.0;
+        for (int i = 0; i < kSub; ++i)
+          if (others[i] != 0.0) onum += others[i] * d[i];
+        int bestv = s->track[t];
+        double bsc = -1e30;
+        double bvec[kSub];
+        std::memcpy(bvec, shaped[t], sizeof(bvec));
+        for (int v = 0; v < 512; ++v) {
+          int pos[2];
+          double sg[2];
+          dec_track(v, pos, sg);
+          double cv[kSub] = {0};
+          cv[4 * pos[0] + t] += sg[0];
+          cv[4 * pos[1] + t] += sg[1];
+          for (int i = kSub - 1; i > 0; --i) cv[i] -= cv[i - 1] * local.tilt;
+          if (best_lag < kSub)
+            for (int i = best_lag; i < kSub; ++i)
+              cv[i] += 0.85 * cv[i - best_lag];
+          double num = 0.0;
+          for (int i = 0; i < kSub; ++i)
+            if (cv[i] != 0.0) num += cv[i] * d[i];
+          double tot[kSub];
+          for (int i = 0; i < kSub; ++i) tot[i] = others[i] + cv[i];
+          double den = filt_dot(tot, tot) + 1e-9;
+          double sc = (onum + num) * (onum + num) / den;
+          if (sc > bsc) {
+            bsc = sc;
+            bestv = v;
+            std::memcpy(bvec, cv, sizeof(bvec));
+          }
+        }
+        if (bestv != s->track[t]) {
+          s->track[t] = bestv;
+          for (int i = 0; i < kSub; ++i)
+            code[i] = others[i] + bvec[i];
+          std::memcpy(shaped[t], bvec, kSub * sizeof(double));
+        }
+      }
+    }
+
+    // ---------------- gain VQ search --------------------------
+    double yc[kSub];   // h * code
+    for (int n = 0; n < kSub; ++n) {
+      double v = 0.0;
+      for (int k = 0; k <= n; ++k) v += h[k] * code[n - k];
+      yc[n] = v;
+    }
+    double ya[kSub];   // h * adap
+    for (int n = 0; n < kSub; ++n) {
+      double v = 0.0;
+      for (int k = 0; k <= n; ++k) v += h[k] * best_adap[n - k];
+      ya[n] = v;
+    }
+    // filtered neighbour-sum of the code (for the pitch enhancer)
+    double ycnb[kSub];
+    {
+      double nb[kSub];
+      for (int n = 0; n < kSub; ++n) {
+        double p = n > 0 ? code[n - 1] : 0.0;
+        double q = n < kSub - 1 ? code[n + 1] : 0.0;
+        nb[n] = p + q;
+      }
+      for (int n = 0; n < kSub; ++n) {
+        double v = 0.0;
+        for (int k = 0; k <= n; ++k) v += h[k] * nb[n - k];
+        ycnb[n] = v;
+      }
+    }
+    double ce = 0.0;
+    for (int n = 0; n < kSub; ++n) ce += code[n] * code[n];
+    double ea = 0.0;
+    for (int n = 0; n < kSub; ++n) ea += best_adap[n] * best_adap[n];
+    double x0[kSub];
+    for (int n = 0; n < kSub; ++n) x0[n] = tgt[n] - zir[n];
+    int bestrow = 0;
+    double bcost = 1e30;
+    for (int row = 0; row < 128; ++row) {
+      double gp, gc;
+      local.gains(row, ce / 64.0, &gp, &gc);
+      if (gp > 1.3) continue;  // keep the adaptive loop contractive:
+      // float32-vs-float64 truncation flips are chaotic under gp > 1
+      // model the decoder's enhancers exactly for this row
+      double ep = gp * gp * ea;
+      double ecd = gc * gc * ce;
+      double vf = (ep - ecd) / (ep + ecd + 0.01);
+      double g0;
+      if (local.prev_tr_gain > gc) g0 = std::min((double)local.prev_tr_gain,
+                                                 gc * 1.19);
+      else g0 = std::max((double)local.prev_tr_gain, gc * 0.84033203);
+      double smf = 0.5 * (1.0 - vf) * local.stab_fac;
+      double gc_enh = g0 * smf + gc * (1.0 - smf);
+      double cpe = 0.125 * (1.0 + vf);
+      double cost = 0.0;
+      for (int n = 0; n < kSub; ++n) {
+        double e = x0[n] - gp * ya[n] - gc_enh * (yc[n] - cpe * ycnb[n]);
+        cost += e * e;
+      }
+      if (cost < bcost) { bcost = cost; bestrow = row; }
+    }
+    s->gain_row = bestrow;
   }
 };
 
-}  // namespace amrwb
+/* ============================================ host conversion ==== */
+inline void downsample_16k_to_12k8(const float* in, size_t n,
+                                   std::vector<double>* out) {
+  size_t m = n * 4 / 5;
+  out->assign(m, 0.0);
+  for (size_t k = 0; k < m; ++k) {
+    double c = 1.25 * (double)k;
+    long ip = (long)c;
+    double fr = c - ip;
+    double acc = 0.0;
+    for (int j = -15; j <= 16; ++j) {
+      long idx = ip + j;
+      if (idx < 0 || idx >= (long)n) continue;
+      double tau = j - fr;
+      double w = 0.5 * (1.0 + std::cos(M_PI * tau / 16.5));
+      double cut = 0.8;
+      double s = (std::fabs(tau) < 1e-12) ? cut
+                 : std::sin(M_PI * cut * tau) / (M_PI * tau);
+      acc += in[idx] * s * w;
+    }
+    (*out)[k] = acc * 32768.0;   // decoder int-equivalent scale
+  }
+}
+
+}  // namespace wb
 
 /* ======================================================= C API ===== */
 
@@ -918,61 +1061,36 @@ extern "C" {
 
 /* Encode 16 kHz float mono to AMR-WB 12.65k storage frames (RFC 4867
  * octet-aligned, 33 bytes/frame incl. the 0x14 TOC). Returns bytes
- * written; size `out` as ceil(n/320 + 2)*33. */
+ * written; size `out` as (n/320 + 3)*33. */
 long amrwb_encode(const float* in, size_t n, uint8_t* out) {
-  amrwb::Encoder enc;
-  long written = 0;
-  // input conditioning: 4/5 sinc downsample to 12.8k, then the
-  // regularized inverse chain wavelet (amrwb_tables::kWaveInv)
-  size_t need = (n * 4 + 4) / 5;
-  size_t nframes = (need + amrwb::kFrame - 1) / amrwb::kFrame;
-  std::vector<double> sp((nframes + 1) * amrwb::kFrame + amrwb::kSub,
-                         0.0);
+  std::vector<double> sp12;
+  wb::downsample_16k_to_12k8(in, n, &sp12);
+  // pre-emphasize into the decoder synthesis domain (inverse of the
+  // decoder's 0.68 de-emphasis; the 31 Hz HPF is ~identity in band)
+  std::vector<double> ts(sp12.size() + wb::kSub + 320, 0.0);
   {
-    std::vector<double> ds(sp.size(), 0.0);
-    for (size_t m = 0; m < ds.size(); ++m) {
-      double c = 1.25 * (double)m;
-      long ip = (long)c;
-      double fr = c - ip;
-      double acc = 0.0;
-      for (int k = -15; k <= 16; ++k) {
-        long idx = ip + k;
-        if (idx < 0 || idx >= (long)n) continue;
-        double tau = k - fr;
-        double w = 0.5 * (1.0 + std::cos(M_PI * tau / 16.5));
-        double cut = 0.8;
-        double s = (std::fabs(tau) < 1e-12)
-                       ? cut
-                       : std::sin(M_PI * cut * tau) / (M_PI * tau);
-        acc += in[idx] * s * w;
-      }
-      ds[m] = acc;
-    }
-    using amrwb_tables::kWaveInv;
-    using amrwb_tables::kWaveInvTaps;
-    using amrwb_tables::kWaveInvOff;
-    for (size_t m = 0; m < sp.size(); ++m) {
-      double acc = 0.0;
-      for (int j = 0; j < kWaveInvTaps; ++j) {
-        long idx = (long)m - j + kWaveInvOff;
-        if (idx >= 0 && idx < (long)ds.size()) acc += kWaveInv[j] * ds[idx];
-      }
-      sp[m] = acc;
+    double prev = 0.0;
+    for (size_t i = 0; i < sp12.size(); ++i) {
+      ts[wb::kSub + i] = sp12[i] - 0.68 * prev;
+      prev = sp12[i];
     }
   }
-
-  amrwb::Bits bits;
+  size_t nframes = sp12.size() / wb::kFrame;
+  if (nframes == 0) nframes = 1;
+  while (nframes * wb::kFrame < sp12.size()) ++nframes;
+  wb::Encoder enc;
+  wb::Bits bits;
+  long written = 0;
   for (size_t fr = 0; fr < nframes; ++fr) {
-    const double* frame = sp.data() + fr * amrwb::kFrame;
-    std::memcpy(enc.lookahead, frame + amrwb::kFrame,
-                amrwb::kSub * sizeof(double));
-    enc.encode_frame(frame, &bits);
-    out[written++] = (2 << 3) | 0x04;  // mode 2 (12.65k), quality ok
+    wb::FrameParams p;
+    enc.encode_frame(ts.data() + wb::kSub + fr * wb::kFrame, &p);
+    wb::write_frame(p, &bits);
+    out[written++] = (2 << 3) | 0x04;
     uint8_t* payload = out + written;
-    std::memset(payload, 0, amrwb::kPayload);
-    for (int i = 0; i < amrwb::kBits; ++i)
+    std::memset(payload, 0, wb::kPayload);
+    for (int i = 0; i < wb::kBits; ++i)
       if (bits.b[i]) payload[i >> 3] |= 0x80 >> (i & 7);
-    written += amrwb::kPayload;
+    written += wb::kPayload;
   }
   return written;
 }
@@ -981,30 +1099,29 @@ long amrwb_encode(const float* in, size_t n, uint8_t* out) {
  * Returns samples written or -1 on an unsupported frame type. */
 long amrwb_decode(const uint8_t* data, size_t size, float* out,
                   size_t maxn) {
-  amrwb::Decoder dec;
+  wb::Decoder dec;
   size_t pos = 0;
   long written = 0;
-  static const int kWbSizes[9] = {17, 23, 32, 36, 40, 46, 50, 58, 60};
   while (pos < size) {
     int ft = (data[pos] >> 3) & 0x0F;
     if (ft != 2) {
       if (ft == 15) { pos += 1; continue; }  // NO_DATA
       return -1;
     }
-    if (pos + 1 + amrwb::kPayload > size) break;
-    amrwb::Bits bits;
+    if (pos + 1 + wb::kPayload > size) break;
+    wb::Bits bits;
     bits.clear();
     const uint8_t* payload = data + pos + 1;
-    for (int i = 0; i < amrwb::kBits; ++i)
+    for (int i = 0; i < wb::kBits; ++i)
       bits.b[i] = (payload[i >> 3] >> (7 - (i & 7))) & 1;
-    pos += 1 + amrwb::kPayload;
-    (void)kWbSizes;
-
-    double out12k8[amrwb::kFrame];
-    dec.frame(bits, out12k8);
-    float buf[512];
-    int m = dec.emit16k(out12k8, buf, 1.0);
-    for (int i = 0; i < m && (size_t)written < maxn; ++i)
+    pos += 1 + wb::kPayload;
+    wb::FrameParams p;
+    wb::parse_frame(bits, &p);
+    float out12[wb::kFrame];
+    dec.frame(p, out12);
+    float buf[320];
+    dec.upsample(out12, buf);
+    for (int i = 0; i < 320 && (size_t)written < maxn; ++i)
       out[written++] = buf[i];
   }
   return written;
@@ -1012,13 +1129,50 @@ long amrwb_decode(const uint8_t* data, size_t size, float* out,
 
 /* encode->decode round trip at 16 kHz (the augmentation entry). */
 void amrwb_roundtrip(const float* in, float* out, size_t n) {
-  size_t nframes = (n * 4 / 5) / amrwb::kFrame + 3;
+  size_t nframes = (n * 4 / 5) / wb::kFrame + 3;
   std::vector<uint8_t> bs(nframes * 33);
   long nb = amrwb_encode(in, n, bs.data());
-  std::vector<float> dec(nframes * amrwb::kOut16k + 640, 0.0f);
-  long m = amrwb_decode(bs.data(), nb, dec.data(), dec.size());
+  std::vector<float> dec(nframes * 320 + 640, 0.0f);
+  long m = amrwb_decode(bs.data(), (size_t)std::max(nb, 0L), dec.data(),
+                        dec.size());
   if (m < 0) m = 0;
-  for (size_t i = 0; i < n; ++i) out[i] = (i < (size_t)m) ? dec[i] : 0.0f;
+  // the decode chain delays by ~15 samples at 16 kHz (upsampler);
+  // compensate so the round trip is time-aligned with the input.
+  const long lead = 15;
+  for (size_t i = 0; i < n; ++i) {
+    long j = (long)i + lead;
+    out[i] = (j < m) ? dec[j] : 0.0f;
+  }
+}
+
+
+/* debug: decode and dump the 256-sample excitation memory after each
+ * frame (for lockstep comparison against the lavc context). */
+long amrwb_decode_trace(const uint8_t* data, size_t size, float* exc_out,
+                        size_t maxn) {
+  wb::Decoder dec;
+  size_t pos = 0;
+  long frames = 0;
+  while (pos < size) {
+    int ft = (data[pos] >> 3) & 0x0F;
+    if (ft != 2) { if (ft == 15) { pos += 1; continue; } return -1; }
+    if (pos + 1 + wb::kPayload > size) break;
+    wb::Bits bits;
+    bits.clear();
+    const uint8_t* payload = data + pos + 1;
+    for (int i = 0; i < wb::kBits; ++i)
+      bits.b[i] = (payload[i >> 3] >> (7 - (i & 7))) & 1;
+    pos += 1 + wb::kPayload;
+    wb::FrameParams p;
+    wb::parse_frame(bits, &p);
+    float out12[wb::kFrame];
+    dec.frame(p, out12);
+    if ((size_t)(frames + 1) * 256 <= maxn)
+      std::memcpy(exc_out + frames * 256, dec.exc + wb::kHist,
+                  256 * sizeof(float));
+    ++frames;
+  }
+  return frames;
 }
 
 } /* extern "C" */

@@ -101,10 +101,9 @@ def dec_lag_abs(idx):
 
 
 def dec_lag_rel(idx, base):
-    """12.65k+ sf1/sf3 relative lag: QUARTER resolution over 16 lags
-    from the clipped base (fixed round 5: the exc-memory dump showed
-    pitch sharpening at T = base + idx//4; the old half-lag ladder
-    was wrong)."""
+    """12.65k+ sf1/sf3 relative lag: delay = base + idx/4 (quarter
+    grid); the SHARPENING lag adds lavc's frac bump (int += frac>0),
+    applied at use."""
     return base + (idx >> 2), idx & 3
 
 
@@ -181,8 +180,8 @@ class WBDecoder:
         # stability factor: 1.25 - 409.6 * ||isf - isf_past||^2 over
         # the first 15 entries (amrwbdec.asm 0xda2-0xeeb).
         d = isf_q[:15] - self.isf_past_final[:15]
-        self.stab_fac = float(np.clip(1.25 - 409.6 * float(d @ d),
-                                      0.0, 1.0))
+        # no upper clip: lavc keeps max(0, 1.25 - 409.6 d^2) (asm)
+        self.stab_fac = float(max(0.0, 1.25 - 409.6 * float(d @ d)))
         self.isf_past_final = isf_q.copy()
         return isf_q
 
@@ -218,10 +217,11 @@ class WBDecoder:
                 lag_int, frac = dec_lag_abs(
                     get_field(bits, self.lay[f"lag{sf}"]))
             else:
-                base = min(max(self.prev_lag_int - 8, 34), 203)
+                base = min(max(self.prev_lag_int - 8, 34), 216)
                 lag_int, frac = dec_lag_rel(
                     get_field(bits, self.lay[f"lag{sf}"]), base)
             self.prev_lag_int = lag_int
+            t_sharp = lag_int + (1 if frac == 3 else 0)
             e0 = self.eoff + sf * 64
             # in-place adaptive extension (lavc interpolates the exc
             # buffer in place, so lags < 64 re-read the fresh samples)
@@ -244,9 +244,9 @@ class WBDecoder:
                         code[4 * pos + t] += sgn
             for i in range(63, 0, -1):
                 code[i] -= code[i - 1] * self.tilt
-            if lag_int < 64:
-                for i in range(lag_int, 64):
-                    code[i] += 0.85 * code[i - lag_int]
+            if t_sharp < 64:
+                for i in range(t_sharp, 64):
+                    code[i] += 0.85 * code[i - t_sharp]
             ce = float(code @ code) / 64.0
             row = get_field(bits, self.lay[f"gain{sf}"])
             gp, gc = self.decode_gains(row, ce)
