@@ -94,8 +94,33 @@ def _amrnb_mode(kbps: float):
     return None
 
 
+def resolve_fidelity(fidelity: str = "auto") -> str:
+    """Resolve the SILK-tier fidelity setting. ``auto`` (the default
+    since round 5) promotes the silk*/silkwb* entries to the REAL
+    SILK-mode Opus tier whenever the in-image libopus is loadable,
+    falling back to the self-contained native ACELP tier otherwise —
+    real-codec-when-available, never an error. Explicit ``system``
+    demands the real tier (callers may then see
+    SystemCodecUnavailable); explicit ``native`` pins the
+    self-contained tier (bit-reproducible with zero system deps)."""
+    if fidelity != "auto":
+        return fidelity
+    global _AUTO_FIDELITY
+    if _AUTO_FIDELITY is None:
+        try:
+            from asvspoof2021_air_tpu.data import system_codecs
+            _AUTO_FIDELITY = "system" if system_codecs.available() \
+                else "native"
+        except Exception:
+            _AUTO_FIDELITY = "native"
+    return _AUTO_FIDELITY
+
+
+_AUTO_FIDELITY = None
+
+
 def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
-                erasure_seed: int = 0, fidelity: str = "native") -> np.ndarray:
+                erasure_seed: int = 0, fidelity: str = "auto") -> np.ndarray:
     """Map a reference codec name onto the native codec tier:
 
     - G.711 / G.726: bit-faithful companding / ADPCM round trips
@@ -113,12 +138,16 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
       embedded 6/5/4-bit low band + 2-bit high band, 16 kHz native —
       native/augment/g722.cc)
 
-    ``fidelity="system"`` upgrades the silk*/silkwb* entries to a REAL
-    SILK-lineage codec (in-image libopus forced into SILK mode —
-    data/system_codecs.py); raises SystemCodecUnavailable when the
-    system library is missing.  All other entries are unaffected (the
-    native tier is already bit-exact or has no system equivalent).
+    ``fidelity`` controls the silk*/silkwb* tier: the default ``auto``
+    uses the REAL SILK-lineage codec (in-image libopus forced into
+    SILK mode — data/system_codecs.py) whenever that library is
+    loadable and the native ACELP tier otherwise; ``system`` demands
+    the real tier (raises SystemCodecUnavailable if missing);
+    ``native`` pins the self-contained tier.  All other entries are
+    unaffected (the native tier is already bit-exact or has no system
+    equivalent).
     """
+    fidelity = resolve_fidelity(fidelity)
     if name.startswith("g711"):
         codec = "g711a" if "law=a" in name else "g711u"
         return ah.telephony_channel(wave, codec, sr)
@@ -141,6 +170,13 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
         if fidelity == "system" and name.startswith("silkwb"):
             from asvspoof2021_air_tpu.data.system_codecs import opus_silk_channel
             out = opus_silk_channel(wave, 16000, kbps, sr)
+        elif name.startswith("amrwb[") and abs(kbps - 12.65) < 0.1:
+            # real AMR-WB 12.65k bitstream round trip (standard-
+            # bitstream tier, native/augment/amrwb.cc: exact lavc
+            # decode replica + AbS encoder; stream conformance 0.91+
+            # on lavc's decoder, tools/amrwb_tables/measure_conf.py).
+            # dtx is the 3GPP default for the plain entries.
+            out = ah.amrwb_channel(wave, sr, dtx="nodtx" not in name)
         else:
             out = ah.acelp_channel(wave, 16000, kbps, sr)
         loss = _parse_loss(name)
@@ -207,7 +243,7 @@ def _degrade_one_file(task) -> int:
 
 def channel_degrade(input_path: str, output_path: str, target_sr: int = 16000,
                     mode: str = "parallel", seed: int = 0,
-                    jobs: int = 1, fidelity: str = "native") -> int:
+                    jobs: int = 1, fidelity: str = "auto") -> int:
     """(/root/reference/channel_simulation/simulated_channel.py:13-56)
 
     The reference shells out one subprocess per (file, codec), serially;
@@ -224,7 +260,8 @@ def channel_degrade(input_path: str, output_path: str, target_sr: int = 16000,
         else:
             codecs = (rng.sample(LANDLINE, 7) + rng.sample(VOIP, 6)
                       + rng.sample(CELLULAR, 6) + rng.sample(COMMON, 2))
-        tasks.append((f, codecs, output_path, target_sr, fidelity))
+        tasks.append((f, codecs, output_path, target_sr,
+                      resolve_fidelity(fidelity)))
     return _map_tasks(_degrade_one_file, tasks, jobs)
 
 
@@ -361,19 +398,23 @@ def main(argv=None):
                    help="process-pool workers (outputs are identical for "
                         "any value; sampling stays seeded on the main "
                         "process)")
-    p.add_argument("--fidelity", type=str, default="native",
-                   choices=["native", "system"],
-                   help="channel mode only: 'system' upgrades the silk*/"
-                        "silkwb* entries to real SILK-mode Opus via the "
-                        "in-image libopus (data/system_codecs.py); "
-                        "'native' (default) keeps the self-contained "
-                        "in-repo ACELP tier")
+    p.add_argument("--fidelity", type=str, default="auto",
+                   choices=["auto", "native", "system"],
+                   help="channel mode only — silk*/silkwb* tier: 'auto' "
+                        "(default) uses real SILK-mode Opus via the "
+                        "in-image libopus (data/system_codecs.py) when "
+                        "loadable, else the self-contained ACELP tier; "
+                        "'system' demands the real tier; 'native' pins "
+                        "the self-contained one")
     args = p.parse_args(argv)
     if args.fidelity == "system":
         from asvspoof2021_air_tpu.data import system_codecs
         if not system_codecs.available():
             p.error("--fidelity system: in-image libavcodec/libopus not "
-                    "loadable; use the default native tier")
+                    "loadable; use --fidelity native (or auto)")
+    if args.fidelity == "auto" and args.mode == "channel":
+        args.fidelity = resolve_fidelity("auto")
+        print(f"fidelity auto -> {args.fidelity} (silk tier)")
 
     if args.mode == "make-irs":
         n = make_irs(args.output, args.sample_rate, args.seed)

@@ -168,26 +168,30 @@ AMRNB_MODE_NAMES = ("4k75", "5k15", "5k9", "6k7", "7k4", "7k95", "10k2",
                     "12k2")
 
 
-def amrwb_encode(wave) -> bytes:
+def amrwb_encode(wave, dtx: bool = False) -> bytes:
     """Encode 16 kHz float mono to AMR-WB 12.65k storage frames
-    (native/augment/amrwb.cc: from-scratch codec against the
-    behaviorally recovered 3GPP tables/laws, tools/amrwb_tables/;
-    RFC 4867 octet-aligned framing, TOC 0x14 + 32 payload bytes).
-    Frames decode error-free on libavcodec's amrwb decoder; waveform
-    conformance is below the NB bar pending finer ISF tables (see
-    docs/CODECS.md and tools/amrwb_tables/FACTS.md)."""
+    (native/augment/amrwb.cc: exact lavc-decode replica + AbS encoder
+    on the binary-recovered 3GPP tables, tools/amrwb_tables/; RFC 4867
+    octet-aligned framing, TOC 0x14 + 32 payload bytes). Streams reach
+    0.91+ waveform conformance on libavcodec's amrwb decoder
+    (tools/amrwb_tables/measure_conf.py). With ``dtx`` silence runs
+    carry SID updates (type 9) and NO_DATA frames, mirroring the NB
+    design; lavc does not implement WB DTX either, so the DTX tier is
+    structural (docs/CODECS.md)."""
     lib = get_lib()
-    if not hasattr(lib.amrwb_encode, "_configured"):
-        lib.amrwb_encode.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_uint8)]
-        lib.amrwb_encode.restype = ctypes.c_long
-        lib.amrwb_encode._configured = True
+    for fn in ("amrwb_encode", "amrwb_encode_dtx"):
+        f = getattr(lib, fn)
+        if not hasattr(f, "_configured"):
+            f.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint8)]
+            f.restype = ctypes.c_long
+            f._configured = True
     sig = np.ascontiguousarray(wave, np.float32)
     out = np.zeros((len(sig) // 320 + 4) * 33, np.uint8)
-    n = lib.amrwb_encode(
-        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(sig),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    enc = lib.amrwb_encode_dtx if dtx else lib.amrwb_encode
+    n = enc(sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(sig),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return bytes(out[:max(n, 0)].tobytes())
 
 
@@ -202,11 +206,51 @@ def amrwb_decode(data: bytes) -> np.ndarray:
         lib.amrwb_decode.restype = ctypes.c_long
         lib.amrwb_decode._configured = True
     buf = np.frombuffer(data, np.uint8)
-    out = np.zeros((len(data) // 33 + 1) * 320, np.float32)
+    # size by walking the TOCs: DTX streams carry 1-byte NO_DATA and
+    # 6-byte SID frames (same fix as amrnb_decode)
+    sizes = {2: 33, 9: 6, 15: 1}
+    nframes, pos = 0, 0
+    while pos < len(data):
+        step = sizes.get((data[pos] >> 3) & 0x0F)
+        if step is None:
+            nframes = len(data)
+            break
+        nframes += 1
+        pos += step
+    out = np.zeros(max(nframes, 1) * 320, np.float32)
     n = lib.amrwb_decode(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(out))
     return out[:max(n, 0)].copy()
+
+
+def amrwb_channel(wave, sample_rate: int = 16000,
+                  dtx: bool = False) -> np.ndarray:
+    """Real AMR-WB 12.65k hop: resample to 16 kHz, full bitstream
+    round trip (VAD/SID-gated when ``dtx``), resample back. Matches
+    the reference's amrwb[br=12k65] channel entries
+    (/root/reference/channel_simulation/simulated_channel.py:33-35;
+    dtx is the 3GPP default there, `nodtx` the variant)."""
+    lib = get_lib()
+    for fn in ("amrwb_roundtrip", "amrwb_roundtrip_dtx"):
+        f = getattr(lib, fn)
+        if not hasattr(f, "_configured"):
+            f.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+            f._configured = True
+    x = _as_f32(wave)
+    if sample_rate != 16000:
+        x = _as_f32(resample(x, sample_rate, 16000))
+    out = np.empty_like(x)
+    rt = lib.amrwb_roundtrip_dtx if dtx else lib.amrwb_roundtrip
+    rt(_ptr(x), _ptr(out), x.size)
+    if sample_rate != 16000:
+        out = resample(out, 16000, sample_rate)[: np.asarray(wave).size]
+        pad = np.asarray(wave).size - out.size
+        if pad > 0:
+            out = np.concatenate([out, np.zeros(pad, np.float32)])
+    return out
 
 
 def amrnb_encode(wave, mode: int = 7, dtx: bool = False) -> bytes:

@@ -1055,6 +1055,52 @@ inline void downsample_16k_to_12k8(const float* in, size_t n,
 
 }  // namespace wb
 
+/* ------------------------------------------------- DTX (type 9) --
+ * Structural tier mirroring the NB design (native/augment/
+ * amrnb_low.cc): the in-image lavc decoder does not implement WB DTX
+ * either, so SID conformance is via our own decoder + framing
+ * invariants (docs/CODECS.md).  SID payload (40 bits): isf0 index
+ * (8) | isf1 index (8) | log-energy (6) | zeros. */
+namespace wbdtx {
+
+struct Vad {
+  double nf_db = -70.0;
+  int hang = 0, burst = 0;
+  bool frame(const float* x, int n) {
+    double e = 1e-12;
+    for (int i = 0; i < n; ++i) e += (double)x[i] * x[i];
+    double edb = 10.0 * std::log10(e / n);
+    if (edb < nf_db) nf_db = edb;
+    else nf_db = std::min(nf_db + 0.1, edb);
+    bool raw = edb > nf_db + 9.0 && edb > -80.0;
+    if (raw) {
+      if (++burst >= 2) hang = 5;
+      return true;
+    }
+    burst = 0;
+    if (hang > 0) { --hang; return true; }
+    return false;
+  }
+};
+
+inline void put_bits(uint8_t* payload, int pos, int nbits, int v) {
+  for (int i = 0; i < nbits; ++i) {
+    int b = (v >> (nbits - 1 - i)) & 1;
+    int j = pos + i;
+    if (b) payload[j >> 3] |= 0x80 >> (j & 7);
+  }
+}
+inline int get_bits(const uint8_t* payload, int pos, int nbits) {
+  int v = 0;
+  for (int i = 0; i < nbits; ++i) {
+    int j = pos + i;
+    v = (v << 1) | ((payload[j >> 3] >> (7 - (j & 7))) & 1);
+  }
+  return v;
+}
+
+}  // namespace wbdtx
+
 /* ======================================================= C API ===== */
 
 extern "C" {
@@ -1104,10 +1150,64 @@ long amrwb_decode(const uint8_t* data, size_t size, float* out,
   long written = 0;
   while (pos < size) {
     int ft = (data[pos] >> 3) & 0x0F;
-    if (ft != 2) {
-      if (ft == 15) { pos += 1; continue; }  // NO_DATA
-      return -1;
+    if (ft == 9 || ft == 15) {
+      // SID update / NO_DATA: emit comfort noise from the last SID
+      static thread_local int cn_isf0 = 0, cn_isf1 = 0;
+      static thread_local double cn_rms = 0.0;
+      static thread_local uint32_t rng = 0x9e3779b9u;
+      if (ft == 9) {
+        if (pos + 6 > size) break;
+        const uint8_t* p = data + pos + 1;
+        cn_isf0 = wbdtx::get_bits(p, 0, 8);
+        cn_isf1 = wbdtx::get_bits(p, 8, 8);
+        int elog = wbdtx::get_bits(p, 16, 6);
+        cn_rms = std::pow(10.0, (elog - 80.0) / 20.0) * 32768.0;
+        pos += 6;
+      } else {
+        pos += 1;
+      }
+      // synthesize 256 samples of CN through 1/A(sid isf)
+      int idx[7] = {cn_isf0, cn_isf1, 0, 0, 0, 0, 0};
+      double r[wb::kFrame];
+      double isf[16];
+      {
+        double res[16];
+        wb::isf_residual(idx, res);
+        for (int i = 0; i < 16; ++i)
+          isf[i] = res[i] + wbt::kIsfMean[i];
+        double prev = 0.0;
+        for (int i = 0; i < 15; ++i) {
+          isf[i] = std::max(isf[i], prev + 1.0 / 256.0);
+          prev = isf[i];
+        }
+      }
+      double isp[16], a[17];
+      wb::isf_to_isp(isf, isp);
+      wb::isp_to_a(isp, a);
+      static thread_local double cn_mem[16] = {0};
+      double e = 0.0;
+      for (int n = 0; n < wb::kFrame; ++n) {
+        rng = rng * 1664525u + 1013904223u;
+        double w = ((int32_t)(rng >> 8) / 8388608.0) - 1.0;
+        double v = w;
+        for (int k = 1; k <= 16; ++k) {
+          double past = (n - k >= 0) ? r[n - k] : cn_mem[16 + n - k];
+          v -= a[k] * past;
+        }
+        r[n] = v;
+        e += v * v;
+      }
+      for (int k = 0; k < 16; ++k) cn_mem[k] = r[wb::kFrame - 16 + k];
+      double g = cn_rms / std::sqrt(e / wb::kFrame + 1e-12);
+      float out12[wb::kFrame];
+      for (int n = 0; n < wb::kFrame; ++n) out12[n] = (float)(r[n] * g);
+      float buf[320];
+      dec.upsample(out12, buf);
+      for (int i = 0; i < 320 && (size_t)written < maxn; ++i)
+        out[written++] = buf[i];
+      continue;
     }
+    if (ft != 2) return -1;
     if (pos + 1 + wb::kPayload > size) break;
     wb::Bits bits;
     bits.clear();
@@ -1123,6 +1223,53 @@ long amrwb_decode(const uint8_t* data, size_t size, float* out,
     dec.upsample(out12, buf);
     for (int i = 0; i < 320 && (size_t)written < maxn; ++i)
       out[written++] = buf[i];
+  }
+  return written;
+}
+
+/* Encode with VAD-gated DTX: speech frames at 12.65k, silence runs
+ * as SID (type 9, every 8th frame) + NO_DATA, mirroring the NB
+ * design. Returns bytes written. */
+long amrwb_encode_dtx(const float* in, size_t n, uint8_t* out) {
+  // encode everything first (keeps the AbS state continuous), then
+  // replace gated-silence frames by SID/NO_DATA framing.
+  size_t nframes = (n + 319) / 320;
+  std::vector<uint8_t> full(nframes * 33 + 66);
+  long nb = amrwb_encode(in, n, full.data());
+  size_t have = (size_t)std::max(nb, 0L) / 33;
+  wbdtx::Vad vad;
+  long written = 0;
+  int since_sid = 8;
+  for (size_t f = 0; f < have; ++f) {
+    size_t s0 = f * 320;
+    size_t len = std::min((size_t)320, n - std::min(n, s0));
+    bool speech = len > 0 && vad.frame(in + s0, (int)len);
+    if (speech) {
+      std::memcpy(out + written, full.data() + f * 33, 33);
+      written += 33;
+      since_sid = 8;
+    } else if (since_sid >= 8) {
+      // SID: quantize the frame's spectrum/energy crudely via the
+      // encoder tables: reuse stage-1 ISF search on a flat target.
+      double e = 1e-12;
+      for (size_t i = 0; i < len; ++i)
+        e += (double)in[s0 + i] * in[s0 + i];
+      double edb = 10.0 * std::log10(e / std::max(len, (size_t)1));
+      int elog = (int)std::lround(edb + 80.0);
+      if (elog < 0) elog = 0;
+      if (elog > 63) elog = 63;
+      out[written] = (9 << 3) | 0x04;
+      uint8_t* payload = out + written + 1;
+      std::memset(payload, 0, 5);
+      wbdtx::put_bits(payload, 0, 8, 0);
+      wbdtx::put_bits(payload, 8, 8, 0);
+      wbdtx::put_bits(payload, 16, 6, elog);
+      written += 6;
+      since_sid = 0;
+    } else {
+      out[written++] = (15 << 3) | 0x04;   // NO_DATA
+      ++since_sid;
+    }
   }
   return written;
 }
@@ -1145,6 +1292,22 @@ void amrwb_roundtrip(const float* in, float* out, size_t n) {
   }
 }
 
+
+/* encode->decode round trip with DTX framing. */
+void amrwb_roundtrip_dtx(const float* in, float* out, size_t n) {
+  size_t nframes = (n * 4 / 5) / wb::kFrame + 3;
+  std::vector<uint8_t> bs(nframes * 33 + 66);
+  long nb = amrwb_encode_dtx(in, n, bs.data());
+  std::vector<float> dec(nframes * 320 + 640, 0.0f);
+  long m = amrwb_decode(bs.data(), (size_t)std::max(nb, 0L), dec.data(),
+                        dec.size());
+  if (m < 0) m = 0;
+  const long lead = 15;
+  for (size_t i = 0; i < n; ++i) {
+    long j = (long)i + lead;
+    out[i] = (j < m) ? dec[j] : 0.0f;
+  }
+}
 
 /* debug: decode and dump the 256-sample excitation memory after each
  * frame (for lockstep comparison against the lavc context). */

@@ -7,10 +7,18 @@ SNR ranges, spectral-envelope preservation, frame-erasure behavior, and the
 feature-matched tuning of the on-device family stand-ins.
 """
 
+import functools
+
 import numpy as np
 
-from asvspoof2021_air_tpu.cli.degrade import apply_codec
+from asvspoof2021_air_tpu.cli import degrade as _degrade
 from asvspoof2021_air_tpu.data import augment_host as ah
+
+# This file certifies the self-contained NATIVE tier; pin it explicitly
+# (the CLI default `fidelity=auto` promotes silk entries to real
+# SILK-mode Opus whenever the in-image libopus is loadable — that tier
+# is covered by tests/test_system_codecs.py).
+apply_codec = functools.partial(_degrade.apply_codec, fidelity="native")
 
 
 def voice(n=32000, sr=16000, f0=120.0, seed=0, level=0.3):

@@ -1,15 +1,17 @@
 """AMR-WB 12.65 kbps codec tests (native/augment/amrwb.cc) against the
-in-image libavcodec `amrwb` decoder and the recovered-model invariants.
+in-image libavcodec `amrwb` decoder.
 
 The reference's cellular tier includes 8 amrwb entries
-(/root/reference/channel_simulation/simulated_channel.py:34-35). This
-file pins what the round-4 campaign closed (tools/amrwb_tables/
-FACTS.md): valid RFC 4867 storage framing that decodes ERROR-FREE on
-lavc, the recovered 253-bit field maps / 2-pulse track law / lag laws
-driving a self-consistent encoder-decoder loop, and the native
-decoder's component-level tracking of lavc. Full waveform conformance
-(the NB bar) is still open pending finer ISF tables — asserted bounds
-here are the measured state of the campaign, not the end goal.
+(/root/reference/channel_simulation/simulated_channel.py:33-35). The
+round-5 campaign replaced the behavioral chain model with an exact
+lavc-decode replica + AbS encoder (tools/amrwb_tables/truedec.py is
+the validated Python reference; FACTS.md the audit trail), so this
+file asserts the NB-class bars that the round-4 placeholders
+(corr > 0.6 / 0.55) were explicitly scheduled to be replaced by
+(round-4 VERDICT item 5): standard-bitstream framing, error-free lavc
+decode, stream conformance > 0.85 on lavc's decoder, long-stream
+error stationarity, and the DTX tier's framing + comfort-noise level
+law (structural tier: lavc implements no WB DTX, like NB).
 """
 
 import numpy as np
@@ -53,11 +55,28 @@ def _oracle_or_skip(codec, pkts, rate):
         pytest.skip(f"lavc oracle unavailable: {e}")
 
 
-def test_framing_structure():
-    """33-byte frames: TOC 0x14 (mode 2, quality bit), 32-byte payload.
+def _lavc_decode(bs):
+    pkts = [bs[i:i + 33] for i in range(0, len(bs), 33)]
+    pcm = np.asarray(_oracle_or_skip("amrwb", pkts, 16000))
+    if pcm.dtype == np.int16:
+        pcm = pcm.astype(np.float32) / 32768.0
+    return pcm
 
-    Matches RFC 4867 octet-aligned storage and the recovered frame
-    facts (tools/amrwb_tables/FACTS.md 'Oracle behavior')."""
+
+def _best_corr(a, b, lags=range(0, 40)):
+    n = min(len(a), len(b))
+    best = -1.0
+    for lag in lags:
+        x = np.asarray(a[:n - lag], float)
+        y = np.asarray(b[lag:n], float)
+        c = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-12))
+        best = max(best, c)
+    return best
+
+
+def test_framing_structure():
+    """33-byte frames: TOC 0x14 (mode 2, quality bit), 32-byte payload
+    (RFC 4867 octet-aligned storage)."""
     sig = _speechlike(8000)
     bs = ah.amrwb_encode(sig)
     assert len(bs) > 0 and len(bs) % 33 == 0
@@ -67,104 +86,132 @@ def test_framing_structure():
 
 def test_frames_decode_error_free_on_lavc():
     """Every emitted frame decodes on libavcodec's amrwb decoder with
-    the full 320 samples and finite output — the round-4 'done' bar for
-    opening the WB campaign (VERDICT item 3)."""
+    the full 320 samples and finite output."""
     sig = _speechlike(16000)
     bs = ah.amrwb_encode(sig)
-    pkts = [bs[i:i + 33] for i in range(0, len(bs), 33)]
-    pcm = np.asarray(_oracle_or_skip("amrwb", pkts, 16000))
-    if pcm.dtype == np.int16:
-        pcm = pcm.astype(np.float32) / 32768.0
-    assert len(pcm) == 320 * len(pkts)
+    pcm = _lavc_decode(bs)
+    assert len(pcm) == 320 * (len(bs) // 33)
     assert np.isfinite(pcm).all()
-    # decodes to a real nonzero signal (absolute level is part of the
-    # open conformance work -- see the module docstring)
-    assert float(np.sqrt((pcm ** 2).mean())) > 1e-4
 
 
-def test_self_round_trip_tracks_input():
-    """Encoder and mirrored native decoder form a consistent AbS loop:
-    the self round trip reconstructs the input waveform."""
-    sig = _speechlike(16000)
+def test_stream_conformance_on_lavc():
+    """The NB-class bar: lavc's decode of our streams reconstructs the
+    input waveform (corr > 0.85; measured 0.91-0.92 on the standard
+    seeds, tools/amrwb_tables/measure_conf.py)."""
+    for seed in (7, 11):
+        sig = _speechlike(24000, seed)
+        bs = ah.amrwb_encode(sig)
+        pcm = _lavc_decode(bs)
+        c = _best_corr(sig, pcm)
+        assert c > 0.85, (seed, c)
+
+
+def test_native_decoder_matches_lavc():
+    """Our decoder and lavc produce near-identical waveforms on our
+    streams (exact-replica bar, far above the old component probes)."""
+    sig = _speechlike(24000, 11)
     bs = ah.amrwb_encode(sig)
+    lav = _lavc_decode(bs)
+    nat = ah.amrwb_decode(bs)
+    n = min(len(lav), len(nat))
+    c = float(nat[:n] @ lav[:n] /
+              (np.linalg.norm(nat[:n]) * np.linalg.norm(lav[:n]) + 1e-12))
+    assert c > 0.99, c
+
+
+def test_long_stream_error_stationary():
+    """30 s stream: the per-window conformance stays above the bar in
+    EVERY 5 s window — no drift between our encoder state and lavc's
+    decoder state (mirrors tests/test_amr_conformance.py's NB bar)."""
+    sig = _speechlike(16000 * 30, seed=3)
+    bs = ah.amrwb_encode(sig)
+    pcm = _lavc_decode(bs)
+    lag = 15
+    n = min(len(sig) - lag, len(pcm) - lag)
+    win = 5 * 16000
+    cs = []
+    for s0 in range(0, n - win, win):
+        a = sig[s0:s0 + win].astype(float)
+        b = pcm[s0 + lag:s0 + lag + win].astype(float)
+        cs.append(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                                 + 1e-12)))
+    assert len(cs) >= 5
+    assert min(cs) > 0.82, cs
+    assert max(cs) - min(cs) < 0.1, cs
+
+
+def _speech_silence_speech(seed=1):
+    rng = np.random.default_rng(seed)
+    sp = _speechlike(9600)
+    sil = (5e-4 * rng.standard_normal(9600)).astype(np.float32)
+    return np.concatenate([sp, sil, 0.8 * sp]).astype(np.float32)
+
+
+def test_dtx_framing_and_cn_level():
+    """DTX streams carry VAD-gated speech + SID (type 9, 6 bytes) +
+    NO_DATA (type 15, TOC only); our decoder reconstructs speech at
+    the conformance bar AND matches the comfort-noise level to the
+    input silence (structural tier: the in-image lavc rejects WB DTX
+    like NB; docs/CODECS.md carries the caveat)."""
+    sig = _speech_silence_speech()
+    bs = ah.amrwb_encode(sig, dtx=True)
+    fts, p = [], 0
+    sizes = {2: 33, 9: 6, 15: 1}
+    while p < len(bs):
+        ft = (bs[p] >> 3) & 0xF
+        assert ft in sizes, ft
+        fts.append(ft)
+        p += sizes[ft]
+    assert fts.count(9) >= 2, "no SID updates"
+    assert fts.count(15) >= 10, "no NO_DATA frames"
+    assert fts.count(2) >= 50, "speech frames gated away"
     dec = ah.amrwb_decode(bs)
-    n = min(len(dec), len(sig))
-    best = -1.0
-    for lag in range(0, 80):
-        a = sig[:n - lag].astype(float)
-        b = dec[lag:n].astype(float)
-        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
-        best = max(best, c)
-    assert best > 0.6, best
+    assert len(dec) >= len(sig) - 320, len(dec)
+    lead = 15
+    m = min(len(sig) - lead, len(dec) - lead)
+    c = float(sig[:m] @ dec[lead:lead + m] /
+              (np.linalg.norm(sig[:m]) * np.linalg.norm(dec[lead:lead + m])
+               + 1e-12))
+    assert c > 0.85, c
+    sil_in = float(np.sqrt((sig[11000:18000] ** 2).mean()))
+    sil_out = float(np.sqrt((dec[11000:18000] ** 2).mean()))
+    assert 0.5 * sil_in < sil_out < 2.0 * sil_in, (sil_in, sil_out)
 
 
-def test_native_decoder_tracks_lavc_on_probes():
-    """Component probes (code bursts under converged state) decode the
-    same on the native tracking decoder and lavc (lowband, after the
-    fixed upsampler-delay alignment)."""
-    def frame_bits(gain, code):
-        bits = [0] * 253
-        for i, b in enumerate([3, 20, 42, 28, 32, 38, 24]):
-            if (gain >> (6 - i)) & 1:
-                bits[b] = 1
-        if code:
-            bits[109] = 1
-        return bits
-
-    def pack(bits):
-        p = bytearray(32)
-        for i, b in enumerate(bits):
-            if b:
-                p[i >> 3] |= 0x80 >> (i & 7)
-        return bytes([(2 << 3) | 4]) + bytes(p)
-
-    frames = [pack([0] * 253)] * 3 + [pack(frame_bits(90, True))]
-    lav = np.asarray(_oracle_or_skip("amrwb", frames, 16000))
-    nat = ah.amrwb_decode(b"".join(frames))
-
-    def lp(x):
-        nfft = 8192
-        s = np.fft.rfft(x, nfft)
-        s[int(6200 / 16000 * nfft):] = 0
-        return np.fft.irfft(s, nfft)[:len(x)]
-
-    n = min(len(nat), len(lav))
-    nfft = 8192
-    spec = np.fft.rfft(nat[:n].astype(float), nfft)
-    k = np.arange(len(spec))
-    aligned = np.fft.irfft(spec * np.exp(-2j * np.pi * k * (-19.0) / nfft),
-                           nfft)
-    w0, w1 = 960, min(1280, n)
-    a = lp(lav[w0:w1].astype(float))
-    b = lp(aligned[w0:w1])
-    c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
-    assert c > 0.55, c
+def test_dtx_differs_from_nodtx_entry():
+    """The degrade entries: amrwb[br=12k65] (dtx default) and the
+    nodtx twin route to the real codec and differ measurably on
+    silence-padded speech while both reconstruct the speech."""
+    from asvspoof2021_air_tpu.cli.degrade import apply_codec
+    sig = _speech_silence_speech()
+    out_dtx = apply_codec(sig, "amrwb[br=12k65]", 16000)
+    out_nodtx = apply_codec(sig, "amrwb[br=12k65,nodtx]", 16000)
+    assert out_dtx.shape == out_nodtx.shape == sig.shape
+    assert np.abs(out_dtx - out_nodtx).max() > 1e-4
+    for out in (out_dtx, out_nodtx):
+        c = _best_corr(sig[:9000], out[:9000], lags=range(0, 2))
+        assert c > 0.85, c
 
 
 def test_code_track_law_invariants():
-    """The recovered 9-bit 2-pulse law: v=0 is a coincident negative
-    pair, v=256 coincident positive; encode/decode maps are mutual
-    inverses over all 512 values (native bit maps, FACTS '2-pulse
-    track coding law')."""
-    sig = np.zeros(320, np.float32)
-    bs = ah.amrwb_encode(sig)          # exercises the C++ map end-to-end
-    assert len(bs) % 33 == 0
-    # python mirror of the law for the invariant check
+    """The recovered 9-bit 2-pulse law [s|B|A]: v=0 is a coincident
+    POSITIVE pair (+2 at the track's position 0 — absolute sign pinned
+    round 5 by the chain-impulse probe), v=256 coincident negative;
+    the map is injective over unordered signed pairs."""
     def dec_track(v):
-        A = sum(((v >> (2 * i)) & 1) << i for i in range(4))
-        B = sum(((v >> (2 * i + 1)) & 1) << i for i in range(4))
-        s1 = 1 if (v >> 8) & 1 else -1
-        return (B, s1), (A, s1 if A >= B else -s1)
+        s = (v >> 8) & 1
+        b = (v >> 4) & 0xF
+        a = v & 0xF
+        s1 = -1 if s else 1
+        return (b, s1), (a, s1 if a >= b else -s1)
 
     (p1, s1), (p2, s2) = dec_track(0)
-    assert p1 == p2 == 0 and s1 == s2 == -1
-    (p1, s1), (p2, s2) = dec_track(256)
     assert p1 == p2 == 0 and s1 == s2 == 1
+    (p1, s1), (p2, s2) = dec_track(256)
+    assert p1 == p2 == 0 and s1 == s2 == -1
     seen = set()
     for v in range(512):
         (pb, sb), (pa, sa) = dec_track(v)
-        # order rule: the A pulse carries sigma iff A >= B
         assert (sa == sb) == (pa >= pb)
         seen.add(tuple(sorted(((pb, sb), (pa, sa)))))
-    # the joint coding is injective over unordered signed pairs
     assert len(seen) == 512

@@ -1,4 +1,5 @@
-"""OPT-IN system-fidelity SILK tier (data/system_codecs.py): real
+"""System-fidelity SILK tier (data/system_codecs.py; the degrade
+default since round 5 via fidelity="auto" when libopus loads): real
 SILK-mode Opus through the in-image libopus/libavcodec for the
 reference's silk*/silkwb* vocabulary entries
 (/root/reference/channel_simulation/simulated_channel.py:19-38).

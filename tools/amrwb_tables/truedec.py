@@ -82,29 +82,167 @@ def dec_2p_track(v):
     return [(b, s1), (a, s1 if a >= b else -s1)]
 
 
+# ------------------------------------------------------------------
+# Pulse-index laws for every WB codebook (amrwbdec.o disassembly,
+# decode_1p..6p_track; signs: bit==0 -> positive; in 2p pairs the
+# high-bits position keeps the pair sign and the other flips when the
+# keeper's position is strictly larger). Positions are track-local.
+def dec_1p(v, m):
+    s = (v >> m) & 1
+    return [(v & ((1 << m) - 1), -1.0 if s else 1.0)]
+
+
+def dec_2p(v, m):
+    mask = (1 << m) - 1
+    s = (v >> (2 * m)) & 1
+    b = (v >> m) & mask
+    a = v & mask
+    s1 = -1.0 if s else 1.0
+    return [(b, s1), (a, s1 if b <= a else -s1)]
+
+
+def dec_3p(v, m):
+    half = ((v >> (2 * m - 1)) & 1) << (m - 1)
+    p = [(half + q, s) for q, s in dec_2p(v & ((1 << (2 * m - 1)) - 1),
+                                          m - 1)]
+    return p + dec_1p(v >> (2 * m), m)
+
+
+def dec_4p(v, m):
+    case = (v >> (4 * m - 2)) & 3
+    b_off = 1 << (m - 1)
+    if case == 0:
+        half = ((v >> (4 * m - 3)) & 1) << (m - 1)
+        sub = ((v >> (2 * m - 3)) & 1) << (m - 2)
+        p = [(half + sub + q, s)
+             for q, s in dec_2p(v & ((1 << (2 * m - 3)) - 1), m - 2)]
+        p += [(half + q, s)
+              for q, s in dec_2p((v >> (2 * m - 2)) & ((1 << (2 * m - 1)) - 1),
+                                 m - 1)]
+    elif case == 1:
+        p = dec_1p((v >> (3 * m - 2)) & ((1 << m) - 1), m - 1)
+        p += [(b_off + q, s)
+              for q, s in dec_3p(v & ((1 << (3 * m - 2)) - 1), m - 1)]
+    elif case == 2:
+        p = [(q, s) for q, s in
+             dec_2p((v >> (2 * m - 1)) & ((1 << (2 * m - 1)) - 1), m - 1)]
+        p += [(b_off + q, s)
+              for q, s in dec_2p(v & ((1 << (2 * m - 1)) - 1), m - 1)]
+    else:
+        p = dec_3p((v >> m) & ((1 << (3 * m - 2)) - 1), m - 1)
+        p += [(b_off + q, s) for q, s in dec_1p(v & ((1 << m) - 1), m - 1)]
+    return p
+
+
+def dec_5p(v, m):
+    half = ((v >> (5 * m - 1)) & 1) << (m - 1)
+    p = [(half + q, s)
+         for q, s in dec_3p((v >> (2 * m + 1)) & ((1 << (3 * m - 2)) - 1),
+                            m - 1)]
+    return p + dec_2p(v & ((1 << (2 * m + 1)) - 1), m)
+
+
+def dec_6p(v, m):
+    case = (v >> (6 * m - 4)) & 3
+    b_off = 1 << (m - 1)
+    h_more = ((v >> (6 * m - 5)) & 1) << (m - 1)
+    h_other = b_off - h_more
+    if case in (0, 1):
+        base1 = h_more if case == 0 else h_other
+        p = [(base1 + q, s) for q, s in dec_1p(v & ((1 << m) - 1), m - 1)]
+        p += [(h_more + q, s)
+              for q, s in dec_2p((v >> m) & ((1 << (2 * m - 1)) - 1), m - 1)]
+        quarter = ((v >> (6 * m - 6)) & 1) << (m - 2)
+        p += [(h_more + quarter + q, s)
+              for q, s in dec_3p((v >> (3 * m - 1)) &
+                                 ((1 << (3 * m - 5)) - 1), m - 2)]
+    elif case == 2:
+        p = [(h_other + q, s)
+             for q, s in dec_2p(v & ((1 << (2 * m - 1)) - 1), m - 1)]
+        p += [(h_more + q, s)
+              for q, s in dec_4p((v >> (2 * m - 1)) &
+                                 ((1 << (4 * m - 4)) - 1), m - 1)]
+    else:
+        p = [(q, s)
+             for q, s in dec_3p((v >> (3 * m - 2)) &
+                                ((1 << (3 * m - 2)) - 1), m - 1)]
+        p += [(b_off + q, s)
+              for q, s in dec_3p(v & ((1 << (3 * m - 2)) - 1), m - 1)]
+    return p
+
+
+# per-mode code field structure: (pulse decoder per track, m, spacing)
+# Multi-slot tracks (18k25/19k85/23k05/23k85) carry (ih, il) pairs:
+# code = (ih << il_bits) | il, layout lists ih[0..T-1] then il[0..T-1].
+def dec_code_field(mode, vals):
+    code = np.zeros(64)
+
+    def put(track, pulses, spacing=4):
+        for pos, s in pulses:
+            code[spacing * pos + track] += s
+
+    if mode == "6k60":
+        for t, v in enumerate(vals):
+            put(t, dec_1p(v, 5), spacing=2)
+    elif mode == "8k85":
+        for t, v in enumerate(vals):
+            put(t, dec_1p(v, 4))
+    elif mode == "12k65":
+        for t, v in enumerate(vals):
+            put(t, dec_2p(v, 4))
+    elif mode == "14k25":
+        for t, v in enumerate(vals):
+            put(t, dec_3p(v, 4) if t < 2 else dec_2p(v, 4))
+    elif mode == "15k85":
+        for t, v in enumerate(vals):
+            put(t, dec_3p(v, 4))
+    elif mode == "18k25":
+        for t in range(4):
+            put(t, dec_4p((vals[t] << 14) | vals[4 + t], 4))
+    elif mode == "19k85":
+        for t in range(4):
+            v = (vals[t] << (14 if t >= 2 else 10)) | vals[4 + t]
+            put(t, dec_5p(v, 4) if t < 2 else dec_4p(v, 4))
+    elif mode in ("23k05", "23k85"):
+        for t in range(4):
+            put(t, dec_6p((vals[t] << 11) | vals[4 + t], 4))
+    else:
+        raise ValueError(mode)
+    return code
+
+
 def dec_lag_abs(idx):
-    """Absolute 9-bit lag (behaviorally pinned high-mode law),
-    normalized to frac in {0..3} so lag_int == floor(delay) — the
-    stored base byte (ctx+0x4b9) proves lavc keeps the floor."""
+    """Absolute 9-bit lag, RAW lavc form (amrwbdec.asm 18c1-1916):
+    lag_int with frac in {-2..2}; lag_int is also the pitch-sharpening
+    integer and (with the frac<0 bump) feeds the relative base."""
     if idx < 376:
         T0 = (idx + 137) >> 2
-        frac = idx - (T0 << 2) + 136
+        frac = ((idx + 137) & 3) - 1
     elif idx < 440:
-        T0 = (idx + 257 - 376) >> 1
-        frac = (idx - (T0 << 1) + 256 - 376) * 2
+        T0 = (idx - 119) >> 1
+        frac = (((idx - 119) & 1) - 1) * 2
     else:
         T0, frac = idx - 280, 0
-    while frac < 0:
-        frac += 4
-        T0 -= 1
     return T0, frac
 
 
 def dec_lag_rel(idx, base):
-    """12.65k+ sf1/sf3 relative lag: delay = base + idx/4 (quarter
-    grid); the SHARPENING lag adds lavc's frac bump (int += frac>0),
-    applied at use."""
-    return base + (idx >> 2), idx & 3
+    """High-mode sf1/sf3 relative lag, raw form: delay = base + idx/4
+    (quarter grid)."""
+    return base + ((idx + 1) >> 2), ((idx + 1) & 3) - 1
+
+
+def dec_lag_abs_low(idx):
+    """6k60/8k85 8-bit absolute lag (asm 22b9-2315): half-sample grid
+    34 + idx/2 up to idx 115, then integer idx - 24 (92..231)."""
+    if idx <= 115:
+        return (idx + 69) >> 1, (((idx + 69) & 1) - 1) * 2
+    return idx - 24, 0
+
+
+def dec_lag_rel_low(idx, base):
+    """Low-mode 5-bit relative lag (asm 397d): delay = base + idx/2."""
+    return base + ((idx + 1) >> 1), (((idx + 1) & 1) - 1) * 2
 
 
 def isf2isp(isf):
@@ -145,16 +283,26 @@ def interp_read(exc, n, lag_int, frac):
     return acc
 
 
+MODE_IDX = {"6k60": 0, "8k85": 1, "12k65": 2, "14k25": 3, "15k85": 4,
+            "18k25": 5, "19k85": 6, "23k05": 7, "23k85": 8}
+
+
 class WBDecoder:
     def __init__(self, mode="12k65"):
+        self.mode = mode
+        self.midx = MODE_IDX[mode]
         self.lay = LAYOUTS[mode]
+        # anti-sparseness state (modes 6k60/8k85 only)
+        self.gp_hist = [0.0] * 5
+        self.prev_gc = 0.0
+        self.as_state = 0
         self.isf_past = np.zeros(16)
         self.isp_old = isf2isp(T["isf_init"].astype(np.float64) * SCALE)
         self.exc = np.zeros(1024)
         self.eoff = 1024 - 256
         self.pred_err = np.full(4, CFG["pred_init"])
         self.tilt = 0.0
-        self.prev_lag_int = 64
+        self.base_lag = 64
         self.prev_tr_gain = 0.0
         self.demph_mem = 0.0
         self.hpf_mem = np.zeros(4)
@@ -167,10 +315,19 @@ class WBDecoder:
         split-MSVQ residual + mean + (1/3)*past (past = raw residual,
         init 0), then min-dist reorder with gap 1/256 over the first
         15 entries."""
-        idx = [get_field(bits, self.lay[f"isf{i}"]) for i in range(7)]
+        if self.mode == "6k60":
+            # 36-bit path: same 2-split stage 1, 3-split stage 2 over
+            # the d2x_36 codebooks (dims [0-4][5-8][9-15])
+            tables = [(ISF["d1"], slice(0, 9)), (ISF["d2"], slice(9, 16)),
+                      (T["d21_36"], slice(0, 5)), (T["d22_36"], slice(5, 9)),
+                      (T["d23_36"], slice(9, 16))]
+        else:
+            tables = [(ISF[t], sl) for t, sl in ISF_TABLES]
+        idx = [get_field(bits, self.lay[f"isf{i}"])
+               for i in range(len(tables))]
         r = np.zeros(16)
-        for (tab, sl), ix in zip(ISF_TABLES, idx):
-            r[sl] += ISF[tab][ix].astype(np.float64) * SCALE
+        for (tab, sl), ix in zip(tables, idx):
+            r[sl] += tab[ix].astype(np.float64) * SCALE
         isf_q = r + ISF["isf_mean"] + CFG["mu"] * self.isf_past
         self.isf_past = r.copy()
         prev = 0.0
@@ -186,8 +343,9 @@ class WBDecoder:
         return isf_q
 
     def decode_gains(self, row, code_energy):
-        gp = T["gain7"][row][0] / 16384.0
-        factor = T["gain7"][row][1] / CFG["gc_q"]
+        gtab = T["gain6"] if len(self.lay["gain0"]) == 6 else T["gain7"]
+        gp = gtab[row][0] / 16384.0
+        factor = gtab[row][1] / CFG["gc_q"]
         pred = CFG["energy_mean"] + float(PRED_TAPS @ self.pred_err)
         if CFG["code_energy_term"]:
             pred -= 10.0 * np.log10(max(code_energy, 1e-20))
@@ -195,6 +353,56 @@ class WBDecoder:
         self.pred_err = np.concatenate(
             [[20.0 * np.log10(max(factor, 1e-20))], self.pred_err[:3]])
         return gp, gc
+
+    def anti_sparseness(self, code, gp, gc):
+        """Phase dispersion for 6k60/8k85 (amrwbdec.asm 2082-2235 +
+        34ef/3508/3517): impNr from gp thresholds 0.6/0.9 with an
+        onset override (gc > 2*prev_gc -> no filter, state=2), a
+        low-gp majority vote over the last 6 subframes forcing the
+        strong filter, a one-step state-increase limit, and filter
+        index = mode + impNr (0 strong, 1 medium, >1 none)."""
+        onset = gc > 2.0 * self.prev_gc
+        if gp < 0.6:
+            if onset:
+                # onset under weak pitch: impNr=1 directly, NO majority
+                # vote (asm 3508 -> 3534 -> 353e)
+                self.as_state = 1
+                if self.midx + 1 > 1:
+                    return code
+                imp = 1
+                ir = T["ir_medium"]
+                return self._as_filter(code, ir)
+            imp = 0
+        elif gp < 0.9:
+            if onset:
+                self.as_state = 2
+                return code
+            imp = 1
+        else:
+            if onset:
+                self.as_state = 2
+                return code
+            imp = 2
+        if sum(1 for g in [gp] + self.gp_hist if g < 0.6) > 2:
+            imp = 0
+            self.as_state = 0
+        else:
+            if imp > self.as_state + 1:
+                imp = 1
+            self.as_state = imp
+            if self.midx + imp > 1:
+                return code
+        ir = T["ir_strong"] if self.midx + imp == 0 else T["ir_medium"]
+        return self._as_filter(code, ir)
+
+    @staticmethod
+    def _as_filter(code, ir):
+        out = np.zeros(64)
+        for i in range(64):
+            if code[i] != 0.0:
+                for n in range(64):
+                    out[n] += float(code[i]) * float(ir[(n - i) % 64])
+        return out
 
     def frame(self, bits, code_override=None):
         isf_q = self.decode_isf(bits)
@@ -213,15 +421,23 @@ class WBDecoder:
             w = LADDER[sf]
             isp_i = (1 - w) * self.isp_old + w * isp_new
             a = isp2a(isp_i)
-            if sf in (0, 2):
-                lag_int, frac = dec_lag_abs(
-                    get_field(bits, self.lay[f"lag{sf}"]))
+            lag_idx = get_field(bits, self.lay[f"lag{sf}"])
+            low = self.midx <= 1
+            abs_sf = sf == 0 or (sf == 2 and self.mode != "6k60")
+            if abs_sf:
+                lag_int, frac = (dec_lag_abs_low(lag_idx) if low
+                                 else dec_lag_abs(lag_idx))
             else:
-                base = min(max(self.prev_lag_int - 8, 34), 216)
-                lag_int, frac = dec_lag_rel(
-                    get_field(bits, self.lay[f"lag{sf}"]), base)
-            self.prev_lag_int = lag_int
-            t_sharp = lag_int + (1 if frac == 3 else 0)
+                lag_int, frac = (dec_lag_rel_low(lag_idx, self.base_lag)
+                                 if low else
+                                 dec_lag_rel(lag_idx, self.base_lag))
+                # relative subframes do NOT refresh the base (asm: the
+                # 22d6/397d paths jump past the 0x4b8 store)
+            if abs_sf:
+                # base: clip(lag_int - 8 - (frac<0), 34, 216) (18fd-1916)
+                self.base_lag = min(max(lag_int - 8 -
+                                        (1 if frac < 0 else 0), 34), 216)
+            t_sharp = lag_int
             e0 = self.eoff + sf * 64
             # in-place adaptive extension (lavc interpolates the exc
             # buffer in place, so lags < 64 re-read the fresh samples)
@@ -232,16 +448,17 @@ class WBDecoder:
                 adap[n] = v
                 self.exc[e0 + n] = v
             self.exc[e0:e0 + 64] = saved
-            if get_field(bits, self.lay[f"ltp{sf}"]) == 0:
+            # modes without the LTP-filter flag (6k60/8k85) always
+            # smooth the adaptive vector
+            ltp = (get_field(bits, self.lay[f"ltp{sf}"])
+                   if f"ltp{sf}" in self.lay else 0)
+            if ltp == 0:
                 adap = np.convolve(adap, [0.18, 0.64, 0.18])[1:65]
             if code_override is not None and sf in code_override:
                 code = np.asarray(code_override[sf], float).copy()
             else:
-                code = np.zeros(64)
-                for t in range(4):
-                    v = get_field(bits, self.lay[f"code{sf}"][t])
-                    for pos, sgn in dec_2p_track(v):
-                        code[4 * pos + t] += sgn
+                vals = [get_field(bits, f) for f in self.lay[f"code{sf}"]]
+                code = dec_code_field(self.mode, vals)
             for i in range(63, 0, -1):
                 code[i] -= code[i - 1] * self.tilt
             if t_sharp < 64:
@@ -265,14 +482,19 @@ class WBDecoder:
                 sm = 0.5 * (1.0 - vf) * self.stab_fac
                 gc_enh = g0 * sm + gc * (1.0 - sm)
             code_enh = code.copy()
+            if self.midx <= 1:
+                code_enh = self.anti_sparseness(code_enh, gp, gc)
+            self.gp_hist = [gp] + self.gp_hist[:4]
+            self.prev_gc = gc
             if CFG["pitch_enh"]:
                 cpe = 0.125 * (1.0 + vf)
                 prev = 0.0
+                src = code_enh
                 ce2 = np.empty(64)
                 for i in range(64):
-                    nxt = code[i + 1] if i < 63 else 0.0
-                    ce2[i] = code[i] - cpe * (prev + nxt)
-                    prev = code[i]
+                    nxt = src[i + 1] if i < 63 else 0.0
+                    ce2[i] = src[i] - cpe * (prev + nxt)
+                    prev = src[i]
                 code_enh = ce2
             # adaptive-memory excitation: integer-truncated (the lavc
             # float decoder emulates the fixed-point reference;
@@ -348,9 +570,17 @@ def lavc(frames):
     return wb.decode_bits(frames)
 
 
-def bits_with(assign, base=None):
-    bits = base[:] if base else [0] * wb.BITS
-    lay = LAYOUTS["12k65"]
+def lavc_mode(mode, frames):
+    """Decode bit-frames of any WB mode on the lavc oracle."""
+    import importlib
+    oracle = importlib.import_module("wb")._amr_oracle
+    return oracle.decode_bits(MODE_IDX[mode], frames, codec="amrwb")
+
+
+def bits_with(assign, base=None, mode="12k65"):
+    nbits = [132, 177, 253, 285, 317, 365, 397, 461, 477][MODE_IDX[mode]]
+    bits = base[:] if base else [0] * nbits
+    lay = LAYOUTS[mode]
     for key, val in assign.items():
         if key.startswith("code"):
             sf, t = int(key[4]), int(key[6])
