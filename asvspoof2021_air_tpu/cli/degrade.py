@@ -94,6 +94,19 @@ def _amrnb_mode(kbps: float):
     return None
 
 
+# AMR-WB bitrates (kbps) -> codec mode index, restricted to the modes
+# with a native AbS encoder (6.60 / 8.85 / 12.65 / 15.85 / 23.05; the
+# native decoder handles all 9 modes)
+_AMRWB_ENC_RATES = {6.6: 0, 8.85: 1, 12.65: 2, 15.85: 4, 23.05: 7}
+
+
+def _amrwb_mode(kbps: float):
+    for r, i in _AMRWB_ENC_RATES.items():
+        if abs(kbps - r) < 0.05:
+            return i
+    return None
+
+
 def resolve_fidelity(fidelity: str = "auto") -> str:
     """Resolve the SILK-tier fidelity setting. ``auto`` (the default
     since round 5) promotes the silk*/silkwb* entries to the REAL
@@ -170,13 +183,15 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
         if fidelity == "system" and name.startswith("silkwb"):
             from asvspoof2021_air_tpu.data.system_codecs import opus_silk_channel
             out = opus_silk_channel(wave, 16000, kbps, sr)
-        elif name.startswith("amrwb[") and abs(kbps - 12.65) < 0.1:
-            # real AMR-WB 12.65k bitstream round trip (standard-
-            # bitstream tier, native/augment/amrwb.cc: exact lavc
-            # decode replica + AbS encoder; stream conformance 0.91+
-            # on lavc's decoder, tools/amrwb_tables/measure_conf.py).
+        elif name.startswith("amrwb[") and _amrwb_mode(kbps) is not None:
+            # real AMR-WB bitstream round trip at the entry's mode
+            # (standard-bitstream tier, native/augment/amrwb.cc: exact
+            # lavc decode replica + AbS encoder; stream conformance
+            # 0.85-0.93 on lavc's decoder across the 6k6/12k65/15k85/
+            # 23k05 entries, tools/amrwb_tables/measure_conf.py).
             # dtx is the 3GPP default for the plain entries.
-            out = ah.amrwb_channel(wave, sr, dtx="nodtx" not in name)
+            out = ah.amrwb_channel(wave, sr, dtx="nodtx" not in name,
+                                   mode=_amrwb_mode(kbps))
         else:
             out = ah.acelp_channel(wave, 16000, kbps, sr)
         loss = _parse_loss(name)

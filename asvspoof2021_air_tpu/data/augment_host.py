@@ -168,30 +168,38 @@ AMRNB_MODE_NAMES = ("4k75", "5k15", "5k9", "6k7", "7k4", "7k95", "10k2",
                     "12k2")
 
 
-def amrwb_encode(wave, dtx: bool = False) -> bytes:
-    """Encode 16 kHz float mono to AMR-WB 12.65k storage frames
-    (native/augment/amrwb.cc: exact lavc-decode replica + AbS encoder
-    on the binary-recovered 3GPP tables, tools/amrwb_tables/; RFC 4867
-    octet-aligned framing, TOC 0x14 + 32 payload bytes). Streams reach
-    0.91+ waveform conformance on libavcodec's amrwb decoder
+# AMR-WB storage frame sizes (bytes incl. TOC) for modes 0..8
+AMRWB_MODE_BYTES = (18, 24, 33, 37, 41, 47, 51, 59, 61)
+AMRWB_MODE_NAMES = ("6k60", "8k85", "12k65", "14k25", "15k85", "18k25",
+                    "19k85", "23k05", "23k85")
+
+
+def amrwb_encode(wave, dtx: bool = False, mode: int = 2) -> bytes:
+    """Encode 16 kHz float mono to AMR-WB storage frames at the given
+    TS 26.201 mode (encoder modes: 0=6.60k, 1=8.85k, 2=12.65k,
+    4=15.85k, 7=23.05k; native/augment/amrwb.cc: exact lavc-decode
+    replica + AbS encoder on the binary-recovered 3GPP tables,
+    tools/amrwb_tables/; RFC 4867 octet-aligned framing). Streams
+    reach 0.85-0.93 waveform conformance on libavcodec's amrwb decoder
     (tools/amrwb_tables/measure_conf.py). With ``dtx`` silence runs
     carry SID updates (type 9) and NO_DATA frames, mirroring the NB
     design; lavc does not implement WB DTX either, so the DTX tier is
     structural (docs/CODECS.md)."""
     lib = get_lib()
-    for fn in ("amrwb_encode", "amrwb_encode_dtx"):
+    for fn in ("amrwb_encode_mode", "amrwb_encode_dtx_mode"):
         f = getattr(lib, fn)
         if not hasattr(f, "_configured"):
             f.argtypes = [
+                ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint8)]
             f.restype = ctypes.c_long
             f._configured = True
     sig = np.ascontiguousarray(wave, np.float32)
-    out = np.zeros((len(sig) // 320 + 4) * 33, np.uint8)
-    enc = lib.amrwb_encode_dtx if dtx else lib.amrwb_encode
-    n = enc(sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(sig),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    out = np.zeros((len(sig) // 320 + 4) * 61, np.uint8)
+    enc = lib.amrwb_encode_dtx_mode if dtx else lib.amrwb_encode_mode
+    n = enc(mode, sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(sig), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return bytes(out[:max(n, 0)].tobytes())
 
 
@@ -207,8 +215,10 @@ def amrwb_decode(data: bytes) -> np.ndarray:
         lib.amrwb_decode._configured = True
     buf = np.frombuffer(data, np.uint8)
     # size by walking the TOCs: DTX streams carry 1-byte NO_DATA and
-    # 6-byte SID frames (same fix as amrnb_decode)
-    sizes = {2: 33, 9: 6, 15: 1}
+    # 6-byte SID frames (same fix as amrnb_decode); speech frames may
+    # be any of the 9 TS 26.201 modes
+    sizes = {m: AMRWB_MODE_BYTES[m] for m in range(9)}
+    sizes.update({9: 6, 15: 1})
     nframes, pos = 0, 0
     while pos < len(data):
         step = sizes.get((data[pos] >> 3) & 0x0F)
@@ -225,17 +235,18 @@ def amrwb_decode(data: bytes) -> np.ndarray:
 
 
 def amrwb_channel(wave, sample_rate: int = 16000,
-                  dtx: bool = False) -> np.ndarray:
-    """Real AMR-WB 12.65k hop: resample to 16 kHz, full bitstream
-    round trip (VAD/SID-gated when ``dtx``), resample back. Matches
-    the reference's amrwb[br=12k65] channel entries
+                  dtx: bool = False, mode: int = 2) -> np.ndarray:
+    """Real AMR-WB hop at the given mode: resample to 16 kHz, full
+    bitstream round trip (VAD/SID-gated when ``dtx``), resample back.
+    Matches the reference's amrwb[br=6k6/12k65/15k85/23k05] entries
     (/root/reference/channel_simulation/simulated_channel.py:33-35;
     dtx is the 3GPP default there, `nodtx` the variant)."""
     lib = get_lib()
-    for fn in ("amrwb_roundtrip", "amrwb_roundtrip_dtx"):
+    for fn in ("amrwb_roundtrip_mode", "amrwb_roundtrip_dtx_mode"):
         f = getattr(lib, fn)
         if not hasattr(f, "_configured"):
             f.argtypes = [
+                ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
             f._configured = True
@@ -243,8 +254,9 @@ def amrwb_channel(wave, sample_rate: int = 16000,
     if sample_rate != 16000:
         x = _as_f32(resample(x, sample_rate, 16000))
     out = np.empty_like(x)
-    rt = lib.amrwb_roundtrip_dtx if dtx else lib.amrwb_roundtrip
-    rt(_ptr(x), _ptr(out), x.size)
+    rt = (lib.amrwb_roundtrip_dtx_mode if dtx
+          else lib.amrwb_roundtrip_mode)
+    rt(mode, _ptr(x), _ptr(out), x.size)
     if sample_rate != 16000:
         out = resample(out, 16000, sample_rate)[: np.asarray(wave).size]
         pad = np.asarray(wave).size - out.size

@@ -221,7 +221,7 @@ CHANNEL_FAMILIES: Tuple[ChannelFamily, ...] = (
     ChannelFamily("g711a", False, "a", np.inf),
     ChannelFamily("g726", False, None, 16.5),
     ChannelFamily("amr_nb", False, None, 15.0),
-    ChannelFamily("amr_wb", True, None, 28.0),
+    ChannelFamily("amr_wb", True, None, 18.0),
     ChannelFamily("silk_nb", False, None, 15.0),
     ChannelFamily("silk_wb", True, None, 28.0),
     ChannelFamily("g722", True, None, 37.0),

@@ -32,7 +32,8 @@
 
 namespace wb {
 
-constexpr int kBits = 253;
+constexpr int kBits = 253;          // 12.65k speech bits (legacy name)
+constexpr int kMaxBits = 477;
 constexpr int kSub = 64;
 constexpr int kFrame = 256;
 constexpr int kPayload = 32;
@@ -41,7 +42,7 @@ constexpr double kScale = 1.0 / 32768.0;
 
 /* ------------------------------------------------ bit packing ---- */
 struct Bits {
-  uint8_t b[kBits];
+  uint8_t b[kMaxBits];
   void clear() { std::memset(b, 0, sizeof(b)); }
   int get(const int* map, int n) const {
     int v = 0;
@@ -52,6 +53,349 @@ struct Bits {
     for (int i = 0; i < n; ++i) b[map[i]] = (v >> (n - 1 - i)) & 1;
   }
 };
+
+/* --------------------------------------------- mode layouts ------
+ * Parsed from the serialized per-mode order tables
+ * (wbt::kLayouts, extracted from the lavc binary). */
+struct ModeLayout {
+  int nbits = 0, nbytes = 0, n_isf = 7, tracks = 4, spacing = 4;
+  bool low = false;                  // 6k60 / 8k85
+  std::vector<int> vad, isf[7], lag[4], ltp[4], gain[4], hbe[4];
+  std::vector<std::vector<int>> code[4];
+};
+
+inline const ModeLayout& layout(int mode) {
+  static ModeLayout lays[9];
+  static bool init = false;
+  if (!init) {
+    for (int m = 0; m < 9; ++m) {
+      ModeLayout& L = lays[m];
+      L.nbits = wbt::kModeBits[m];
+      L.nbytes = wbt::kModeSizes[m];
+      L.low = m <= 1;
+      L.tracks = (m == 0) ? 2 : 4;
+      L.spacing = (m == 0) ? 2 : 4;
+      const int* p = wbt::kLayouts[m];
+      const int* end = p + wbt::kLayoutLens[m];
+      int nisf = 0;
+      while (p < end) {
+        int id = p[0], n = p[1];
+        std::vector<int> bitsv(p + 2, p + 2 + n);
+        p += 2 + n;
+        if (id == 0) L.vad = bitsv;
+        else if (id <= 7) { L.isf[id - 1] = bitsv; nisf = id; }
+        else if (id < 20) L.lag[id - 10] = bitsv;
+        else if (id < 30) L.ltp[id - 20] = bitsv;
+        else if (id < 40) L.gain[id - 30] = bitsv;
+        else if (id < 50) L.hbe[id - 40] = bitsv;
+        else {
+          int sf = (id - 50) / 8;
+          L.code[sf].push_back(bitsv);
+        }
+      }
+      L.n_isf = nisf;
+    }
+    init = true;
+  }
+  return lays[mode];
+}
+
+/* --------------------------------- pulse-index laws (all modes) --
+ * From the amrwbdec.o disassembly (decode_1p..6p_track): sign bit 0
+ * -> positive; in each 2p pair the high-bits position keeps the pair
+ * sign and the other flips when the keeper's position is larger.
+ * Track-local positions; at most 6 pulses. */
+struct Pulses {
+  int n = 0;
+  int pos[6];
+  float sg[6];
+  void add(int p, float s) { pos[n] = p; sg[n] = s; ++n; }
+};
+
+inline void dec_1p(int v, int m, int base, Pulses* o) {
+  o->add(base + (v & ((1 << m) - 1)), ((v >> m) & 1) ? -1.0f : 1.0f);
+}
+inline void dec_2p(int v, int m, int base, Pulses* o) {
+  int mask = (1 << m) - 1;
+  int b = (v >> m) & mask, a = v & mask;
+  float s1 = ((v >> (2 * m)) & 1) ? -1.0f : 1.0f;
+  o->add(base + b, s1);
+  o->add(base + a, b <= a ? s1 : -s1);
+}
+inline void dec_3p(int v, int m, int base, Pulses* o) {
+  int half = ((v >> (2 * m - 1)) & 1) << (m - 1);
+  dec_2p(v & ((1 << (2 * m - 1)) - 1), m - 1, base + half, o);
+  dec_1p(v >> (2 * m), m, base, o);
+}
+inline void dec_4p(int v, int m, int base, Pulses* o) {
+  int cas = (v >> (4 * m - 2)) & 3;
+  int b_off = 1 << (m - 1);
+  if (cas == 0) {
+    int half = ((v >> (4 * m - 3)) & 1) << (m - 1);
+    int sub = ((v >> (2 * m - 3)) & 1) << (m - 2);
+    dec_2p(v & ((1 << (2 * m - 3)) - 1), m - 2, base + half + sub, o);
+    dec_2p((v >> (2 * m - 2)) & ((1 << (2 * m - 1)) - 1), m - 1,
+           base + half, o);
+  } else if (cas == 1) {
+    dec_1p((v >> (3 * m - 2)) & ((1 << m) - 1), m - 1, base, o);
+    dec_3p(v & ((1 << (3 * m - 2)) - 1), m - 1, base + b_off, o);
+  } else if (cas == 2) {
+    dec_2p((v >> (2 * m - 1)) & ((1 << (2 * m - 1)) - 1), m - 1, base, o);
+    dec_2p(v & ((1 << (2 * m - 1)) - 1), m - 1, base + b_off, o);
+  } else {
+    dec_3p((v >> m) & ((1 << (3 * m - 2)) - 1), m - 1, base, o);
+    dec_1p(v & ((1 << m) - 1), m - 1, base + b_off, o);
+  }
+}
+inline void dec_5p(int v, int m, int base, Pulses* o) {
+  int half = ((v >> (5 * m - 1)) & 1) << (m - 1);
+  dec_3p((v >> (2 * m + 1)) & ((1 << (3 * m - 2)) - 1), m - 1,
+         base + half, o);
+  dec_2p(v & ((1 << (2 * m + 1)) - 1), m, base, o);
+}
+inline void dec_6p(int v, int m, int base, Pulses* o) {
+  int cas = (v >> (6 * m - 4)) & 3;
+  int b_off = 1 << (m - 1);
+  int h_more = ((v >> (6 * m - 5)) & 1) << (m - 1);
+  int h_other = b_off - h_more;
+  if (cas == 0 || cas == 1) {
+    dec_1p(v & ((1 << m) - 1), m - 1,
+           base + (cas == 0 ? h_more : h_other), o);
+    dec_2p((v >> m) & ((1 << (2 * m - 1)) - 1), m - 1, base + h_more, o);
+    int quarter = ((v >> (6 * m - 6)) & 1) << (m - 2);
+    dec_3p((v >> (3 * m - 1)) & ((1 << (3 * m - 5)) - 1), m - 2,
+           base + h_more + quarter, o);
+  } else if (cas == 2) {
+    dec_2p(v & ((1 << (2 * m - 1)) - 1), m - 1, base + h_other, o);
+    dec_4p((v >> (2 * m - 1)) & ((1 << (4 * m - 4)) - 1), m - 1,
+           base + h_more, o);
+  } else {
+    dec_3p((v >> (3 * m - 2)) & ((1 << (3 * m - 2)) - 1), m - 1, base, o);
+    dec_3p(v & ((1 << (3 * m - 2)) - 1), m - 1, base + b_off, o);
+  }
+}
+
+inline int track_pulses(int mode, int t);
+
+/* ------------------------- pulse-index ENCODERS (inverse laws) ---
+ * Input: track-local pulse multisets (pos, sign). Every P-multiset is
+ * encodable: the half/quarter constraints are pigeonhole-guaranteed.
+ * Pulses are picked out of a small working list by index. */
+struct PulseList {
+  int n = 0;
+  int pos[6];
+  int neg[6];  // 1 = negative
+  void add(int p, int s) { pos[n] = p; neg[n] = s; ++n; }
+  void remove_at(int i) { --n; pos[i] = pos[n]; neg[i] = neg[n]; }
+};
+
+inline int enc_1p(int p, int neg, int m) { return (neg << m) | p; }
+
+inline int enc_2p(int p1, int n1, int p2, int n2, int m) {
+  int b, a, s;
+  if (n1 == n2) {
+    b = std::min(p1, p2); a = std::max(p1, p2); s = n1;
+  } else {
+    // keeper (high bits) must be the larger position; its sign rules
+    if (p1 > p2) { b = p1; a = p2; s = n1; }
+    else { b = p2; a = p1; s = n2; }
+  }
+  return (s << (2 * m)) | (b << m) | a;
+}
+
+/* pick two pulses sharing a section (pos >> shift equal); returns
+ * indices via i/j and removes them from l */
+inline void take_pair_in_section(PulseList* l, int shift, int* pa,
+                                 int* na, int* pb, int* nb) {
+  for (int i = 0; i < l->n; ++i)
+    for (int j = i + 1; j < l->n; ++j)
+      if ((l->pos[i] >> shift) == (l->pos[j] >> shift)) {
+        *pa = l->pos[i]; *na = l->neg[i];
+        *pb = l->pos[j]; *nb = l->neg[j];
+        l->remove_at(j);
+        l->remove_at(i);
+        return;
+      }
+  // unreachable when the caller's pigeonhole precondition holds
+  *pa = l->pos[0]; *na = l->neg[0];
+  *pb = l->pos[1]; *nb = l->neg[1];
+  l->remove_at(1);
+  l->remove_at(0);
+}
+
+inline int enc_3p(PulseList l, int m) {
+  int p1, n1, p2, n2;
+  take_pair_in_section(&l, m - 1, &p1, &n1, &p2, &n2);
+  int h = p1 >> (m - 1);
+  int mask = (1 << (m - 1)) - 1;
+  int v2 = enc_2p(p1 & mask, n1, p2 & mask, n2, m - 1);
+  int v1 = enc_1p(l.pos[0], l.neg[0], m);
+  return (v1 << (2 * m)) | (h << (2 * m - 1)) | v2;
+}
+
+inline int enc_4p(PulseList l, int m) {
+  int half = 1 << (m - 1), mask = half - 1;
+  int u = 0;
+  for (int i = 0; i < l.n; ++i) u += l.pos[i] >> (m - 1);
+  if (u == 0 || u == 4) {
+    int hbit = u == 4;
+    PulseList loc;
+    for (int i = 0; i < 4; ++i) loc.add(l.pos[i] & mask, l.neg[i]);
+    int p1, n1, p2, n2;
+    take_pair_in_section(&loc, m - 2, &p1, &n1, &p2, &n2);
+    int sub = p1 >> (m - 2);
+    int smask = (1 << (m - 2)) - 1;
+    int v2s = enc_2p(p1 & smask, n1, p2 & smask, n2, m - 2);
+    int v2h = enc_2p(loc.pos[0], loc.neg[0], loc.pos[1], loc.neg[1],
+                     m - 1);
+    return (0 << (4 * m - 2)) | (hbit << (4 * m - 3)) |
+           (v2h << (2 * m - 2)) | (sub << (2 * m - 3)) | v2s;
+  }
+  if (u == 2) {
+    PulseList lo, hi;
+    for (int i = 0; i < 4; ++i)
+      (l.pos[i] < half ? lo : hi).add(l.pos[i] & mask, l.neg[i]);
+    int v2lo = enc_2p(lo.pos[0], lo.neg[0], lo.pos[1], lo.neg[1], m - 1);
+    int v2hi = enc_2p(hi.pos[0], hi.neg[0], hi.pos[1], hi.neg[1], m - 1);
+    return (2 << (4 * m - 2)) | (v2lo << (2 * m - 1)) | v2hi;
+  }
+  // u==3: case 1 (1 lower + 3 upper); u==1: case 3 (3 lower + 1 upper)
+  PulseList lo, hi;
+  for (int i = 0; i < 4; ++i)
+    (l.pos[i] < half ? lo : hi).add(l.pos[i] & mask, l.neg[i]);
+  if (u == 3) {
+    int v1 = enc_1p(lo.pos[0], lo.neg[0], m - 1);
+    int v3 = enc_3p(hi, m - 1);
+    return (1 << (4 * m - 2)) | (v1 << (3 * m - 2)) | v3;
+  }
+  int v3 = enc_3p(lo, m - 1);
+  int v1 = enc_1p(hi.pos[0], hi.neg[0], m - 1);
+  return (3 << (4 * m - 2)) | (v3 << m) | v1;
+}
+
+inline int enc_5p(PulseList l, int m) {
+  int half = 1 << (m - 1), mask = half - 1;
+  int u = 0;
+  for (int i = 0; i < 5; ++i) u += l.pos[i] >> (m - 1);
+  int hbit = u >= 3;
+  PulseList in, rest;
+  for (int i = 0; i < 5; ++i) {
+    if (in.n < 3 && (l.pos[i] >> (m - 1)) == hbit)
+      in.add(l.pos[i] & mask, l.neg[i]);
+    else
+      rest.add(l.pos[i], l.neg[i]);
+  }
+  int v3 = enc_3p(in, m - 1);
+  int v2 = enc_2p(rest.pos[0], rest.neg[0], rest.pos[1], rest.neg[1], m);
+  return (hbit << (5 * m - 1)) | (v3 << (2 * m + 1)) | v2;
+}
+
+inline int enc_6p(PulseList l, int m) {
+  int half = 1 << (m - 1), mask = half - 1;
+  PulseList lo, hi;
+  for (int i = 0; i < 6; ++i)
+    (l.pos[i] < half ? lo : hi).add(l.pos[i] & mask, l.neg[i]);
+  if (lo.n == 3) {
+    int v3lo = enc_3p(lo, m - 1);
+    int v3hi = enc_3p(hi, m - 1);
+    return (3 << (6 * m - 4)) | (v3lo << (3 * m - 2)) | v3hi;
+  }
+  PulseList& more = lo.n > hi.n ? lo : hi;
+  PulseList& other = lo.n > hi.n ? hi : lo;
+  int hm = (&more == &hi) ? 1 : 0;
+  if (more.n == 4) {
+    int v4 = enc_4p(more, m - 1);
+    int v2 = enc_2p(other.pos[0], other.neg[0], other.pos[1],
+                    other.neg[1], m - 1);
+    return (2 << (6 * m - 4)) | (hm << (6 * m - 5)) |
+           (v4 << (2 * m - 1)) | v2;
+  }
+  // 5+1 (case 1) or 6+0 (case 0): 3 in a quarter + 2p + 1p in `more`
+  PulseList q3;
+  int qbit = 0;
+  {
+    int cnt[2] = {0, 0};
+    for (int i = 0; i < more.n; ++i) cnt[more.pos[i] >> (m - 2)]++;
+    qbit = cnt[1] >= 3;
+    int smask = (1 << (m - 2)) - 1;
+    PulseList rest;
+    for (int i = 0; i < more.n; ++i) {
+      if (q3.n < 3 && (more.pos[i] >> (m - 2)) == qbit)
+        q3.add(more.pos[i] & smask, more.neg[i]);
+      else
+        rest.add(more.pos[i], more.neg[i]);
+    }
+    more = rest;
+  }
+  int v3 = enc_3p(q3, m - 2);
+  int v2 = enc_2p(more.pos[0], more.neg[0], more.pos[1], more.neg[1],
+                  m - 1);
+  int cas, p1, n1;
+  if (other.n == 1) {
+    cas = 1; p1 = other.pos[0]; n1 = other.neg[0];
+  } else {
+    cas = 0; p1 = more.pos[2]; n1 = more.neg[2];
+  }
+  int v1 = enc_1p(p1, n1, m - 1);
+  return (cas << (6 * m - 4)) | (hm << (6 * m - 5)) |
+         (qbit << (6 * m - 6)) | (v3 << (3 * m - 1)) | (v2 << m) | v1;
+}
+
+/* encode a track-local pulse multiset to the mode's track word */
+inline int enc_track_pulses(int mode, int t, const PulseList& l) {
+  switch (track_pulses(mode, t)) {
+    case 1: return enc_1p(l.pos[0], l.neg[0], mode == 0 ? 5 : 4);
+    case 2: return enc_2p(l.pos[0], l.neg[0], l.pos[1], l.neg[1], 4);
+    case 3: return enc_3p(l, 4);
+    case 4: return enc_4p(l, 4);
+    case 5: return enc_5p(l, 4);
+    default: return enc_6p(l, 4);
+  }
+}
+
+/* pulse count / slot structure per mode+track (slots: some tracks
+ * split the code word over an (ih, il) slot pair in the layout) */
+inline int track_pulses(int mode, int t) {
+  switch (mode) {
+    case 0: case 1: return 1;
+    case 2: return 2;
+    case 3: return t < 2 ? 3 : 2;
+    case 4: return 3;
+    case 5: return 4;
+    case 6: return t < 2 ? 5 : 4;
+    default: return 6;
+  }
+}
+
+/* decode one track's code word (already assembled from its slots)
+ * into track-local pulses */
+inline void dec_track_pulses(int mode, int t, int v, Pulses* o) {
+  o->n = 0;
+  switch (track_pulses(mode, t)) {
+    case 1: dec_1p(v, mode == 0 ? 5 : 4, 0, o); break;
+    case 2: dec_2p(v, 4, 0, o); break;
+    case 3: dec_3p(v, 4, 0, o); break;
+    case 4: dec_4p(v, 4, 0, o); break;
+    case 5: dec_5p(v, 4, 0, o); break;
+    default: dec_6p(v, 4, 0, o); break;
+  }
+}
+
+/* assemble per-track code words from the layout's slot values; vals
+ * follow the layout order (ih[0..T-1] then il[0..T-1] when split) */
+inline void track_words(int mode, const int* vals, int nvals,
+                        int words[4]) {
+  const ModeLayout& L = layout(mode);
+  if (nvals == L.tracks) {
+    for (int t = 0; t < L.tracks; ++t) words[t] = vals[t];
+    return;
+  }
+  // split slots: code = (ih << il_bits) | il
+  for (int t = 0; t < 4; ++t) {
+    int il_bits = mode == 5 ? 14 : mode == 6 ? (t < 2 ? 10 : 14) : 11;
+    words[t] = (vals[t] << il_bits) | vals[4 + t];
+  }
+}
 
 /* ------------------------------------------------ ISF <-> A ------ */
 inline void isf_residual(const int idx[7], double r[16]) {
@@ -175,35 +519,52 @@ inline void a_to_isf(const double a[17], double isf[16]) {
   isf[15] = std::acos(a16) / (4.0 * M_PI);
 }
 
-/* ------------------------------------------------ lag laws ------- */
+/* ------------------------------------------------ lag laws -------
+ * RAW lavc form (amrwbdec.asm 18c1-1916 / 22b9-2315 / 397d): lag_int
+ * with frac in {-2..2}; the raw lag_int IS the pitch-sharpening
+ * integer, and base = clip(lag_int - 8 - (frac<0), 34, 216), updated
+ * on ABSOLUTE subframes only. */
 inline void dec_lag_abs(int idx, int* T, int* frac) {
-  int t, f;
   if (idx < 376) {
-    t = (idx + 137) >> 2;
-    f = idx - (t << 2) + 136;
+    *T = (idx + 137) >> 2;
+    *frac = ((idx + 137) & 3) - 1;
   } else if (idx < 440) {
-    t = (idx + 257 - 376) >> 1;
-    f = (idx - (t << 1) + 256 - 376) * 2;
+    *T = (idx - 119) >> 1;
+    *frac = (((idx - 119) & 1) - 1) * 2;
   } else {
-    t = idx - 280;
-    f = 0;
+    *T = idx - 280;
+    *frac = 0;
   }
-  while (f < 0) { f += 4; t -= 1; }
-  *T = t;
-  *frac = f;
-}
-
-inline int rel_base(int prev_T) {
-  // clip [34, 216]: 216 + 15.75 = the 231.75 max addressable lag
-  // (base-clip probed round 5 via long-read echoes at T_prev 217/231)
-  return std::min(std::max(prev_T - 8, 34), 216);
 }
 
 inline void dec_lag_rel(int idx, int base, int* T, int* frac) {
-  // delay = base + idx/4; the SHARPENING lag adds the lavc frac bump
-  // (pitch_lag_int += frac > 0), handled by the caller.
-  *T = base + (idx >> 2);
-  *frac = idx & 3;
+  *T = base + ((idx + 1) >> 2);
+  *frac = ((idx + 1) & 3) - 1;
+}
+
+/* 6k60/8k85: 8-bit abs on the half-sample grid 34 + idx/2 up to idx
+ * 115, integer idx-24 above; 5-bit rel delay = base + idx/2. */
+inline void dec_lag_abs_low(int idx, int* T, int* frac) {
+  if (idx <= 115) {
+    *T = (idx + 69) >> 1;
+    *frac = (((idx + 69) & 1) - 1) * 2;
+  } else {
+    *T = idx - 24;
+    *frac = 0;
+  }
+}
+
+inline void dec_lag_rel_low(int idx, int base, int* T, int* frac) {
+  *T = base + ((idx + 1) >> 1);
+  *frac = (((idx + 1) & 1) - 1) * 2;
+}
+
+inline int lag_base_next(int T, int frac) {
+  return std::min(std::max(T - 8 - (frac < 0 ? 1 : 0), 34), 216);
+}
+
+inline void lag_normalize(int* T, int* frac) {
+  while (*frac < 0) { *frac += 4; *T -= 1; }
 }
 
 /* ------------------------------------------------ code tracks ---- */
@@ -245,77 +606,58 @@ inline float interp_read(const float* exc, int n, int T, int frac) {
 /* ------------------------------------------------ field bundle --- */
 struct SubfrParams {
   int lag_idx;
-  int ltp;
+  int ltp;           // 1 when absent (modes without the flag)
   int gain_row;
-  int track[4];
+  int track[4];      // assembled per-track code words
 };
 struct FrameParams {
   int isf_idx[7];
   SubfrParams sf[4];
 };
 
-inline void parse_frame(const Bits& bits, FrameParams* p) {
-  static const int* isfmaps[7] = {wbt::kIsfBits0, wbt::kIsfBits1,
-                                  wbt::kIsfBits2, wbt::kIsfBits3,
-                                  wbt::kIsfBits4, wbt::kIsfBits5,
-                                  wbt::kIsfBits6};
-  static const int isfn[7] = {8, 8, 6, 7, 7, 5, 5};
-  for (int i = 0; i < 7; ++i) p->isf_idx[i] = bits.get(isfmaps[i], isfn[i]);
-  static const int* lagmaps[4] = {wbt::kLagBits0, wbt::kLagBits1,
-                                  wbt::kLagBits2, wbt::kLagBits3};
-  static const int lagn[4] = {9, 6, 9, 6};
-  static const int* ltpmaps[4] = {wbt::kLtpBit0, wbt::kLtpBit1,
-                                  wbt::kLtpBit2, wbt::kLtpBit3};
-  static const int* gmaps[4] = {wbt::kGainBits0, wbt::kGainBits1,
-                                wbt::kGainBits2, wbt::kGainBits3};
-  static const int* cmaps[4][4] = {
-      {wbt::kCodeBits0_0, wbt::kCodeBits0_1, wbt::kCodeBits0_2,
-       wbt::kCodeBits0_3},
-      {wbt::kCodeBits1_0, wbt::kCodeBits1_1, wbt::kCodeBits1_2,
-       wbt::kCodeBits1_3},
-      {wbt::kCodeBits2_0, wbt::kCodeBits2_1, wbt::kCodeBits2_2,
-       wbt::kCodeBits2_3},
-      {wbt::kCodeBits3_0, wbt::kCodeBits3_1, wbt::kCodeBits3_2,
-       wbt::kCodeBits3_3}};
+inline void parse_frame(int mode, const Bits& bits, FrameParams* p) {
+  const ModeLayout& L = layout(mode);
+  for (int i = 0; i < 7; ++i)
+    p->isf_idx[i] = i < L.n_isf
+        ? bits.get(L.isf[i].data(), (int)L.isf[i].size()) : 0;
   for (int sf = 0; sf < 4; ++sf) {
-    p->sf[sf].lag_idx = bits.get(lagmaps[sf], lagn[sf]);
-    p->sf[sf].ltp = bits.get(ltpmaps[sf], 1);
-    p->sf[sf].gain_row = bits.get(gmaps[sf], 7);
-    for (int t = 0; t < 4; ++t)
-      p->sf[sf].track[t] = bits.get(cmaps[sf][t], 9);
+    p->sf[sf].lag_idx = bits.get(L.lag[sf].data(), (int)L.lag[sf].size());
+    p->sf[sf].ltp = L.ltp[sf].empty()
+        ? 0 : bits.get(L.ltp[sf].data(), (int)L.ltp[sf].size());
+    p->sf[sf].gain_row =
+        bits.get(L.gain[sf].data(), (int)L.gain[sf].size());
+    int vals[8];
+    int nv = (int)L.code[sf].size();
+    for (int k = 0; k < nv; ++k)
+      vals[k] = bits.get(L.code[sf][k].data(), (int)L.code[sf][k].size());
+    track_words(mode, vals, nv, p->sf[sf].track);
   }
 }
 
-inline void write_frame(const FrameParams& p, Bits* bits) {
+inline void write_frame(int mode, const FrameParams& p, Bits* bits) {
+  const ModeLayout& L = layout(mode);
   bits->clear();
-  static const int* isfmaps[7] = {wbt::kIsfBits0, wbt::kIsfBits1,
-                                  wbt::kIsfBits2, wbt::kIsfBits3,
-                                  wbt::kIsfBits4, wbt::kIsfBits5,
-                                  wbt::kIsfBits6};
-  static const int isfn[7] = {8, 8, 6, 7, 7, 5, 5};
-  for (int i = 0; i < 7; ++i) bits->put(isfmaps[i], isfn[i], p.isf_idx[i]);
-  static const int* lagmaps[4] = {wbt::kLagBits0, wbt::kLagBits1,
-                                  wbt::kLagBits2, wbt::kLagBits3};
-  static const int lagn[4] = {9, 6, 9, 6};
-  static const int* ltpmaps[4] = {wbt::kLtpBit0, wbt::kLtpBit1,
-                                  wbt::kLtpBit2, wbt::kLtpBit3};
-  static const int* gmaps[4] = {wbt::kGainBits0, wbt::kGainBits1,
-                                wbt::kGainBits2, wbt::kGainBits3};
-  static const int* cmaps[4][4] = {
-      {wbt::kCodeBits0_0, wbt::kCodeBits0_1, wbt::kCodeBits0_2,
-       wbt::kCodeBits0_3},
-      {wbt::kCodeBits1_0, wbt::kCodeBits1_1, wbt::kCodeBits1_2,
-       wbt::kCodeBits1_3},
-      {wbt::kCodeBits2_0, wbt::kCodeBits2_1, wbt::kCodeBits2_2,
-       wbt::kCodeBits2_3},
-      {wbt::kCodeBits3_0, wbt::kCodeBits3_1, wbt::kCodeBits3_2,
-       wbt::kCodeBits3_3}};
+  for (int i = 0; i < L.n_isf; ++i)
+    bits->put(L.isf[i].data(), (int)L.isf[i].size(), p.isf_idx[i]);
   for (int sf = 0; sf < 4; ++sf) {
-    bits->put(lagmaps[sf], lagn[sf], p.sf[sf].lag_idx);
-    bits->put(ltpmaps[sf], 1, p.sf[sf].ltp);
-    bits->put(gmaps[sf], 7, p.sf[sf].gain_row);
-    for (int t = 0; t < 4; ++t)
-      bits->put(cmaps[sf][t], 9, p.sf[sf].track[t]);
+    bits->put(L.lag[sf].data(), (int)L.lag[sf].size(), p.sf[sf].lag_idx);
+    if (!L.ltp[sf].empty())
+      bits->put(L.ltp[sf].data(), (int)L.ltp[sf].size(), p.sf[sf].ltp);
+    bits->put(L.gain[sf].data(), (int)L.gain[sf].size(), p.sf[sf].gain_row);
+    int nv = (int)L.code[sf].size();
+    if (nv == L.tracks) {
+      for (int t = 0; t < L.tracks; ++t)
+        bits->put(L.code[sf][t].data(), (int)L.code[sf][t].size(),
+                  p.sf[sf].track[t]);
+    } else {
+      for (int t = 0; t < 4; ++t) {
+        int il_bits = (int)L.code[sf][4 + t].size();
+        bits->put(L.code[sf][t].data(), (int)L.code[sf][t].size(),
+                  p.sf[sf].track[t] >> il_bits);
+        bits->put(L.code[sf][4 + t].data(), il_bits,
+                  p.sf[sf].track[t] & ((1 << il_bits) - 1));
+      }
+    }
   }
 }
 
@@ -325,6 +667,7 @@ struct Decoder {
    * integer truncation of the excitation memory makes the adaptive
    * loop rounding-sensitive, so the replica mirrors the float ops
    * (doubles only where the disassembly shows doubles). */
+  int mode = 2;                         // TS 26.201 mode index
   float isf_past[16] = {0};             // raw residual MA state
   float isf_past_final[16];             // stab comparison state
   double isp_old[16];
@@ -332,15 +675,19 @@ struct Decoder {
   float exc[kHist + kFrame] = {0};      // history + current frame
   float pred_err[4];                    // newest first, dB
   float tilt = 0.0f;
-  int prev_lag_int = 64;
+  int base_lag = 64;                    // rel-lag base (abs sf updates)
   float prev_tr_gain = 0.0f;
   double stab_fac = 0.0;                // NOTE: no upper clip (<=1.25)
   float demph_mem = 0.0f;
   float hpf_x1 = 0, hpf_x2 = 0, hpf_y1 = 0, hpf_y2 = 0;
   float synth_mem[16] = {0};
   float up_hist[32] = {0};              // 12.8k tail for the upsampler
+  // anti-sparseness state (6k60/8k85 only)
+  float gp_hist[5] = {0};               // previous 5 pitch gains
+  float prev_gc = 0.0f;
+  int as_state = 0;
 
-  Decoder() {
+  explicit Decoder(int mode_ = 2) : mode(mode_) {
     for (int i = 0; i < 4; ++i) pred_err[i] = -14.0f;
     double isf0[16];
     for (int i = 0; i < 16; ++i) {
@@ -350,11 +697,32 @@ struct Decoder {
     isf_to_isp(isf0, isp_old);
   }
 
+  void isf_residual_mode(const int idx[7], double r[16]) const {
+    if (mode == 0) {
+      // 36-bit path: same 2-split stage 1, 3-split stage 2 over the
+      // d2x_36 codebooks (dims [0-4][5-8][9-15])
+      float rf[16];
+      for (int i = 0; i < 9; ++i)
+        rf[i] = wbt::k_d1[idx[0]][i] * (float)kScale;
+      for (int i = 0; i < 7; ++i)
+        rf[9 + i] = wbt::k_d2[idx[1]][i] * (float)kScale;
+      for (int i = 0; i < 5; ++i)
+        rf[i] += wbt::k_d21_36[idx[2]][i] * (float)kScale;
+      for (int i = 0; i < 4; ++i)
+        rf[5 + i] += wbt::k_d22_36[idx[3]][i] * (float)kScale;
+      for (int i = 0; i < 7; ++i)
+        rf[9 + i] += wbt::k_d23_36[idx[4]][i] * (float)kScale;
+      for (int i = 0; i < 16; ++i) r[i] = rf[i];
+    } else {
+      isf_residual(idx, r);
+    }
+  }
+
   void decode_isf(const int idx[7], float isf_q[16]) {
     float r[16];
     {
       double rd[16];
-      isf_residual(idx, rd);
+      isf_residual_mode(idx, rd);
       for (int i = 0; i < 16; ++i) r[i] = (float)rd[i];
     }
     for (int i = 0; i < 16; ++i) {
@@ -377,9 +745,17 @@ struct Decoder {
     std::memcpy(isf_past_final, isf_q, sizeof(isf_past_final));
   }
 
+  float gain_factor(int row) const {
+    const int16_t* g = layout(mode).gain[0].size() == 6
+        ? wbt::kGain6[row] : wbt::kGain7[row];
+    return (float)(g[1] * (float)(1.0 / 2048.0));
+  }
+
   void gains(int row, double code_energy64, double* gp, double* gc) const {
-    *gp = (float)(wbt::kGain7[row][0] * (float)(1.0 / 16384.0));
-    float factor = (float)(wbt::kGain7[row][1] * (float)(1.0 / 2048.0));
+    const int16_t* grow = layout(mode).gain[0].size() == 6
+        ? wbt::kGain6[row] : wbt::kGain7[row];
+    *gp = (float)(grow[0] * (float)(1.0 / 16384.0));
+    float factor = (float)(grow[1] * (float)(1.0 / 2048.0));
     float dot = pred_err[3] * 0.2f;   // avpriv order: a[0]*b[0]+..
     dot = 0.2f * pred_err[3] + 0.3f * pred_err[2];
     dot += 0.4f * pred_err[1];
@@ -391,44 +767,104 @@ struct Decoder {
     *gc = (float)g;
   }
   void push_gain(int row) {
-    float factor = (float)(wbt::kGain7[row][1] * (float)(1.0 / 2048.0));
+    float factor = gain_factor(row);
     pred_err[3] = pred_err[2];
     pred_err[2] = pred_err[1];
     pred_err[1] = pred_err[0];
     pred_err[0] = 20.0f * std::log10(factor);
   }
 
-  void build_code(const SubfrParams& s, int lag_int, float code[kSub]) const {
+  void raw_code(const SubfrParams& s, float code[kSub]) const {
+    const ModeLayout& L = layout(mode);
     std::memset(code, 0, kSub * sizeof(float));
-    for (int t = 0; t < 4; ++t) {
-      int pos[2];
-      double sg[2];
-      dec_track(s.track[t], pos, sg);
-      code[4 * pos[0] + t] += (float)sg[0];
-      code[4 * pos[1] + t] += (float)sg[1];
+    for (int t = 0; t < L.tracks; ++t) {
+      Pulses pl;
+      dec_track_pulses(mode, t, s.track[t], &pl);
+      for (int k = 0; k < pl.n; ++k)
+        code[L.spacing * pl.pos[k] + t] += pl.sg[k];
     }
+  }
+
+  void build_code(const SubfrParams& s, int lag_int, float code[kSub]) const {
+    raw_code(s, code);
     for (int i = kSub - 1; i > 0; --i) code[i] -= code[i - 1] * tilt;
     if (lag_int < kSub)
       for (int i = lag_int; i < kSub; ++i)
         code[i] += 0.85f * code[i - lag_int];
   }
 
+  /* phase dispersion for 6k60/8k85 (amrwbdec.asm 2082-2235 + the
+   * 34ef/3508/3517 branches): impNr from gp thresholds 0.6/0.9 with
+   * an onset override (gc > 2*prev_gc), a low-gp majority vote over
+   * the last 6 subframes, a one-step state-increase limit; filter
+   * index = mode + impNr (0 strong, 1 medium, >1 none). Returns
+   * whether `code` was replaced by its circular ir convolution. */
+  bool anti_sparseness(float gp, float gc, float code[kSub]) {
+    int imp;
+    bool onset = gc > 2.0f * prev_gc;
+    if (gp < 0.6f) {
+      if (onset) {
+        as_state = 1;
+        if (mode + 1 > 1) return false;
+        imp = 1;
+        return as_apply(code, wbt::kIrMedium);
+      }
+      imp = 0;
+    } else if (gp < 0.9f) {
+      if (onset) { as_state = 2; return false; }
+      imp = 1;
+    } else {
+      if (onset) { as_state = 2; return false; }
+      imp = 2;
+    }
+    int cnt = gp < 0.6f ? 1 : 0;
+    for (int i = 0; i < 5; ++i) cnt += gp_hist[i] < 0.6f;
+    if (cnt > 2) {
+      imp = 0;
+      as_state = 0;
+    } else {
+      if (imp > as_state + 1) imp = 1;
+      as_state = imp;
+      if (mode + imp > 1) return false;
+    }
+    return as_apply(code, mode + imp == 0 ? wbt::kIrStrong
+                                          : wbt::kIrMedium);
+  }
+
+  static bool as_apply(float code[kSub], const double ir[kSub]) {
+    float out[kSub] = {0};
+    for (int i = 0; i < kSub; ++i) {
+      if (code[i] == 0.0f) continue;
+      float v = code[i];
+      for (int n = 0; n < kSub; ++n)
+        out[n] += v * (float)ir[(n - i + kSub) & (kSub - 1)];
+    }
+    std::memcpy(code, out, sizeof(out));
+    return true;
+  }
+
   /* one subframe given parsed params; writes the 12.8k core
    * (pre-deemphasis) into synth_out and updates all state. */
   void subframe(int sf, const SubfrParams& s, const float a[17],
                 float synth_out[kSub]) {
+    const ModeLayout& L = layout(mode);
     int lag_int, frac;
-    if (sf == 0 || sf == 2) {
-      dec_lag_abs(s.lag_idx, &lag_int, &frac);
+    bool abs_sf = sf == 0 || (sf == 2 && mode != 0);
+    if (abs_sf) {
+      if (L.low) dec_lag_abs_low(s.lag_idx, &lag_int, &frac);
+      else dec_lag_abs(s.lag_idx, &lag_int, &frac);
+      base_lag = lag_base_next(lag_int, frac);
     } else {
-      dec_lag_rel(s.lag_idx, rel_base(prev_lag_int), &lag_int, &frac);
+      if (L.low) dec_lag_rel_low(s.lag_idx, base_lag, &lag_int, &frac);
+      else dec_lag_rel(s.lag_idx, base_lag, &lag_int, &frac);
     }
-    prev_lag_int = lag_int;
-    int t_sharp = lag_int + (frac == 3);  // round at 3/4 (probed)
+    int t_sharp = lag_int;      // raw lavc int IS the sharpening lag
+    int li = lag_int, fr = frac;
+    lag_normalize(&li, &fr);
     int e0 = kHist + sf * kSub;
     float adap[kSub];
     for (int n = 0; n < kSub; ++n) {
-      float v = interp_read(exc, e0 + n, lag_int, frac);
+      float v = interp_read(exc, e0 + n, li, fr);
       adap[n] = v;
       exc[e0 + n] = v;          // in-place extension, as lavc does
     }
@@ -466,13 +902,20 @@ struct Decoder {
       float sm = (float)((double)(1.0f - vff) * 0.5 * stab_fac);
       gc_enh = g0 * sm + gcf * (1.0f - sm);
     }
+    float code_as[kSub];
+    std::memcpy(code_as, code, sizeof(code_as));
+    if (L.low) anti_sparseness(gpf, gcf, code_as);
+    gp_hist[4] = gp_hist[3]; gp_hist[3] = gp_hist[2];
+    gp_hist[2] = gp_hist[1]; gp_hist[1] = gp_hist[0];
+    gp_hist[0] = gpf;
+    prev_gc = gcf;
     float cpe = (vff + 1.0f) * 0.125f;
     float code_enh[kSub];
     {
-      code_enh[0] = code[0] - cpe * code[1];
+      code_enh[0] = code_as[0] - cpe * code_as[1];
       for (int n = 1; n < kSub - 1; ++n)
-        code_enh[n] = code[n] - cpe * (code[n - 1] + code[n + 1]);
-      code_enh[kSub - 1] = code[kSub - 1] - cpe * code[kSub - 2];
+        code_enh[n] = code_as[n] - cpe * (code_as[n - 1] + code_as[n + 1]);
+      code_enh[kSub - 1] = code_as[kSub - 1] - cpe * code_as[kSub - 2];
     }
     for (int n = 0; n < kSub; ++n) {
       float m = exc[e0 + n] * gpf + gcf * code[n];
@@ -583,9 +1026,12 @@ struct Decoder {
 
 /* ================================================== ENCODER ====== */
 struct Encoder {
+  int mode = 2;
   Decoder local;                 // exact replica for state lockstep
   double isf_enc_past[16] = {0}; // quantizer MA state (tracks decoder)
   double t_synth_mem = 0.0;      // pre-emphasis memory of the target
+
+  explicit Encoder(int mode_ = 2) : mode(mode_), local(mode_) {}
 
   /* LP analysis on the pre-emphasized 12.8k target */
   void lp_analysis(const double* sp /* kFrame + lookahead, centered */,
@@ -652,13 +1098,20 @@ struct Encoder {
     for (int i = 0; i < 9; ++i) res[i] = target[i] - wbt::k_d1[idx[0]][i];
     for (int i = 0; i < 7; ++i)
       res[9 + i] = target[9 + i] - wbt::k_d2[idx[1]][i];
-    idx[2] = best(res, &wbt::k_d21[0][0], 64, 3, 3);
-    idx[3] = best(res + 3, &wbt::k_d22[0][0], 128, 3, 3);
-    idx[4] = best(res + 6, &wbt::k_d23[0][0], 128, 3, 3);
-    idx[5] = best(res + 9, &wbt::k_d24[0][0], 32, 3, 3);
-    idx[6] = best(res + 12, &wbt::k_d25[0][0], 32, 4, 4);
+    if (mode == 0) {
+      idx[2] = best(res, &wbt::k_d21_36[0][0], 128, 5, 5);
+      idx[3] = best(res + 5, &wbt::k_d22_36[0][0], 128, 4, 4);
+      idx[4] = best(res + 9, &wbt::k_d23_36[0][0], 64, 7, 7);
+      idx[5] = idx[6] = 0;
+    } else {
+      idx[2] = best(res, &wbt::k_d21[0][0], 64, 3, 3);
+      idx[3] = best(res + 3, &wbt::k_d22[0][0], 128, 3, 3);
+      idx[4] = best(res + 6, &wbt::k_d23[0][0], 128, 3, 3);
+      idx[5] = best(res + 9, &wbt::k_d24[0][0], 32, 3, 3);
+      idx[6] = best(res + 12, &wbt::k_d25[0][0], 32, 4, 4);
+    }
     double r[16];
-    isf_residual(idx, r);
+    local.isf_residual_mode(idx, r);
     for (int i = 0; i < 16; ++i) isf_enc_past[i] = r[i];
   }
 
@@ -744,9 +1197,11 @@ struct Encoder {
     auto eval_lag = [&](int idx, int lag_int, int frac) {
       double adap[kSub];
       float saved[kSub];
+      int li = lag_int, fr = frac;
+      lag_normalize(&li, &fr);
       std::memcpy(saved, local.exc + e0, sizeof(saved));
       for (int n = 0; n < kSub; ++n) {
-        float v = interp_read(local.exc, e0 + n, lag_int, frac);
+        float v = interp_read(local.exc, e0 + n, li, fr);
         adap[n] = v;
         local.exc[e0 + n] = v;
       }
@@ -770,7 +1225,9 @@ struct Encoder {
         std::memcpy(best_adap, adap, sizeof(best_adap));
       }
     };
-    if (sf == 0 || sf == 2) {
+    const ModeLayout& L = layout(mode);
+    bool abs_sf = sf == 0 || (sf == 2 && mode != 0);
+    if (abs_sf) {
       // coarse: exact filtered metric at integer lags (frac 0), then
       // full fractional refinement around the top scorer
       double rbest = -1e30;
@@ -780,8 +1237,6 @@ struct Encoder {
         double num = 0.0, den = 1e-9;
         for (int n = 0; n < kSub; ++n) {
           double v = (n >= T) ? y[n - T] : (double)local.exc[e0 + n - T];
-          double acc = 0.0;
-          (void)acc;
           y[n] = v;
           num += d[n] * v;
           den += v * v;
@@ -789,32 +1244,56 @@ struct Encoder {
         double sc = num * num / den;
         if (sc > rbest) { rbest = sc; Tb = T; }
       }
-      for (int T = std::max(34, Tb - 3); T <= std::min(231, Tb + 3); ++T) {
-        for (int f = 0; f < 4; ++f) {
-          int idx;
-          if (T < 128) idx = ((T << 2) + f) - 136;
-          else if (T < 160 && (f % 2) == 0) idx = 376 + ((T << 1) + f / 2) - 256;
-          else if (f == 0) idx = T + 280;
-          else continue;
-          if (idx < 0 || idx > 511) continue;
+      if (L.low) {
+        // 8-bit grid: delay = 34 + idx/2 (idx<=115), idx-24 above
+        for (int idx = 0; idx < 256; ++idx) {
           int ti, fi;
-          dec_lag_abs(idx, &ti, &fi);
+          dec_lag_abs_low(idx, &ti, &fi);
+          if (std::abs(ti - Tb) > 3) continue;
           eval_lag(idx, ti, fi);
         }
+      } else {
+        for (int T = std::max(34, Tb - 3); T <= std::min(231, Tb + 3);
+             ++T) {
+          for (int f = 0; f < 4; ++f) {
+            int idx;
+            if (T < 128) idx = ((T << 2) + f) - 136;
+            else if (T < 160 && (f % 2) == 0)
+              idx = 376 + ((T << 1) + f / 2) - 256;
+            else if (f == 0) idx = T + 280;
+            else continue;
+            if (idx < 0 || idx > 511) continue;
+            int ti, fi;
+            dec_lag_abs(idx, &ti, &fi);
+            eval_lag(idx, ti, fi);
+          }
+        }
       }
+      local.base_lag = lag_base_next(best_lag, best_frac);
     } else {
-      int base = rel_base(local.prev_lag_int);
-      for (int idx = 0; idx < 64; ++idx) {
+      int base = local.base_lag;
+      int nrel = 1 << (int)L.lag[sf].size();
+      for (int idx = 0; idx < nrel; ++idx) {
         int ti, fi;
-        dec_lag_rel(idx, base, &ti, &fi);
+        if (L.low) dec_lag_rel_low(idx, base, &ti, &fi);
+        else dec_lag_rel(idx, base, &ti, &fi);
         eval_lag(idx, ti, fi);
       }
     }
     s->lag_idx = best_idx;
-    best_lag = best_lag + (best_frac == 3);  // sharpening rounds at 3/4
-    s->ltp = 1;   // unfiltered adaptive (searched below)
-    // optional LTP filtering: test both and keep the better
-    {
+    // raw best_lag IS the sharpening integer (lavc keeps the raw int)
+    s->ltp = L.ltp[sf].empty() ? 0 : 1;
+    // optional LTP filtering: test both and keep the better (modes
+    // without the flag ALWAYS smooth — forced below)
+    if (L.ltp[sf].empty()) {
+      double sm[kSub];
+      for (int n = 0; n < kSub; ++n) {
+        double pp = n > 0 ? best_adap[n - 1] : 0.0;
+        double qq = n < kSub - 1 ? best_adap[n + 1] : 0.0;
+        sm[n] = 0.18 * pp + 0.64 * best_adap[n] + 0.18 * qq;
+      }
+      std::memcpy(best_adap, sm, sizeof(sm));
+    } else {
       double sm[kSub];
       for (int n = 0; n < kSub; ++n) {
         double pp = n > 0 ? best_adap[n - 1] : 0.0;
@@ -862,109 +1341,149 @@ struct Encoder {
     }
 
     // ---------------- fixed-code search -----------------------
-    // decode-side shaping: tilt (current local.tilt) then 0.85
-    // sharpening at best_lag. Search per track with the shaped
-    // impulse contributions folded into d via superposition.
-    double code[kSub] = {0};
-    auto shape_pulse = [&](int p128, double sign, double* vec) {
-      std::memset(vec, 0, kSub * sizeof(double));
-      vec[p128] = sign;
-      for (int i = kSub - 1; i > 0; --i) vec[i] -= vec[i - 1] * local.tilt;
+    // Decode-side shaping: tilt (current local.tilt) then 0.85
+    // sharpening at the raw best_lag. All shaped quantities reduce to
+    // RAW pulse coordinates through Psi = S' Phi S and dv = S' d
+    // (S = shaping operator), so candidate evaluation is O(1) per
+    // pulse move; the multiset search is greedy + swap refinement and
+    // every resulting multiset is encodable (pigeonhole).
+    int tracks = L.tracks, spacing = L.spacing;
+    double B[kSub][kSub];     // B[p] = shaped unit pulse at sample p
+    for (int p = 0; p < kSub; ++p) {
+      double* v = B[p];
+      std::memset(v, 0, kSub * sizeof(double));
+      v[p] = 1.0;
+      for (int i = kSub - 1; i > p; --i) v[i] -= v[i - 1] * local.tilt;
       if (best_lag < kSub)
-        for (int i = best_lag; i < kSub; ++i) vec[i] += 0.85 * vec[i - best_lag];
-    };
-    for (int t = 0; t < 4; ++t) {
-      int bestv = 0;
-      double bsc = -1e30;
-      double bvec[kSub] = {0};
-      for (int v = 0; v < 512; ++v) {
-        int pos[2];
-        double sg[2];
-        dec_track(v, pos, sg);
-        double cv[kSub] = {0};
-        cv[4 * pos[0] + t] += sg[0];
-        cv[4 * pos[1] + t] += sg[1];
-        // shape
-        for (int i = kSub - 1; i > 0; --i) cv[i] -= cv[i - 1] * local.tilt;
-        if (best_lag < kSub)
-          for (int i = best_lag; i < kSub; ++i) cv[i] += 0.85 * cv[i - best_lag];
-        double num = 0.0;
-        for (int i = 0; i < kSub; ++i)
-          if (cv[i] != 0.0) num += cv[i] * d[i];
-        double tot[kSub];
-        for (int i = 0; i < kSub; ++i) tot[i] = code[i] + cv[i];
-        double den = filt_dot(tot, tot) + 1e-9;
-        double cnum = 0.0;
-        for (int i = 0; i < kSub; ++i)
-          if (code[i] != 0.0) cnum += code[i] * d[i];
-        double sc = (cnum + num) * (cnum + num) / den;
-        if (sc > bsc) {
-          bsc = sc;
-          bestv = v;
-          std::memcpy(bvec, cv, sizeof(bvec));
-        }
+        for (int i = std::max(best_lag, p); i < kSub; ++i)
+          v[i] += 0.85 * v[i - best_lag];
+    }
+    static thread_local double Psi[kSub][kSub];
+    double dv[kSub];
+    for (int p = 0; p < kSub; ++p) {
+      // C = Phi * B[p], then Psi[p][q] = B[q] . C
+      double C[kSub];
+      for (int i = 0; i < kSub; ++i) {
+        double acc = 0.0;
+        for (int j = p; j < kSub; ++j)   // B[p][j] = 0 for j < p
+          acc += phi[std::abs(i - j)] * B[p][j];
+        C[i] = acc;
       }
-      s->track[t] = bestv;
-      for (int i = 0; i < kSub; ++i) code[i] += bvec[i];
+      for (int q = 0; q <= p; ++q) {
+        double acc = 0.0;
+        for (int j = q; j < kSub; ++j) acc += B[q][j] * C[j];
+        Psi[p][q] = Psi[q][p] = acc;
+      }
+      double acc = 0.0;
+      for (int j = p; j < kSub; ++j) acc += B[p][j] * d[j];
+      dv[p] = acc;
     }
-    // second pass: re-optimize each track given the other three
-    double shaped[4][kSub];
-    for (int t = 0; t < 4; ++t) {
-      int pos[2];
-      double sg[2];
-      dec_track(s->track[t], pos, sg);
-      double cv[kSub] = {0};
-      cv[4 * pos[0] + t] += sg[0];
-      cv[4 * pos[1] + t] += sg[1];
-      for (int i = kSub - 1; i > 0; --i) cv[i] -= cv[i - 1] * local.tilt;
-      if (best_lag < kSub)
-        for (int i = best_lag; i < kSub; ++i) cv[i] += 0.85 * cv[i - best_lag];
-      std::memcpy(shaped[t], cv, sizeof(cv));
-    }
-    for (int pass = 0; pass < 1; ++pass) {
-      for (int t = 0; t < 4; ++t) {
-        double others[kSub];
-        for (int i = 0; i < kSub; ++i)
-          others[i] = code[i] - shaped[t][i];
-        double onum = 0.0;
-        for (int i = 0; i < kSub; ++i)
-          if (others[i] != 0.0) onum += others[i] * d[i];
-        int bestv = s->track[t];
-        double bsc = -1e30;
-        double bvec[kSub];
-        std::memcpy(bvec, shaped[t], sizeof(bvec));
-        for (int v = 0; v < 512; ++v) {
-          int pos[2];
-          double sg[2];
-          dec_track(v, pos, sg);
-          double cv[kSub] = {0};
-          cv[4 * pos[0] + t] += sg[0];
-          cv[4 * pos[1] + t] += sg[1];
-          for (int i = kSub - 1; i > 0; --i) cv[i] -= cv[i - 1] * local.tilt;
-          if (best_lag < kSub)
-            for (int i = best_lag; i < kSub; ++i)
-              cv[i] += 0.85 * cv[i - best_lag];
-          double num = 0.0;
-          for (int i = 0; i < kSub; ++i)
-            if (cv[i] != 0.0) num += cv[i] * d[i];
-          double tot[kSub];
-          for (int i = 0; i < kSub; ++i) tot[i] = others[i] + cv[i];
-          double den = filt_dot(tot, tot) + 1e-9;
-          double sc = (onum + num) * (onum + num) / den;
-          if (sc > bsc) {
-            bsc = sc;
-            bestv = v;
-            std::memcpy(bvec, cv, sizeof(bvec));
+    // raw signed amplitude vector + its Psi image, across all tracks
+    double c[kSub] = {0};
+    double w[kSub] = {0};     // w = Psi c
+    double num = 0.0, den = 1e-9;
+    auto move_pulse = [&](int samp, double amp) {
+      num += amp * dv[samp];
+      den += 2.0 * amp * w[samp] + amp * amp * Psi[samp][samp];
+      for (int i = 0; i < kSub; ++i) w[i] += amp * Psi[samp][i];
+      c[samp] += amp;
+    };
+    auto score_with = [&](int samp, double amp) {
+      double n2 = num + amp * dv[samp];
+      double d2 = den + 2.0 * amp * w[samp] + amp * amp * Psi[samp][samp];
+      return n2 * n2 / d2;
+    };
+    PulseList pl[4];
+    int npos = (mode == 0) ? 32 : 16;   // positions per track
+    int P_of[4];
+    for (int t = 0; t < tracks; ++t) P_of[t] = track_pulses(mode, t);
+    // greedy fill, track-round-robin (pulse k of every track, then
+    // pulse k+1 ...), so early tracks don't starve later ones
+    int maxP = 0;
+    for (int t = 0; t < tracks; ++t) maxP = std::max(maxP, P_of[t]);
+    for (int k = 0; k < maxP; ++k) {
+      for (int t = 0; t < tracks; ++t) {
+        if (k >= P_of[t]) continue;
+        int bq = 0;
+        double bamp = 1.0, bsc = -1e30;
+        for (int p = 0; p < npos; ++p) {
+          int samp = spacing * p + t;
+          for (double amp : {1.0, -1.0}) {
+            double sc = score_with(samp, amp);
+            if (sc > bsc) { bsc = sc; bq = samp; bamp = amp; }
           }
         }
-        if (bestv != s->track[t]) {
-          s->track[t] = bestv;
-          for (int i = 0; i < kSub; ++i)
-            code[i] = others[i] + bvec[i];
-          std::memcpy(shaped[t], bvec, kSub * sizeof(double));
+        move_pulse(bq, bamp);
+        pl[t].add(bq / spacing, bamp < 0 ? 1 : 0);
+      }
+    }
+    // refinement: tracks with <=2 pulses get EXHAUSTIVE re-search over
+    // their full index space (joint within the track, like the round-4
+    // 12k65 searcher); larger tracks get pulse-swap refinement.
+    for (int pass = 0; pass < 2; ++pass) {
+      for (int t = 0; t < tracks; ++t) {
+        int P = P_of[t];
+        if (P <= 2) {
+          // remove the track's pulses
+          for (int k = 0; k < pl[t].n; ++k)
+            move_pulse(spacing * pl[t].pos[k] + t,
+                       pl[t].neg[k] ? 1.0 : -1.0);
+          int nbits_t = P == 1 ? (mode == 0 ? 6 : 5) : 9;
+          int bestv = -1;
+          double bsc = -1e30;
+          Pulses bestp;
+          for (int v = 0; v < (1 << nbits_t); ++v) {
+            Pulses cand;
+            dec_track_pulses(mode, t, v, &cand);
+            // score the multiset incrementally against (num, den, w)
+            double dn = 0.0, dd = 0.0;
+            int samp[2];
+            for (int k = 0; k < cand.n; ++k) {
+              samp[k] = spacing * cand.pos[k] + t;
+              dn += cand.sg[k] * dv[samp[k]];
+              dd += 2.0 * cand.sg[k] * w[samp[k]];
+            }
+            for (int j = 0; j < cand.n; ++j)
+              for (int k = 0; k < cand.n; ++k)
+                dd += cand.sg[j] * cand.sg[k] * Psi[samp[j]][samp[k]];
+            double n2 = num + dn, d2 = den + dd;
+            double sc = n2 * n2 / d2;
+            if (sc > bsc) { bsc = sc; bestv = v; bestp = cand; }
+          }
+          pl[t].n = 0;
+          for (int k = 0; k < bestp.n; ++k) {
+            move_pulse(spacing * bestp.pos[k] + t, bestp.sg[k]);
+            pl[t].add(bestp.pos[k], bestp.sg[k] < 0 ? 1 : 0);
+          }
+          (void)bestv;
+          continue;
+        }
+        for (int k = 0; k < pl[t].n; ++k) {
+          int old_samp = spacing * pl[t].pos[k] + t;
+          double old_amp = pl[t].neg[k] ? -1.0 : 1.0;
+          move_pulse(old_samp, -old_amp);
+          int bq = old_samp;
+          double bamp = old_amp, bsc = -1e30;
+          for (int p = 0; p < npos; ++p) {
+            int samp = spacing * p + t;
+            for (double amp : {1.0, -1.0}) {
+              double sc = score_with(samp, amp);
+              if (sc > bsc) { bsc = sc; bq = samp; bamp = amp; }
+            }
+          }
+          move_pulse(bq, bamp);
+          pl[t].pos[k] = bq / spacing;
+          pl[t].neg[k] = bamp < 0 ? 1 : 0;
         }
       }
     }
+    for (int t = 0; t < tracks; ++t)
+      s->track[t] = enc_track_pulses(mode, t, pl[t]);
+    // reconstruct the shaped code for the gain search
+    double code[kSub] = {0};
+    for (int i = 0; i < kSub; ++i)
+      if (c[i] != 0.0)
+        for (int j = i; j < kSub; ++j) code[j] += c[i] * B[i][j];
 
     // ---------------- gain VQ search --------------------------
     double yc[kSub];   // h * code
@@ -1000,9 +1519,39 @@ struct Encoder {
     for (int n = 0; n < kSub; ++n) ea += best_adap[n] * best_adap[n];
     double x0[kSub];
     for (int n = 0; n < kSub; ++n) x0[n] = tgt[n] - zir[n];
+    // low modes: precompute the filtered responses of the two
+    // anti-sparseness variants (the row decides which applies)
+    double yc_as[2][kSub], ycnb_as[2][kSub];
+    if (L.low) {
+      for (int variant = 0; variant < 2; ++variant) {
+        const double* ir = variant == 0 ? wbt::kIrStrong : wbt::kIrMedium;
+        double cas[kSub] = {0};
+        for (int i = 0; i < kSub; ++i) {
+          if (code[i] == 0.0) continue;
+          for (int n = 0; n < kSub; ++n)
+            cas[n] += code[i] * ir[(n - i + kSub) & (kSub - 1)];
+        }
+        double nb[kSub];
+        for (int n = 0; n < kSub; ++n) {
+          double p = n > 0 ? cas[n - 1] : 0.0;
+          double q = n < kSub - 1 ? cas[n + 1] : 0.0;
+          nb[n] = p + q;
+        }
+        for (int n = 0; n < kSub; ++n) {
+          double v = 0.0, v2 = 0.0;
+          for (int k = 0; k <= n; ++k) {
+            v += h[k] * cas[n - k];
+            v2 += h[k] * nb[n - k];
+          }
+          yc_as[variant][n] = v;
+          ycnb_as[variant][n] = v2;
+        }
+      }
+    }
+    int rows = (int)(1 << L.gain[sf].size());
     int bestrow = 0;
     double bcost = 1e30;
-    for (int row = 0; row < 128; ++row) {
+    for (int row = 0; row < rows; ++row) {
       double gp, gc;
       local.gains(row, ce / 64.0, &gp, &gc);
       if (gp > 1.3) continue;  // keep the adaptive loop contractive:
@@ -1018,9 +1567,31 @@ struct Encoder {
       double smf = 0.5 * (1.0 - vf) * local.stab_fac;
       double gc_enh = g0 * smf + gc * (1.0 - smf);
       double cpe = 0.125 * (1.0 + vf);
+      const double* ycr = yc;
+      const double* ycnbr = ycnb;
+      if (L.low) {
+        // replicate the decoder's anti-sparseness decision for this
+        // row WITHOUT mutating its state
+        Decoder probe = local;   // cheap relative to the search
+        float tmp[kSub] = {0};
+        tmp[0] = 1.0f;           // decision only depends on gains/state
+        bool fired0 = false, firedm = false;
+        int save_state = probe.as_state;
+        (void)save_state;
+        bool fired = probe.anti_sparseness((float)gp, (float)gc, tmp);
+        if (fired) {
+          // which filter? strong iff mode + imp == 0; recover from
+          // the filtered impulse's first sample
+          fired0 = std::fabs(tmp[0] - (float)wbt::kIrStrong[0]) <
+                   std::fabs(tmp[0] - (float)wbt::kIrMedium[0]);
+          firedm = !fired0;
+        }
+        if (fired0) { ycr = yc_as[0]; ycnbr = ycnb_as[0]; }
+        else if (firedm) { ycr = yc_as[1]; ycnbr = ycnb_as[1]; }
+      }
       double cost = 0.0;
       for (int n = 0; n < kSub; ++n) {
-        double e = x0[n] - gp * ya[n] - gc_enh * (yc[n] - cpe * ycnb[n]);
+        double e = x0[n] - gp * ya[n] - gc_enh * (ycr[n] - cpe * ycnbr[n]);
         cost += e * e;
       }
       if (cost < bcost) { bcost = cost; bestrow = row; }
@@ -1105,10 +1676,14 @@ inline int get_bits(const uint8_t* payload, int pos, int nbits) {
 
 extern "C" {
 
-/* Encode 16 kHz float mono to AMR-WB 12.65k storage frames (RFC 4867
- * octet-aligned, 33 bytes/frame incl. the 0x14 TOC). Returns bytes
- * written; size `out` as (n/320 + 3)*33. */
-long amrwb_encode(const float* in, size_t n, uint8_t* out) {
+/* Encode 16 kHz float mono to AMR-WB storage frames of the given
+ * TS 26.201 mode (RFC 4867 octet-aligned, kModeSizes[mode] bytes per
+ * frame incl. TOC). Supported encoder modes: 0 (6.60), 2 (12.65),
+ * 4 (15.85), 7 (23.05). Returns bytes written; size `out` as
+ * (n/320 + 3) * 61. */
+long amrwb_encode_mode(int mode, const float* in, size_t n,
+                       uint8_t* out) {
+  if (mode < 0 || mode > 8) return -1;
   std::vector<double> sp12;
   wb::downsample_16k_to_12k8(in, n, &sp12);
   // pre-emphasize into the decoder synthesis domain (inverse of the
@@ -1124,37 +1699,45 @@ long amrwb_encode(const float* in, size_t n, uint8_t* out) {
   size_t nframes = sp12.size() / wb::kFrame;
   if (nframes == 0) nframes = 1;
   while (nframes * wb::kFrame < sp12.size()) ++nframes;
-  wb::Encoder enc;
+  const wb::ModeLayout& L = wb::layout(mode);
+  int payload_bytes = L.nbytes - 1;
+  wb::Encoder enc(mode);
   wb::Bits bits;
   long written = 0;
   for (size_t fr = 0; fr < nframes; ++fr) {
     wb::FrameParams p;
     enc.encode_frame(ts.data() + wb::kSub + fr * wb::kFrame, &p);
-    wb::write_frame(p, &bits);
-    out[written++] = (2 << 3) | 0x04;
+    wb::write_frame(mode, p, &bits);
+    out[written++] = (uint8_t)((mode << 3) | 0x04);
     uint8_t* payload = out + written;
-    std::memset(payload, 0, wb::kPayload);
-    for (int i = 0; i < wb::kBits; ++i)
+    std::memset(payload, 0, payload_bytes);
+    for (int i = 0; i < L.nbits; ++i)
       if (bits.b[i]) payload[i >> 3] |= 0x80 >> (i & 7);
-    written += wb::kPayload;
+    written += payload_bytes;
   }
   return written;
 }
 
-/* Decode AMR-WB storage frames (12.65k only) to 16 kHz float mono.
- * Returns samples written or -1 on an unsupported frame type. */
+long amrwb_encode(const float* in, size_t n, uint8_t* out) {
+  return amrwb_encode_mode(2, in, n, out);
+}
+
+/* Decode AMR-WB storage frames (all 9 speech modes, mixed-mode
+ * streams included) to 16 kHz float mono. Returns samples written or
+ * -1 on an unsupported frame type. */
 long amrwb_decode(const uint8_t* data, size_t size, float* out,
                   size_t maxn) {
   wb::Decoder dec;
   size_t pos = 0;
   long written = 0;
+  int cn_isf0 = 0, cn_isf1 = 0;
+  double cn_rms = 0.0;
+  uint32_t rng = 0x9e3779b9u;
+  double cn_mem[16] = {0};
   while (pos < size) {
     int ft = (data[pos] >> 3) & 0x0F;
     if (ft == 9 || ft == 15) {
       // SID update / NO_DATA: emit comfort noise from the last SID
-      static thread_local int cn_isf0 = 0, cn_isf1 = 0;
-      static thread_local double cn_rms = 0.0;
-      static thread_local uint32_t rng = 0x9e3779b9u;
       if (ft == 9) {
         if (pos + 6 > size) break;
         const uint8_t* p = data + pos + 1;
@@ -1184,7 +1767,6 @@ long amrwb_decode(const uint8_t* data, size_t size, float* out,
       double isp[16], a[17];
       wb::isf_to_isp(isf, isp);
       wb::isp_to_a(isp, a);
-      static thread_local double cn_mem[16] = {0};
       double e = 0.0;
       for (int n = 0; n < wb::kFrame; ++n) {
         rng = rng * 1664525u + 1013904223u;
@@ -1207,16 +1789,18 @@ long amrwb_decode(const uint8_t* data, size_t size, float* out,
         out[written++] = buf[i];
       continue;
     }
-    if (ft != 2) return -1;
-    if (pos + 1 + wb::kPayload > size) break;
+    if (ft > 8) return -1;
+    const wb::ModeLayout& L = wb::layout(ft);
+    if (pos + (size_t)L.nbytes > size) break;
     wb::Bits bits;
     bits.clear();
     const uint8_t* payload = data + pos + 1;
-    for (int i = 0; i < wb::kBits; ++i)
+    for (int i = 0; i < L.nbits; ++i)
       bits.b[i] = (payload[i >> 3] >> (7 - (i & 7))) & 1;
-    pos += 1 + wb::kPayload;
+    pos += L.nbytes;
+    dec.mode = ft;               // per-frame mode switch, like lavc
     wb::FrameParams p;
-    wb::parse_frame(bits, &p);
+    wb::parse_frame(ft, bits, &p);
     float out12[wb::kFrame];
     dec.frame(p, out12);
     float buf[320];
@@ -1230,13 +1814,16 @@ long amrwb_decode(const uint8_t* data, size_t size, float* out,
 /* Encode with VAD-gated DTX: speech frames at 12.65k, silence runs
  * as SID (type 9, every 8th frame) + NO_DATA, mirroring the NB
  * design. Returns bytes written. */
-long amrwb_encode_dtx(const float* in, size_t n, uint8_t* out) {
+long amrwb_encode_dtx_mode(int mode, const float* in, size_t n,
+                           uint8_t* out) {
   // encode everything first (keeps the AbS state continuous), then
   // replace gated-silence frames by SID/NO_DATA framing.
+  int fsz = wb::layout(mode).nbytes;
   size_t nframes = (n + 319) / 320;
-  std::vector<uint8_t> full(nframes * 33 + 66);
-  long nb = amrwb_encode(in, n, full.data());
-  size_t have = (size_t)std::max(nb, 0L) / 33;
+  std::vector<uint8_t> full(nframes * fsz + 2 * fsz);
+  long nb = amrwb_encode_mode(mode, in, n, full.data());
+  if (nb < 0) return nb;
+  size_t have = (size_t)nb / fsz;
   wbdtx::Vad vad;
   long written = 0;
   int since_sid = 8;
@@ -1245,8 +1832,8 @@ long amrwb_encode_dtx(const float* in, size_t n, uint8_t* out) {
     size_t len = std::min((size_t)320, n - std::min(n, s0));
     bool speech = len > 0 && vad.frame(in + s0, (int)len);
     if (speech) {
-      std::memcpy(out + written, full.data() + f * 33, 33);
-      written += 33;
+      std::memcpy(out + written, full.data() + f * fsz, fsz);
+      written += fsz;
       since_sid = 8;
     } else if (since_sid >= 8) {
       // SID: quantize the frame's spectrum/energy crudely via the
@@ -1274,11 +1861,17 @@ long amrwb_encode_dtx(const float* in, size_t n, uint8_t* out) {
   return written;
 }
 
+long amrwb_encode_dtx(const float* in, size_t n, uint8_t* out) {
+  return amrwb_encode_dtx_mode(2, in, n, out);
+}
+
 /* encode->decode round trip at 16 kHz (the augmentation entry). */
-void amrwb_roundtrip(const float* in, float* out, size_t n) {
+void amrwb_roundtrip_mode(int mode, const float* in, float* out,
+                          size_t n) {
+  int fsz = wb::layout(mode).nbytes;
   size_t nframes = (n * 4 / 5) / wb::kFrame + 3;
-  std::vector<uint8_t> bs(nframes * 33);
-  long nb = amrwb_encode(in, n, bs.data());
+  std::vector<uint8_t> bs(nframes * fsz);
+  long nb = amrwb_encode_mode(mode, in, n, bs.data());
   std::vector<float> dec(nframes * 320 + 640, 0.0f);
   long m = amrwb_decode(bs.data(), (size_t)std::max(nb, 0L), dec.data(),
                         dec.size());
@@ -1292,12 +1885,17 @@ void amrwb_roundtrip(const float* in, float* out, size_t n) {
   }
 }
 
+void amrwb_roundtrip(const float* in, float* out, size_t n) {
+  amrwb_roundtrip_mode(2, in, out, n);
+}
 
 /* encode->decode round trip with DTX framing. */
-void amrwb_roundtrip_dtx(const float* in, float* out, size_t n) {
+void amrwb_roundtrip_dtx_mode(int mode, const float* in, float* out,
+                              size_t n) {
+  int fsz = wb::layout(mode).nbytes;
   size_t nframes = (n * 4 / 5) / wb::kFrame + 3;
-  std::vector<uint8_t> bs(nframes * 33 + 66);
-  long nb = amrwb_encode_dtx(in, n, bs.data());
+  std::vector<uint8_t> bs(nframes * fsz + 2 * fsz);
+  long nb = amrwb_encode_dtx_mode(mode, in, n, bs.data());
   std::vector<float> dec(nframes * 320 + 640, 0.0f);
   long m = amrwb_decode(bs.data(), (size_t)std::max(nb, 0L), dec.data(),
                         dec.size());
@@ -1307,6 +1905,10 @@ void amrwb_roundtrip_dtx(const float* in, float* out, size_t n) {
     long j = (long)i + lead;
     out[i] = (j < m) ? dec[j] : 0.0f;
   }
+}
+
+void amrwb_roundtrip_dtx(const float* in, float* out, size_t n) {
+  amrwb_roundtrip_dtx_mode(2, in, out, n);
 }
 
 /* debug: decode and dump the 256-sample excitation memory after each
@@ -1327,7 +1929,7 @@ long amrwb_decode_trace(const uint8_t* data, size_t size, float* exc_out,
       bits.b[i] = (payload[i >> 3] >> (7 - (i & 7))) & 1;
     pos += 1 + wb::kPayload;
     wb::FrameParams p;
-    wb::parse_frame(bits, &p);
+    wb::parse_frame(2, bits, &p);
     float out12[wb::kFrame];
     dec.frame(p, out12);
     if ((size_t)(frames + 1) * 256 <= maxn)

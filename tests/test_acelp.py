@@ -116,9 +116,10 @@ def test_frame_erasure():
 
 
 def test_degrade_routes_codec_families():
-    """Every AMR/SILK vocabulary entry routes through the ACELP tier and
-    produces finite, non-identity output; loss variants differ from their
-    lossless base."""
+    """Every AMR/SILK vocabulary entry routes through a real codec tier
+    (bitstream codecs for amr/amrwb, ACELP for silk/g729a/g728 under
+    fidelity=native) and produces finite, non-identity output; loss
+    variants differ from their lossless base."""
     x = voice(32000, 16000)
     for name in ("amr[br=4k75]", "amr[br=12k2,nodtx]", "amrwb[br=23k05]",
                  "silk[br=15k]", "silkwb[br=30k]", "g729a", "g728"):
@@ -134,8 +135,9 @@ def test_family_snrs_feature_matched():
     """The on-device family stand-ins (ops/augment.py CHANNEL_FAMILIES) are
     tuned so their LFCC distortion matches the real native codec tier's:
     verify the real codecs' LFCC distances fall near the stand-in values the
-    snr_db entries were fit to (amr_nb/silk_nb 15.0, amr_wb/silk_wb
-    28.0, gsmfr 12.2 — fitted 2026-08-16 on this signal)."""
+    snr_db entries were fit to (amr_nb/silk_nb 15.0, silk_wb 28.0,
+    amr_wb 18.0 — re-fit round 5 when the amrwb entries flipped to the
+    real bitstream codec; gsmfr 12.2)."""
     import jax.numpy as jnp
 
     from asvspoof2021_air_tpu.ops.lfcc import LFCC
@@ -152,10 +154,11 @@ def test_family_snrs_feature_matched():
     d_nb = np.mean([dist("amr[br=4k75]"), dist("amr[br=7k4]"),
                     dist("amr[br=12k2]")])
     d_wb = np.mean([dist("amrwb[br=6k6]"), dist("amrwb[br=23k05]")])
-    # fitted anchors: 1.53 (nb), 0.64 (wb); drift beyond ~25% means the
+    # fitted anchors: 1.53 (nb), 1.37 (wb, real-codec tier incl. its
+    # ~15-sample delay; round-5 re-fit); drift beyond ~25% means the
     # codec changed and the family table needs re-fitting
     assert 1.2 < d_nb < 2.1, d_nb
-    assert 0.5 < d_wb < 1.0, d_wb
+    assert 1.0 < d_wb < 1.8, d_wb
 
 
 def test_mdct_codec_ladder():

@@ -34,9 +34,10 @@ def speechlike(n=48000, seed=7):
     return (0.25 * y / np.abs(y).max()).astype(np.float32)
 
 
-def measure(sig):
-    bs = ah.amrwb_encode(sig)
-    pkts = [bs[i:i + 33] for i in range(0, len(bs), 33)]
+def measure(sig, mode=2):
+    bs = ah.amrwb_encode(sig, mode=mode)
+    fsz = ah.AMRWB_MODE_BYTES[mode]
+    pkts = [bs[i:i + fsz] for i in range(0, len(bs), fsz)]
     pcm = np.asarray(ff_decode_packets("amrwb", pkts, 16000))
     if pcm.dtype == np.int16:
         pcm = pcm.astype(np.float32) / 32768.0
@@ -57,7 +58,9 @@ def measure(sig):
 
 
 if __name__ == "__main__":
-    for seed in (7, 11, 23):
-        c, lag, ec = measure(speechlike(48000, seed))
-        print(f"seed {seed}: waveform corr {c:.4f} (lag {lag})  "
-              f"envelope corr {ec:.4f}")
+    modes = [int(m) for m in sys.argv[1:]] or [2]
+    for mode in modes:
+        for seed in (7, 11, 23):
+            c, lag, ec = measure(speechlike(48000, seed), mode)
+            print(f"mode {mode} seed {seed}: waveform corr {c:.4f} "
+                  f"(lag {lag})  envelope corr {ec:.4f}")
