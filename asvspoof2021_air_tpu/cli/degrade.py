@@ -94,10 +94,10 @@ def _amrnb_mode(kbps: float):
     return None
 
 
-# AMR-WB bitrates (kbps) -> codec mode index, restricted to the modes
-# with a native AbS encoder (6.60 / 8.85 / 12.65 / 15.85 / 23.05; the
-# native decoder handles all 9 modes)
-_AMRWB_ENC_RATES = {6.6: 0, 8.85: 1, 12.65: 2, 15.85: 4, 23.05: 7}
+# AMR-WB bitrates (kbps) -> codec mode index (all 9 TS 26.201 modes
+# encode and decode natively)
+_AMRWB_ENC_RATES = {6.6: 0, 8.85: 1, 12.65: 2, 14.25: 3, 15.85: 4,
+                    18.25: 5, 19.85: 6, 23.05: 7, 23.85: 8}
 
 
 def _amrwb_mode(kbps: float):
@@ -206,6 +206,13 @@ def apply_codec(wave: np.ndarray, name: str, sr: int = 16000,
         if fidelity == "system" and name.startswith("silk"):
             from asvspoof2021_air_tpu.data.system_codecs import opus_silk_channel
             out = opus_silk_channel(wave, 8000, kbps, sr)
+        elif name.startswith("g729"):
+            # real ITU-T G.729 bitstream round trip (standard-bitstream
+            # tier, native/augment/g729.cc: decoder with bit-exact
+            # excitation vs lavc's g729 + AbS encoder; stream
+            # conformance 0.90 on lavc's decoder,
+            # tools/g729_tables/FACTS.md)
+            out = ah.g729_channel(wave, sr)
         elif name.startswith("amr[") and _amrnb_mode(kbps) is not None:
             # real AMR-NB bitstream round trip at the entry's mode
             # (standard-bitstream tier, native/augment/amrnb.cc +

@@ -176,8 +176,8 @@ AMRWB_MODE_NAMES = ("6k60", "8k85", "12k65", "14k25", "15k85", "18k25",
 
 def amrwb_encode(wave, dtx: bool = False, mode: int = 2) -> bytes:
     """Encode 16 kHz float mono to AMR-WB storage frames at the given
-    TS 26.201 mode (encoder modes: 0=6.60k, 1=8.85k, 2=12.65k,
-    4=15.85k, 7=23.05k; native/augment/amrwb.cc: exact lavc-decode
+    TS 26.201 mode (all 9 encoder modes, 0=6.60k .. 8=23.85k;
+    native/augment/amrwb.cc: exact lavc-decode
     replica + AbS encoder on the binary-recovered 3GPP tables,
     tools/amrwb_tables/; RFC 4867 octet-aligned framing). Streams
     reach 0.85-0.93 waveform conformance on libavcodec's amrwb decoder
@@ -601,6 +601,66 @@ def _configure_g722(lib):
         lib.g722_decode.argtypes = [u8ptr, ctypes.c_long, fptr, ctypes.c_int]
         lib.g722_decode.restype = ctypes.c_long
         lib.g722_roundtrip._configured = True
+
+
+def g729_encode(wave) -> bytes:
+    """Encode 8 kHz float mono to raw ITU-T G.729 frames (10 bytes per
+    10 ms; native/augment/g729.cc: AbS encoder against a decoder
+    replica whose EXCITATION is bit-exact vs the in-image lavc `g729`
+    — tools/g729_tables/FACTS.md). Streams reach 0.90 waveform
+    conformance on lavc's decoder."""
+    lib = get_lib()
+    f = lib.g729_encode
+    if not hasattr(f, "_configured"):
+        f.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+                      ctypes.POINTER(ctypes.c_uint8)]
+        f.restype = ctypes.c_long
+        f._configured = True
+    sig = np.ascontiguousarray(wave, np.float32)
+    out = np.zeros((len(sig) // 80 + 2) * 10, np.uint8)
+    n = f(sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(sig),
+          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return bytes(out[:max(n, 0)].tobytes())
+
+
+def g729_decode(data: bytes) -> np.ndarray:
+    """Decode raw G.729 frames to 8 kHz float mono (bit-exact
+    excitation replica + structural postfilter + exact 100 Hz HPF)."""
+    lib = get_lib()
+    f = lib.g729_decode
+    if not hasattr(f, "_configured"):
+        f.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                      ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+        f.restype = ctypes.c_long
+        f._configured = True
+    buf = np.frombuffer(data, np.uint8)
+    out = np.zeros((len(data) // 10 + 1) * 80, np.float32)
+    n = f(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(out))
+    return out[:max(n, 0)].copy()
+
+
+def g729_channel(wave, sample_rate: int = 16000) -> np.ndarray:
+    """Real G.729 hop: resample to 8 kHz, full bitstream round trip,
+    resample back (the reference's `g729a` common-tier entry,
+    /root/reference/channel_simulation/simulated_channel.py:36-39)."""
+    lib = get_lib()
+    f = lib.g729_roundtrip
+    if not hasattr(f, "_configured"):
+        f.argtypes = [ctypes.POINTER(ctypes.c_float),
+                      ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+        f._configured = True
+    x = _as_f32(wave)
+    if sample_rate != 8000:
+        x = _as_f32(resample(x, sample_rate, 8000))
+    out = np.empty_like(x)
+    f(_ptr(x), _ptr(out), x.size)
+    if sample_rate != 8000:
+        out = resample(out, 8000, sample_rate)[: np.asarray(wave).size]
+        pad = np.asarray(wave).size - out.size
+        if pad > 0:
+            out = np.concatenate([out, np.zeros(pad, np.float32)])
+    return out
 
 
 _G722_MODES = {64: 1, 56: 2, 48: 3}

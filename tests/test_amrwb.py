@@ -204,13 +204,15 @@ def _lavc_decode_mode(bs, mode):
 
 def test_all_encoder_modes_conform_on_lavc():
     """Round-5 extension: 6.60k / 8.85k / 15.85k / 23.05k join 12.65k
-    as real bitstream encoders (generic pulse-law codecs 1p..6p, low
-    lag laws, 36-bit ISF path, gain6, anti-sparseness — all from the
-    amrwbdec disassembly). Every mode's frames decode error-free on
+    as real bitstream encoders — ALL 9 TS 26.201 modes encode (generic
+    pulse-law codecs 1p..6p, low lag laws, 36-bit ISF path, gain6,
+    anti-sparseness — all from the amrwbdec disassembly; 23.85 emits
+    hb gain 0). Every mode's frames decode error-free on
     lavc and reconstruct the input; the 6.6k bar is lower because the
     codec itself is (12 code bits/subframe vs 88 at 23.05k)."""
     sig = _speechlike(24000, 7)
-    bars = {0: 0.82, 1: 0.85, 4: 0.88, 7: 0.88}
+    bars = {0: 0.82, 1: 0.85, 3: 0.88, 4: 0.88, 5: 0.88, 6: 0.88,
+            7: 0.88, 8: 0.88}
     for mode, bar in bars.items():
         bs = ah.amrwb_encode(sig, mode=mode)
         fsz = ah.AMRWB_MODE_BYTES[mode]

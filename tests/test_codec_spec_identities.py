@@ -137,6 +137,31 @@ def test_g726_documented_tier_matches_conformance_evidence():
         f"present={has_evidence}")
 
 
+def test_g729_documented_tier_matches_conformance_evidence():
+    """Documentation honesty guard (same pattern as the G.726 one):
+    CODECS.md may claim the g729a tier is standard-bitstream ONLY
+    while the conformance suite backing it exists
+    (tests/test_g729_conformance.py pins stream conformance on the
+    system's lavc g729 decoder and the native decoder agreement).
+    The tier was upgraded from algorithmic-class in round 5 when
+    g729.cc became the recovered fixed-point pipeline."""
+    import os
+
+    with open("docs/CODECS.md") as f:
+        text = f.read()
+    row = [ln for ln in text.splitlines()
+           if ln.startswith("| `g729a`")]
+    assert row, "CODECS.md lost its g729a row"
+    claims_standard = "standard-bitstream" in row[0]
+    here = os.path.dirname(os.path.abspath(__file__))
+    has_evidence = os.path.exists(
+        os.path.join(here, "test_g729_conformance.py"))
+    assert claims_standard == has_evidence, (
+        "CODECS.md g729a tier claim must track its conformance "
+        f"evidence: claims standard-bitstream={claims_standard}, "
+        f"suite present={has_evidence}")
+
+
 def test_codec_tier_docs_are_consistent():
     """Cross-document tier consistency guard (round-3 verdict "stale,
     self-contradicting docs"): docs/CODECS.md is the single source of
