@@ -795,13 +795,13 @@ struct Decoder {
 
   /* phase dispersion for 6k60/8k85 (amrwbdec.asm 2082-2235 + the
    * 34ef/3508/3517 branches): impNr from gp thresholds 0.6/0.9 with
-   * an onset override (gc > 2*prev_gc), a low-gp majority vote over
+   * an onset override (gc > 3*prev_gc; LC56), a low-gp majority vote over
    * the last 6 subframes, a one-step state-increase limit; filter
    * index = mode + impNr (0 strong, 1 medium, >1 none). Returns
    * whether `code` was replaced by its circular ir convolution. */
   bool anti_sparseness(float gp, float gc, float code[kSub]) {
     int imp;
-    bool onset = gc > 2.0f * prev_gc;
+    bool onset = gc > 3.0f * prev_gc;   // LC56 = 3.0 (rodata.cst8)
     if (gp < 0.6f) {
       if (onset) {
         as_state = 1;

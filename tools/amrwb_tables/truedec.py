@@ -361,7 +361,7 @@ class WBDecoder:
         low-gp majority vote over the last 6 subframes forcing the
         strong filter, a one-step state-increase limit, and filter
         index = mode + impNr (0 strong, 1 medium, >1 none)."""
-        onset = gc > 2.0 * self.prev_gc
+        onset = gc > 3.0 * self.prev_gc   # LC56 = 3.0 (rodata.cst8)
         if gp < 0.6:
             if onset:
                 # onset under weak pitch: impNr=1 directly, NO majority
