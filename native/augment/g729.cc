@@ -743,38 +743,55 @@ struct Encoder {
         for (int n = pitch_round; n < kSub; ++n)
           out[n] += (double)gp_sh / 16384.0 * out[n - pitch_round];
     };
-    // greedy per-track with signs from d; then joint refinement over
-    // all 4 tracks (small codebooks)
+    // greedy per-track + refinement passes on PRECOMPUTED filtered
+    // shaped-pulse bases: yb[p] = h * S(e_p) (S = pitch sharpening),
+    // so each candidate evaluation is O(subframe) instead of a fresh
+    // convolution per candidate
     int bestC = 0, bestS = 0;
     {
-      double bsc = -1e30;
-      // track-by-track greedy using the correlation sign heuristic +
-      // exhaustive final joint pass over track3 (16 pos) and signs
+      static thread_local double yb[kSub][kSub];
+      for (int p = 0; p < kSub; ++p) {
+        double sv[kSub] = {0};
+        sv[p] = 1.0;
+        if (pitch_round < kSub)
+          for (int n = std::max(pitch_round, p); n < kSub; ++n)
+            sv[n] += (double)gp_sh / 16384.0 * sv[n - pitch_round];
+        for (int n = 0; n < kSub; ++n) {
+          double y = 0;
+          for (int k = 0; k <= n; ++k)
+            if (sv[n - k] != 0.0) y += h[k] * sv[n - k];
+          yb[p][n] = y;
+        }
+      }
+      auto tpos = [&](int tr, int pi) {
+        return tr < 3 ? g729t::kFcTracks13[pi] + tr
+                      : g729t::kFcTrack4[pi];
+      };
       int pos_idx[4] = {0, 0, 0, 0};
       int sgn[4] = {1, 1, 1, 1};
+      double ycur[4][kSub];
+      double ytot[kSub] = {0};
+      for (int tr = 0; tr < 4; ++tr) {
+        double amp = sgn[tr] ? 8191.0 : -8192.0;
+        for (int n = 0; n < kSub; ++n) {
+          ycur[tr][n] = amp * yb[tpos(tr, pos_idx[tr])][n];
+          ytot[n] += ycur[tr][n];
+        }
+      }
       for (int pass = 0; pass < 3; ++pass) {
         for (int tr = 0; tr < 4; ++tr) {
           int npos = tr < 3 ? 8 : 16;
           double tb = -1e30;
-          int bp = 0, bsg = 1;
+          int bp = pos_idx[tr], bsg = sgn[tr];
+          double yoth[kSub];
+          for (int n = 0; n < kSub; ++n) yoth[n] = ytot[n] - ycur[tr][n];
           for (int pi = 0; pi < npos; ++pi) {
+            const double* b = yb[tpos(tr, pi)];
             for (int sg = 0; sg < 2; ++sg) {
-              int old_p = pos_idx[tr], old_s = sgn[tr];
-              pos_idx[tr] = pi;
-              sgn[tr] = sg;
-              int64_t fc[kSub];
-              int C = pos_idx[0] | (pos_idx[1] << 3) | (pos_idx[2] << 6) |
-                      (pos_idx[3] << 9);
-              int S = (sgn[0] & 1) | ((sgn[1] & 1) << 1) |
-                      ((sgn[2] & 1) << 2) | ((sgn[3] & 1) << 3);
-              Decoder::fixed_vector(C, S, fc);
-              double sh[kSub];
-              shape(fc, sh);
+              double amp = sg ? 8191.0 : -8192.0;
               double nume = 0, dene = 1e-9;
               for (int n = 0; n < kSub; ++n) {
-                double y = 0;
-                for (int k = 0; k <= n; ++k)
-                  if (sh[n - k] != 0.0) y += h[k] * sh[n - k];
+                double y = yoth[n] + amp * b[n];
                 nume += x2[n] * y;
                 dene += y * y;
               }
@@ -782,13 +799,15 @@ struct Encoder {
               // the NB encoder's silent-attractor bug class)
               double sc = nume * std::fabs(nume) / dene;
               if (sc > tb) { tb = sc; bp = pi; bsg = sg; }
-              pos_idx[tr] = old_p;
-              sgn[tr] = old_s;
             }
           }
           pos_idx[tr] = bp;
           sgn[tr] = bsg;
-          if (tb > bsc) bsc = tb;
+          double amp = bsg ? 8191.0 : -8192.0;
+          for (int n = 0; n < kSub; ++n) {
+            ycur[tr][n] = amp * yb[tpos(tr, bp)][n];
+            ytot[n] = yoth[n] + ycur[tr][n];
+          }
         }
       }
       bestC = pos_idx[0] | (pos_idx[1] << 3) | (pos_idx[2] << 6) |
