@@ -1,15 +1,19 @@
-/* ITU-T G.729 (8 kbps, CS-ACELP) — fixed-point decoder with BIT-EXACT
- * excitation vs the in-image lavc `g729` decoder, plus an AbS encoder
- * running against an embedded replica for state lockstep.
+/* ITU-T G.729 (8 kbps, CS-ACELP) — fixed-point decoder BIT-EXACT vs
+ * the in-image lavc `g729` decoder (full output chain: excitation,
+ * synthesis incl. the trial-overflow exc>>2 redo, fixed-point
+ * long/short-term postfilter + tilt + gain scale, adaptive gain
+ * control, 100 Hz HPF), plus an AbS encoder running against an
+ * embedded replica for state lockstep.
  *
  * Recovery route (tools/g729_tables/FACTS.md): tables extracted from
  * the libavcodec object files; laws pinned by disassembly of
- * g729dec.o/lsp.o/acelp_*.o and ctypes context introspection
- * (truedec729.py is the validated Python reference — 12-frame random
- * streams match lavc's excitation buffer sample-exactly). The output
- * enhancement (G.729 4.2 long/short-term postfilter + tilt + AGC) is
- * a float structural model (lavc's is fixed-point); the 100 Hz output
- * HPF is exact. Matches the reference's `g729a` common-tier entry
+ * g729dec.o/g729postfilter.o/lsp.o/acelp_*.o, ctypes context
+ * introspection, and DIRECT probing of the archive object code (the
+ * postfilter/AGC/lsp helpers linked into a fork-isolated probe server
+ * and fuzzed against the Python port — tools/g729_tables/pf_exact.py /
+ * fuzz_pf.py). truedec729.py is the validated reference: random
+ * multi-frame streams match lavc's int16 output SAMPLE-EXACTLY.
+ * Matches the reference's `g729a` common-tier entry
  * (/root/reference/channel_simulation/simulated_channel.py:36-39).
  *
  * Frame: 80 bits / 10 ms: L0(1) L1(7) L2(5) L3(5) | P1(8) P0(1)
@@ -33,6 +37,10 @@ constexpr int kHist = 154;          // PITCH_MAX(143) + interp margin
 inline int sat16(int64_t v) {
   return (int)std::min<int64_t>(32767, std::max<int64_t>(-32768, v));
 }
+
+inline int32_t wrap32(int64_t v) { return (int32_t)(uint32_t)(v & 0xFFFFFFFF); }
+inline int16_t wrap16(int64_t v) { return (int16_t)(uint16_t)(v & 0xFFFF); }
+inline int64_t cdiv(int64_t a, int64_t b) { return a / b; }  // C trunc
 
 inline int log2_q15(int v) {
   int x = v | 1;
@@ -109,12 +117,14 @@ struct Decoder {
   int gain_code = 0;
   int pitch_prev = 20;
   int64_t synth_mem[10];
-  // postfilter / hpf state
-  double pf_res_hist[10] = {0};
-  double pf_res_long[143 + kSub] = {0};
-  double pf_syn_hist[10] = {0};
-  double pf_tilt_mem = 0.0;
-  double pf_agc = 1.0;
+  // exact fixed-point postfilter / AGC / HPF state (bit-exact vs the
+  // lavc ff_g729_postfilter object code; see tools/g729_tables/pf_exact.py)
+  int64_t pf_residual[192] = {0};   // RES_PREV(152) + subframe
+  int64_t pf_rfd[10] = {0};         // res_filter_data (speech history)
+  int64_t pf_pfd[50] = {0};         // pos_filter_data (10 hist + 40 out)
+  int pf_ht_prev = 0;
+  int pf_voicing = 0;
+  int agc_gain = 0x4000;            // decoder_init: ctx+0x53c
   int64_t hpf_f[2] = {0, 0};
   int hpf_x[2] = {0, 0};
 
@@ -141,8 +151,10 @@ struct Decoder {
       for (int i = 1; i < 10; ++i) {
         int64_t d = q[i - 1] - q[i] + gap;
         if (d > 0) {
+          // both halves truncate (lavc g729dec; ctx-introspection fit —
+          // an odd overlap leaves the pair 1 closer than `gap`)
           q[i - 1] -= d >> 1;
-          q[i] += (d + 1) >> 1;
+          q[i] += d >> 1;
         }
       }
     for (int i = 0; i < 10; ++i) {
@@ -176,13 +188,16 @@ struct Decoder {
 
   static void lsp2lp(const int64_t lsp[10], int64_t lp[11]) {
     auto poly = [](const int64_t* l, int64_t f[6]) {
+      // f[] are wrapping int32 in lavc; MULL = 64-bit product >> 14
+      // truncated to int32
       f[0] = 1 << 22;
       f[1] = -l[0] << 8;
       for (int i = 2; i < 6; ++i) {
         f[i] = f[i - 2];
         for (int j = i; j > 1; --j)
-          f[j] += f[j - 2] - ((l[2 * (i - 1)] * f[j - 1]) >> 14);
-        f[1] -= l[2 * (i - 1)] << 8;
+          f[j] = wrap32(f[j] + f[j - 2] -
+                        wrap32((l[2 * (i - 1)] * f[j - 1]) >> 14));
+        f[1] = wrap32(f[1] - (l[2 * (i - 1)] << 8));
       }
     };
     int64_t even[5], odd[5];
@@ -194,10 +209,10 @@ struct Decoder {
     poly(lo, f2);
     lp[0] = 4096;
     for (int i = 1; i < 6; ++i) {
-      int64_t ff1 = f1[i] + f1[i - 1] + (1 << 10);
-      int64_t ff2 = f2[i] - f2[i - 1];
-      lp[i] = (ff1 + ff2) >> 11;
-      lp[11 - i] = (ff1 - ff2) >> 11;
+      int64_t ff1 = wrap32(f1[i] + f1[i - 1] + (1 << 10));
+      int64_t ff2 = wrap32(f2[i] - f2[i - 1]);
+      lp[i] = wrap16(wrap32(ff1 + ff2) >> 11);
+      lp[11 - i] = wrap16(wrap32(ff1 - ff2) >> 11);
     }
   }
 
@@ -256,110 +271,306 @@ struct Decoder {
     int64_t ene = (int64_t)1018156 << 10;
     for (int i = 0; i < 4; ++i)
       ene += quant_energy[i] * g729t::kMaPredictionCoeff[i];
-    double val = factor *
-                 std::exp2((double)ene / 1.6777216e8 * 3.321928094887362);
+    // exact lavc double expression (operation order matters for the
+    // borderline truncations): gain_corr_factor *
+    //   exp(M_LN10/(20<<23) * mr_energy) / sqrt(dot(fc,fc)), trunc, >>12
+    const double c1 = 2.30258509299404568402 / (double)(20 << 23);
     int64_t dot = 0;
     for (int i = 0; i < kSub; ++i) dot += fc[i] * fc[i];
-    val /= std::sqrt((double)dot);
+    double val = factor * std::exp(c1 * (double)ene) /
+                 std::sqrt((double)dot);
     gain_code = (int)((int64_t)val >> 12);
-    // ff_acelp_update_past_gain (non-erasure)
+    // ff_acelp_update_past_gain (non-erasure):
+    // q0 = (6165*((ff_log2(factor)>>2) - (13<<13))) >> 13
     quant_energy[3] = quant_energy[2];
     quant_energy[2] = quant_energy[1];
     quant_energy[1] = quant_energy[0];
-    uint32_t y = (uint32_t)((log2_q15(factor) >> 2) * 6165);
-    uint32_t esi = (uint32_t)(y * 8u - 0x39110000u);
-    int q0 = (int)((esi >> 16) & 0xFFFF);
-    quant_energy[0] = q0 >= 0x8000 ? q0 - 0x10000 : q0;
+    quant_energy[0] =
+        ((int64_t)6165 * ((log2_q15(factor) >> 2) - (13 << 13))) >> 13;
   }
 
-  /* ---- float structural postfilter + exact output HPF ---------- */
-  void postfilter(int64_t* speech, const int64_t lp[11], int pitch_round) {
-    double a[10], an[10], ad[10];
-    double gn = 1.0, gd = 1.0;
+  /* ---- exact fixed-point postfilter (ff_g729_postfilter port) --- */
+  /* Constants: gamma_n=0.55 / gamma_d=0.7 power products (Q15). */
+  static constexpr int kGnPow[10] = {18022, 9912, 5451, 2998, 1649,
+                                     907,  499,  274,  151,  83};
+  static constexpr int kGdPow[10] = {22938, 16057, 11240, 7868, 5508,
+                                     3856, 2699, 1889, 1322, 925};
+
+  static int64_t pf_dot(const int64_t* a, const int64_t* b, int n) {
+    int64_t s = 0;
+    for (int i = 0; i < n; ++i) s = wrap32(s + a[i] * b[i]);
+    return s;
+  }
+  static int64_t abs16u(int64_t v) { return v == -32768 ? 32768 : (v < 0 ? -v : v); }
+  static int bsr32(int64_t v) {
+    uint32_t u = (uint32_t)(v & 0xFFFFFFFF) | 1u;
+    return 31 - __builtin_clz(u);
+  }
+
+  /* ff_acelp_interpolate over kPfFilt (long table at 0, short at 64). */
+  static void pf_interp(const int64_t* in, int base, int filt_off,
+                        int precision, int frac, int filt_len, int length,
+                        int64_t* out) {
+    for (int n = 0; n < length; ++n) {
+      int64_t v = 0x4000;
+      int idx = 0;
+      for (int i = 0; i < filt_len;) {
+        v += in[base + n + i] * g729t::kPfFilt[filt_off + idx + frac];
+        idx += precision;
+        ++i;
+        v += in[base + n - i] * g729t::kPfFilt[filt_off + idx - frac];
+      }
+      out[n] = sat16(v >> 15);
+    }
+  }
+
+  /* ff_celp_lp_synthesis_filter, shift 0 / rounder 0x800: int32
+   * wrapping accumulator, in[n] added AFTER the >> 12. */
+  static void pf_synth(const int* coeffs, const int64_t* in, int n,
+                       const int64_t* hist10, int64_t* out) {
+    for (int i = 0; i < n; ++i) {
+      int64_t v = 0x800;
+      for (int k = 1; k <= 10; ++k) {
+        int64_t past = (i - k >= 0) ? out[i - k] : hist10[10 + i - k];
+        v -= (int64_t)coeffs[k - 1] * past;
+      }
+      out[i] = sat16((wrap32(v) >> 12) + in[i]);
+    }
+  }
+
+  /* Exact ff_g729_postfilter: mutates pf_* state and speech in place. */
+  void postfilter(int64_t* speech, const int64_t lp[11], int pdi) {
+    int lp_gn[10], lp_gd[10];
     for (int i = 0; i < 10; ++i) {
-      a[i] = (double)lp[i + 1] / 4096.0;
-      gn *= 0.55;
-      gd *= 0.7;
-      an[i] = a[i] * gn;
-      ad[i] = a[i] * gd;
+      lp_gn[i] = (int)(((int64_t)lp[i + 1] * kGnPow[i] + 0x4000) >> 15);
+      lp_gd[i] = (int)(((int64_t)lp[i + 1] * kGdPow[i] + 0x4000) >> 15);
     }
-    double res[kSub];
+    // residual of A(z/gn) with 16-bit wrapping add
     {
-      double x[10 + kSub];
-      std::memcpy(x, pf_res_hist, sizeof(pf_res_hist));
-      for (int n = 0; n < kSub; ++n) x[10 + n] = (double)speech[n];
-      for (int n = 0; n < kSub; ++n) {
-        double v = x[10 + n];
-        for (int k = 0; k < 10; ++k) v += an[k] * x[10 + n - 1 - k];
-        res[n] = v;
+      int64_t sp[50];
+      for (int i = 0; i < 10; ++i) sp[i] = pf_rfd[i];
+      for (int i = 0; i < kSub; ++i) sp[10 + i] = speech[i];
+      for (int i = 0; i < kSub; ++i) {
+        int64_t acc = 0x800;
+        for (int k = 1; k <= 10; ++k)
+          acc += (int64_t)lp_gn[k - 1] * sp[10 + i - k];
+        pf_residual[152 + i] = wrap16((wrap32(acc) >> 12) + sp[10 + i]);
       }
-      std::memcpy(pf_res_hist, x + kSub, sizeof(pf_res_hist));
+      for (int i = 0; i < 10; ++i) pf_rfd[i] = sp[40 + i];
     }
-    // long-term 3-candidate search
-    double rh[143 + 2 * kSub];
-    std::memcpy(rh, pf_res_long, sizeof(pf_res_long));
-    std::memcpy(rh + 143 + kSub, res, sizeof(res));
-    int off = 143 + kSub;
-    double bs = -1.0, best_g = 0.0;
-    int best_T = pitch_round;
-    for (int t = std::max(pitch_round - 1, 20);
-         t < std::min(pitch_round + 2, 144); ++t) {
-      double num = 0, den = 0;
-      for (int n = 0; n < kSub; ++n) {
-        num += res[n] * rh[off - t + n];
-        den += rh[off - t + n] * rh[off - t + n];
+    bool filtered = false;
+    int64_t residual_filt[kSub];
+    // bit-length normalization of the whole 192-entry buffer
+    int64_t t = 0;
+    for (int i = 0; i < 192; ++i) t |= abs16u(pf_residual[i]);
+    int shift = t == 0 ? 3 : bsr32(t) - 11;
+    int64_t norm[192];
+    if (shift > 0)
+      for (int i = 0; i < 192; ++i) norm[i] = pf_residual[i] >> shift;
+    else
+      for (int i = 0; i < 192; ++i)
+        norm[i] = wrap16(pf_residual[i] << (-shift));
+    do {
+      const int64_t* cur = norm + 152;
+      int64_t ener = pf_dot(cur, cur, kSub);
+      if (ener == 0) break;
+      int64_t best_corr = 0;
+      int best_delay = pdi - 1;
+      for (int T = pdi - 1; T <= pdi + 1; ++T) {
+        int64_t c = pf_dot(cur, norm + 152 - T, kSub);
+        if (c > best_corr) { best_corr = c; best_delay = T; }
       }
-      double sc = den > 0 ? num * num / den : -1;
-      if (sc > bs) {
-        bs = sc;
-        best_T = t;
-        best_g = den > 0 ? num / den : 0.0;
+      if (best_corr == 0) break;
+      int64_t en_int = pf_dot(norm + 152 - best_delay,
+                              norm + 152 - best_delay, kSub);
+      // 7 fractional candidates via the 2-tap short filter
+      int64_t bufs[8][41];
+      int64_t ens[8][2];
+      for (int label = 1; label <= 7; ++label) {
+        pf_interp(norm, 152 - best_delay, 64, 8, 8 - label, 2, 41,
+                  bufs[label]);
+        int64_t e = pf_dot(bufs[label] + 1, bufs[label] + 1, 39);
+        ens[label][0] = wrap32(e + bufs[label][0] * bufs[label][0]);
+        ens[label][1] = wrap32(e + bufs[label][40] * bufs[label][40]);
       }
-    }
-    double gl = std::min(std::max(best_g, 0.0), 1.0);
-    double resf[kSub];
-    for (int n = 0; n < kSub; ++n)
-      resf[n] = (res[n] + 0.5 * gl * rh[off - best_T + n]) / (1 + 0.5 * gl);
-    std::memmove(pf_res_long, rh + kSub, sizeof(pf_res_long));
-    // short-term 1/A(z/0.7)
-    double y[kSub];
+      int64_t maxen = en_int;
+      for (int label = 1; label <= 7; ++label) {
+        int64_t m = ens[label][0] > ens[label][1] ? ens[label][0]
+                                                  : ens[label][1];
+        if (m > maxen) maxen = m;
+      }
+      int sh_max = 17 - (31 - bsr32(maxen));
+      if (sh_max < 0) break;
+      int sh_ener = std::max(0, 17 - (31 - bsr32(ener)));
+      int S = std::max(sh_max, sh_ener);
+      int64_t en_int_n = en_int >> (sh_max & 31);
+      int64_t corr_int_n = wrap16(best_corr >> (S & 31));
+      struct { int win, label; int64_t corr_n, corr_sq, en_n; } best =
+          {1, 0, corr_int_n, wrap32(corr_int_n * corr_int_n), en_int_n};
+      for (int label = 1; label <= 7; ++label)
+        for (int win = 0; win < 2; ++win) {
+          int64_t ck = pf_dot(bufs[label] + win, cur, kSub);
+          ck >>= (S & 31);
+          if (ck < 0) ck = 0;
+          ck = wrap16(ck);
+          int64_t cksq = wrap32(ck * ck);
+          int64_t ek = wrap16(ens[label][win] >> (sh_max & 31));
+          if (((cksq * best.en_n) >> 15) > ((best.corr_sq * ek) >> 15))
+            best = {win, label, ck, cksq, ek};
+        }
+      // threshold: corr^2 << (2S+1) >= ener*en (normalized shifts)
+      int64_t lhs = best.corr_sq << (2 * S + 1);
+      int64_t ener_n = wrap32(ener) >> (sh_ener & 31);
+      int64_t rhs = (ener_n * best.en_n) << (sh_ener + sh_max);
+      if (lhs < rhs || best.corr_n == 0) break;
+      int64_t src[kSub];
+      int64_t corr_n, en_n;
+      int shA, shB;
+      if (best.label == 0) {
+        int delay = best_delay + 1 - best.win;
+        for (int i = 0; i < kSub; ++i) src[i] = pf_residual[152 - delay + i];
+        corr_n = best.corr_n; en_n = best.en_n; shB = S; shA = sh_max;
+      } else {
+        // 8-tap re-interpolation, adversarially re-checked vs the
+        // 2-tap search winner
+        int64_t rf[41];
+        pf_interp(norm, 152 - best_delay + best.win, 0, 8,
+                  8 - best.label, 8, 41, rf);
+        int64_t corr_f = pf_dot(rf, cur, kSub);
+        int sh2 = 0;
+        int64_t corr_f_n16 = 0, r_frac = 0;
+        if (corr_f >= 0) {
+          sh2 = std::max(0, bsr32(corr_f) - 14);
+          corr_f_n16 = wrap16(corr_f >> sh2);
+          r_frac = wrap32((corr_f_n16 * corr_f_n16 * best.en_n) >> 15);
+        }
+        int64_t en_f = pf_dot(rf, rf, kSub);
+        int sh3 = std::max(0, bsr32(en_f) - 14);
+        int64_t en_f_n16 = wrap16(en_f >> sh3);
+        int64_t r_int =
+            wrap32((best.corr_n * best.corr_n * en_f_n16) >> 15);
+        int sh_delta = sh_max + 2 * (sh2 - S) - sh3;
+        if (sh_delta > 0) r_int >>= (sh_delta & 31);
+        else r_frac >>= std::min(31, -sh_delta);
+        if (r_int < r_frac) {
+          for (int i = 0; i < kSub; ++i) src[i] = rf[i];
+          corr_n = corr_f_n16; en_n = en_f_n16; shA = sh3; shB = sh2;
+        } else {
+          for (int i = 0; i < kSub; ++i) src[i] = bufs[best.label][best.win + i];
+          corr_n = best.corr_n; en_n = best.en_n; shA = sh_max; shB = S;
+        }
+        // denormalize the candidate (16-bit store on the << path)
+        if (shift > 0)
+          for (int i = 0; i < kSub; ++i) src[i] = wrap16(src[i] << shift);
+        else
+          for (int i = 0; i < kSub; ++i) src[i] >>= -shift;
+      }
+      int64_t en64 = en_n << (shA & 63);
+      int64_t corr64 = corr_n << (shB & 63);
+      int64_t w_cur = cdiv(en64 << 15, en64 + (corr64 >> 1));
+      if (w_cur < 0x5555) w_cur = 0x5555;
+      int wd = wrap16(0x8000 - w_cur), wc = wrap16(w_cur);
+      for (int i = 0; i < kSub; ++i)
+        residual_filt[i] = sat16((pf_residual[152 + i] * wc +
+                                  src[i] * wd + 0x4000) >> 15);
+      filtered = true;
+    } while (false);
+    if (!filtered)
+      for (int i = 0; i < kSub; ++i) residual_filt[i] = pf_residual[152 + i];
+    pf_voicing = std::max(pf_voicing, filtered ? 1 : 0);
+    std::memmove(pf_residual, pf_residual + kSub, 152 * sizeof(int64_t));
+    // hf impulse response of A(z/gn)/A(z/gd) for gain scale + tilt
+    int64_t hf[33] = {0};
+    hf[10] = 4096;
+    for (int i = 0; i < 10; ++i) hf[11 + i] = lp_gn[i];
     {
-      double buf[10 + kSub];
-      std::memcpy(buf, pf_syn_hist, sizeof(pf_syn_hist));
-      for (int n = 0; n < kSub; ++n) {
-        double v = resf[n];
-        for (int k = 0; k < 10; ++k) v -= ad[k] * buf[10 + n - 1 - k];
-        buf[10 + n] = v;
-        y[n] = v;
+      int64_t seq[22];
+      for (int i = 0; i < 22; ++i) seq[i] = hf[11 + i];
+      pf_synth(lp_gd, seq, 22, hf + 1, hf + 11);
+    }
+    int64_t rh0 = pf_dot(hf + 10, hf + 10, 20);
+    int64_t rh1 = pf_dot(hf + 10, hf + 11, 20);
+    int k = bsr32(rh0) - 14;
+    if (k > 0) { rh0 >>= k; rh1 = wrap32(rh1) >> k; }
+    int64_t tsum = 0;
+    for (int i = 10; i < 30; ++i) tsum += abs16u(hf[i]);
+    if (tsum > 0x1003) {
+      int64_t f2 = cdiv(0x2000000, tsum >> 2);
+      for (int i = 0; i < kSub; ++i)
+        residual_filt[i] = wrap16(wrap32(residual_filt[i] * f2 + 0x4000)
+                                  >> 15);
+    }
+    int64_t gt_half = 0, r10 = 0, fact = 0x800, rnd = 0x400;
+    int shc = 11;
+    if (!((rh1 < 0 ? -rh1 : rh1) > rh0 || rh0 == 0)) {
+      int rc = wrap16(cdiv((int64_t)wrap32((int64_t)wrap32(-wrap32(rh1))
+                                           << 15), rh0));
+      int64_t pl;
+      if (rc > 0) {
+        pl = (int64_t)rc * 0x199A + 0x4000;
+        int gt = (int)(pl >> 15);
+        gt_half = pl >> 16;
+        fact = gt ? cdiv(0x20000000, wrap16(0x8000 - gt)) : 0x4000;
+        rnd = 0x2000; shc = 14;
+      } else {
+        pl = wrap32((int64_t)rc * 0x7333 + 0x4000);
+        int gt = (int)(pl >> 15);
+        gt_half = pl >> 16;
+        fact = gt ? cdiv(0x4000000, wrap16(0x8000 + gt)) : 0x800;
+        rnd = 0x400; shc = 11;
       }
-      std::memcpy(pf_syn_hist, buf + kSub, sizeof(pf_syn_hist));
+      r10 = (2 * (pf_ht_prev * gt_half) + 0x4000) >> 15;
     }
-    // tilt
-    double num = 0, den = 0;
-    for (int n = 1; n < kSub; ++n) num += y[n] * y[n - 1];
-    for (int n = 0; n < kSub; ++n) den += y[n] * y[n];
-    double k1 = den > 1e-9 ? num / den : 0.0;
-    double mu = 0.2 * std::max(k1, 0.0);
-    double yt[kSub];
-    double prev = pf_tilt_mem;
-    for (int n = 0; n < kSub; ++n) {
-      yt[n] = y[n] - mu * prev;
-      prev = y[n];
+    // short-term 1/A(z/gd) into pos_filter_data[10..49]
+    {
+      int64_t hist[10];
+      for (int i = 0; i < 10; ++i) hist[i] = pf_pfd[i];
+      pf_synth(lp_gd, residual_filt, kSub, hist, pf_pfd + 10);
     }
-    pf_tilt_mem = y[kSub - 1];
-    // AGC
-    double ein = 0, eout = 0;
-    for (int n = 0; n < kSub; ++n) {
-      ein += (double)speech[n] * (double)speech[n];
-      eout += yt[n] * yt[n];
+    for (int i = 0; i < 10; ++i) pf_pfd[i] = pf_pfd[40 + i];
+    int last = (int)pf_pfd[10 + kSub - 1];
+    const int64_t* pos10 = pf_pfd + 10;
+    for (int i = kSub - 1; i >= 1; --i) {
+      int64_t tilt = wrap32(2 * (pos10[i - 1] * gt_half) + 0x4000) >> 15;
+      speech[i] = wrap16(wrap32(wrap32(pos10[i] + tilt) * fact + rnd)
+                         >> shc);
     }
-    double g_tgt = eout > 0 ? std::sqrt(ein / eout) : 1.0;
-    double g = pf_agc;
-    for (int n = 0; n < kSub; ++n) {
-      g = 0.9875 * g + 0.0125 * g_tgt;
-      speech[n] = sat16((int64_t)std::llround(yt[n] * g));
+    speech[0] = wrap16(wrap32(wrap32(pos10[0] + r10) * fact + rnd) >> shc);
+    pf_ht_prev = last;
+  }
+
+  /* Exact ff_g729_adaptive_gain_control. */
+  void agc(int64_t gain_before, int64_t gain_after, int64_t* speech) {
+    if (gain_after == 0 && gain_before != 0) { agc_gain = 0; return; }
+    int64_t gain0 = 0;
+    if (gain_before != 0) {
+      int clz_b = 31 - bsr32(gain_before);
+      int sh_b = clz_b - 17;
+      int64_t nb = sh_b >= 0 ? (gain_before << sh_b) : (gain_before >> -sh_b);
+      int clz_a = 31 - bsr32(gain_after);
+      int sh_a = clz_a - 17;
+      int64_t na = sh_a >= 0 ? (gain_after << sh_a) : (gain_after >> -sh_a);
+      int d = clz_a - clz_b;
+      int64_t g;
+      if (nb < na) {
+        g = cdiv((int64_t)wrap32(nb << 15), na);
+        g = d - 1 >= 0 ? wrap32(g << ((d - 1) & 31))
+                       : (int64_t)(((uint32_t)g) >> (clz_b + 1 - clz_a));
+      } else {
+        g = cdiv((int64_t)wrap32((nb - na) << 14), na) + 0x4000;
+        g = d >= 0 ? wrap32(g << (d & 31))
+                   : (int64_t)(((uint32_t)(g & 0xFFFFFFFF)) >> -d);
+      }
+      if (!(g >= 0 && g <= 0x7FFF))
+        g = ((uint32_t)(g & 0xFFFFFFFF)) > 0x7FFF ? 0x7FFF : g;
+      gain0 = (g * 0x19A + 0x4000) >> 15;
     }
-    pf_agc = g;
+    int64_t g = agc_gain;
+    for (int i = 0; i < kSub; ++i) {
+      g = ((wrap16(g) * 0x7E66 + 0x4000) >> 15) + gain0;
+      speech[i] = sat16((speech[i] * wrap16(g) + 0x2000) >> 14);
+    }
+    agc_gain = wrap16(g);
   }
 
   void hpf(int64_t* x, int n) {
@@ -376,7 +587,11 @@ struct Decoder {
     }
   }
 
-  /* decode one frame into out[80] (int16-range values) */
+  /* decode one frame into out[80] (int16-range values).
+
+     The synthesis runs into a RAW buffer (lavc keeps it for the filter
+     memories) and the enhanced output is produced separately:
+     postfilter -> adaptive gain control -> 100 Hz HPF. */
   void frame(const Params& f, int64_t out[kFrame], bool enhance = true) {
     int64_t lsf[10], lsp[10];
     lsf_decode(f.L0, f.L1, f.L2, f.L3, lsf);
@@ -388,11 +603,16 @@ struct Decoder {
     lsp2lp(lsp, lp2[1]);
     std::memcpy(lsp_old, lsp, sizeof(lsp_old));
     std::memmove(exc, exc + kFrame, kHist * sizeof(int64_t));
+    int64_t raw[kFrame];
+    pf_voicing = 0;                // per-frame reset (decode_frame 0x19d)
+    int pf_pitch = 20;
     for (int sf = 0; sf < 2; ++sf) {
       int d3 = sf == 0 ? pitch_abs(f.P1) : pitch_rel(f.P2, pitch_prev);
       adaptive(d3, sf * kSub);
       pitch_prev = (d3 + 1) / 3;
       int pitch_round = (d3 + 1) / 3;
+      if (sf == 0) pf_pitch = pitch_round;  // postfilter uses the FIRST
+      // subframe's rounded int pitch for BOTH subframes
       int64_t fc[kSub];
       fixed_vector(sf == 0 ? f.C1 : f.C2, sf == 0 ? f.S1 : f.S2, fc);
       sharpen(fc, pitch_round);
@@ -402,19 +622,41 @@ struct Decoder {
         exc[e0 + n] = sat16((gain_pitch * exc[e0 + n] +
                              (int64_t)gain_code * fc[n] + 0x2000) >> 14);
       const int64_t* a = lp2[sf];
-      int64_t* o = out + sf * kSub;
-      for (int n = 0; n < kSub; ++n) {
-        int64_t v = exc[e0 + n] << 12;
-        for (int k = 1; k <= 10; ++k) {
-          int64_t past = (n - k >= 0) ? o[n - k] : synth_mem[10 + n - k];
-          v -= a[k] * past;
+      int64_t* o = raw + sf * kSub;
+      // TRIAL synthesis (decode_frame asm ba8, stop_on_overflow=1): an
+      // int16 overflow shifts the ENTIRE exc_base >> 2 before the real
+      // synthesis (asm 1272-128d)
+      for (int attempt = 0; attempt < 2; ++attempt) {
+        bool overflow = false;
+        for (int n = 0; n < kSub; ++n) {
+          int64_t v = 0x800;
+          for (int k = 1; k <= 10; ++k) {
+            int64_t past = (n - k + sf * kSub >= 0)
+                               ? raw[sf * kSub + n - k]
+                               : synth_mem[10 + n - k];
+            v -= a[k] * past;
+          }
+          // int32-wrapping accumulator; in[n] added after >> 12
+          int64_t sum = (wrap32(v) >> 12) + exc[e0 + n];
+          if (attempt == 0 && (sum < -32768 || sum > 32767)) {
+            overflow = true;
+            break;
+          }
+          o[n] = sat16(sum);
         }
-        o[n] = sat16((v + 0x800) >> 12);
+        if (!overflow) break;
+        for (int i = 0; i < kHist + kFrame; ++i) exc[i] >>= 2;
       }
       std::memcpy(synth_mem, o + kSub - 10, 10 * sizeof(int64_t));
+      int64_t* fo = out + sf * kSub;
+      std::memcpy(fo, o, kSub * sizeof(int64_t));
       if (enhance) {
-        postfilter(o, lp2[sf], pitch_round);
-        hpf(o, kSub);
+        int64_t gain_before = 0, gain_after = 0;
+        for (int n = 0; n < kSub; ++n) gain_before += abs16u(fo[n]);
+        postfilter(fo, lp2[sf], pf_pitch);
+        for (int n = 0; n < kSub; ++n) gain_after += abs16u(fo[n]);
+        agc(gain_before, gain_after, fo);
+        hpf(fo, kSub);
       }
     }
   }
@@ -922,16 +1164,28 @@ struct Encoder {
       local.exc[e0 + n] =
           sat16((local.gain_pitch * local.exc[e0 + n] +
                  (int64_t)local.gain_code * fc[n] + 0x2000) >> 14);
-    // replica synthesis memory for the next ZIR
+    // replica synthesis memory for the next ZIR — mirrors the decoder
+    // EXACTLY, including the trial-overflow exc_base >> 2 redo
     const int64_t* a = lp;
     int64_t o[kSub];
-    for (int n = 0; n < kSub; ++n) {
-      int64_t v = local.exc[e0 + n] << 12;
-      for (int k = 1; k <= 10; ++k) {
-        int64_t past = (n - k >= 0) ? o[n - k] : local.synth_mem[10 + n - k];
-        v -= a[k] * past;
+    for (int attempt = 0; attempt < 2; ++attempt) {
+      bool overflow = false;
+      for (int n = 0; n < kSub; ++n) {
+        int64_t v = 0x800;
+        for (int k = 1; k <= 10; ++k) {
+          int64_t past = (n - k >= 0) ? o[n - k]
+                                      : local.synth_mem[10 + n - k];
+          v -= a[k] * past;
+        }
+        int64_t sum = (wrap32(v) >> 12) + local.exc[e0 + n];
+        if (attempt == 0 && (sum < -32768 || sum > 32767)) {
+          overflow = true;
+          break;
+        }
+        o[n] = sat16(sum);
       }
-      o[n] = sat16((v + 0x800) >> 12);
+      if (!overflow) break;
+      for (int i = 0; i < kHist + kFrame; ++i) local.exc[i] >>= 2;
     }
     std::memcpy(local.synth_mem, o + kSub - 10, 10 * sizeof(int64_t));
   }

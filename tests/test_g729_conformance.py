@@ -103,16 +103,54 @@ def test_stream_conformance_on_lavc():
 
 
 def test_native_decoder_matches_lavc():
-    """Our decoder tracks lavc on our streams (bit-exact excitation;
-    the float postfilter model keeps waveform corr > 0.95)."""
+    """Our decoder is BIT-EXACT vs lavc on our encoder's streams (the
+    full chain: excitation, synthesis incl. the trial-overflow exc>>2
+    redo, fixed-point postfilter, AGC, HPF)."""
     sig = _speechlike(16000, 11)
     bs = ah.g729_encode(sig)
-    lav = _lavc_decode(bs)
-    nat = ah.g729_decode(bs)
+    lav = np.rint(np.asarray(_lavc_decode(bs)) * 32768.0).astype(np.int64)
+    nat = np.rint(np.asarray(ah.g729_decode(bs)) * 32768.0).astype(np.int64)
     n = min(len(lav), len(nat))
-    c = float(nat[:n] @ lav[:n] /
-              (np.linalg.norm(nat[:n]) * np.linalg.norm(lav[:n]) + 1e-12))
-    assert c > 0.95, c
+    assert n > 0
+    assert np.array_equal(nat[:n], lav[:n]), (
+        int(np.abs(nat[:n] - lav[:n]).max()),
+        float(np.mean(nat[:n] == lav[:n])))
+
+
+def test_native_decoder_bit_exact_on_random_streams():
+    """Random 80-bit frames (valid parity): the native decoder output
+    equals lavc sample-for-sample — pins the exact postfilter port
+    (tools/g729_tables/pf_exact.py, fuzz-validated vs the object code)
+    and the lsf/gain/overflow laws end to end."""
+    rng = np.random.default_rng(42)
+    frames = []
+    for _ in range(25):
+        b = bytearray(10)
+        bits = [0] * 80
+        fields = [(1,), (7,), (5,), (5,), (8,), (1,), (13,), (4,), (3,),
+                  (4,), (5,), (13,), (4,), (3,), (4,)]
+        pos = 0
+        vals = []
+        for (n,) in fields:
+            v = int(rng.integers(0, 1 << n))
+            vals.append(v)
+            for i in range(n):
+                bits[pos + i] = (v >> (n - 1 - i)) & 1
+            pos += n
+        P1 = vals[4]
+        bits[26] = _parity(P1)
+        for i, bit in enumerate(bits):
+            if bit:
+                b[i >> 3] |= 0x80 >> (i & 7)
+        frames.append(bytes(b))
+    bs = b"".join(frames)
+    lav = np.rint(np.asarray(_lavc_decode(bs)) * 32768.0).astype(np.int64)
+    nat = np.rint(np.asarray(ah.g729_decode(bs)) * 32768.0).astype(np.int64)
+    n = min(len(lav), len(nat))
+    assert n == 80 * 25
+    assert np.array_equal(nat[:n], lav[:n]), (
+        int(np.abs(nat[:n] - lav[:n]).max()),
+        float(np.mean(nat[:n] == lav[:n])))
 
 
 def test_long_stream_error_stationary():

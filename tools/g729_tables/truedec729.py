@@ -17,6 +17,7 @@ import sys
 import numpy as np
 
 import oracle
+import pf_exact as pe
 
 T = np.load("learned/lavc_g729_tables.npz")
 
@@ -92,13 +93,15 @@ class G729Decoder:
         self.gain_code = 0           # Q1 (decode_gain_code >> 12 result)
         self.pitch_prev = 20
         self.synth_mem = np.zeros(10, np.int64)
-        self.pf_res_hist = np.zeros(10)
-        self.pf_res_long = np.zeros(143 + SF)
-        self.pf_syn_hist = np.zeros(10)
-        self.pf_tilt_mem = 0.0
-        self.pf_agc = 1.0
         self.hpf_f = [0, 0]
         self.hpf_x = [0, 0]
+        # exact fixed-point postfilter state (pf_exact, probe-validated)
+        self.x_residual = np.zeros(192, np.int64)
+        self.x_rfd = [0] * 10
+        self.x_pfd = [0] * 50
+        self.x_ht_prev = 0
+        self.x_voicing = 0
+        self.x_agc = 0x4000   # decoder_init: ctx+0x53c = 0x4000
 
     # ---------------- LSF / LSP / LP -------------------------------
     def lsf_decode(self, L0, L1, L2, L3):
@@ -111,8 +114,11 @@ class G729Decoder:
             for i in range(1, 10):
                 d = q[i - 1] - q[i] + gap
                 if d > 0:
+                    # both halves truncate (d >> 1); an odd overlap keeps
+                    # the pair 1 closer than `gap` (lavc g729dec behavior,
+                    # fit against ctx qpast introspection)
                     q[i - 1] -= d >> 1
-                    q[i] += (d + 1) >> 1
+                    q[i] += d >> 1
         ma = T["cb_ma_predictor"][L0].astype(np.int64)
         s = T["cb_ma_predictor_sum"][L0].astype(np.int64)
         lsf = (s * q + sum(ma[k] * self.qpast[k] for k in range(4))) >> 15
@@ -140,24 +146,28 @@ class G729Decoder:
     def lsp2lp(lsp):
         """ff_acelp_lsp2lpc exact (lsp.o: lsp2poly Q22/Q24 ints)."""
         def lsp2poly(l):
+            # f[] are int32 in lavc (wrapping); MULL = 64-bit mul >> 14
+            # truncated to int32
             f = [0] * 6
             f[0] = 1 << 22
             f[1] = -int(l[0]) << 8
             for i in range(2, 6):
                 f[i] = f[i - 2]
                 for j in range(i, 1, -1):
-                    f[j] += f[j - 2] - ((int(l[i - 1]) * f[j - 1]) >> 14)
-                f[1] -= int(l[i - 1]) << 8
+                    f[j] = pe.wrap32(
+                        f[j] + f[j - 2]
+                        - pe.wrap32((int(l[i - 1]) * f[j - 1]) >> 14))
+                f[1] = pe.wrap32(f[1] - (int(l[i - 1]) << 8))
             return f
         f1 = lsp2poly(lsp[0::2])
         f2 = lsp2poly(lsp[1::2])
         lp = np.empty(11, np.int64)
         lp[0] = 4096
         for i in range(1, 6):
-            ff1 = f1[i] + f1[i - 1] + (1 << 10)
-            ff2 = f2[i] - f2[i - 1]
-            lp[i] = (ff1 + ff2) >> 11
-            lp[11 - i] = (ff1 - ff2) >> 11
+            ff1 = pe.wrap32(f1[i] + f1[i - 1] + (1 << 10))
+            ff2 = pe.wrap32(f2[i] - f2[i - 1])
+            lp[i] = pe.wrap16(pe.wrap32(ff1 + ff2) >> 11)
+            lp[11 - i] = pe.wrap16(pe.wrap32(ff1 - ff2) >> 11)
         return lp
 
     # ---------------- pitch ----------------------------------------
@@ -229,79 +239,26 @@ class G729Decoder:
         g2 = T["cb_gain_2nd_8k"].astype(np.int64)
         self.gain_pitch = int(g1[GA][0] + g2[GB][0])
         factor = int(g1[GA][1] + g2[GB][1])
-        # ff_acelp_decode_gain_code: exp2 in double, >> 12
+        # ff_acelp_decode_gain_code: the exact double expression is
+        # gain_corr_factor * exp(M_LN10/(20<<23) * mr_energy)
+        #   / sqrt(dot(fc, fc)), truncated to int, >> 12 — replicate the
+        # operation ORDER bit-for-bit (a different association changes
+        # the double rounding and flips borderline truncations)
+        import math
         ene = (1018156 << 10) + int(np.sum(
             self.quant_energy * T["ma_prediction_coeff"].astype(np.int64)))
-        val = factor * np.exp2(ene / 1.6777216e8 * 3.321928094887362)
-        val /= np.sqrt(float(np.dot(fc, fc)))
+        c1 = math.log(10.0) / float(20 << 23)
+        val = factor * math.exp(c1 * ene) / math.sqrt(float(np.dot(fc, fc)))
         self.gain_code = int(val) >> 12
-        # ff_acelp_update_past_gain(quant_energy, factor, log2n=2, 0)
+        # ff_acelp_update_past_gain(quant_energy, factor, log2n=2, 0):
+        # q0 = (6165*((ff_log2(factor)>>2) - (13<<13))) >> 13
+        # (the earlier *8 ... - 0x39110000 >> 16 form was a fit that
+        # wraps for factor >~ 1743 — this is the true expression)
         self.quant_energy[1:] = self.quant_energy[:3]
-        q0 = ((((log2_q15(factor) >> 2) * 6165 * 8 - 0x39110000)
-               & 0xFFFFFFFF) >> 16) & 0xFFFF
-        self.quant_energy[0] = q0 - 0x10000 if q0 >= 0x8000 else q0
+        self.quant_energy[0] = \
+            (6165 * ((log2_q15(factor) >> 2) - (13 << 13))) >> 13
 
     # ---------------- output chain ---------------------------------
-    def postfilter(self, speech, lp, pitch_int, sf):
-        """G.729 4.2 postfilter, FLOAT structural model (the lavc
-        implementation is fixed-point; our excitation replica is
-        bit-exact, the output enhancement is algorithmic-class — the
-        conformance direction that matters for the degrade tier is
-        lavc decoding OUR encoder's streams, which uses lavc's own
-        postfilter)."""
-        a = lp.astype(np.float64) / 4096.0
-        gn = 0.55 ** np.arange(1, 11)
-        gd = 0.7 ** np.arange(1, 11)
-        an = a[1:] * gn
-        ad = a[1:] * gd
-        # residual through A(z/gn)
-        res = np.empty(SF)
-        x = np.concatenate([self.pf_res_hist, speech.astype(np.float64)])
-        for n in range(SF):
-            res[n] = x[10 + n] + float(np.dot(an, x[n:10 + n][::-1]))
-        self.pf_res_hist = x[-10:]
-        # long-term 3-candidate search around pitch_int
-        rh = np.concatenate([self.pf_res_long, res])
-        off = len(self.pf_res_long)
-        bs, best_T, best_g = -1.0, pitch_int, 0.0
-        for T in range(max(pitch_int - 1, 20), min(pitch_int + 2, 144)):
-            seg = rh[off - T:off - T + SF]
-            den = float(seg @ seg)
-            num = float(res @ seg)
-            sc = num * num / den if den > 0 else -1
-            if sc > bs:
-                bs, best_T = sc, T
-                best_g = num / den if den > 0 else 0.0
-        gl = min(max(best_g, 0.0), 1.0)
-        gamma_p = 0.5
-        resf = (res + gamma_p * gl *
-                rh[off - best_T:off - best_T + SF]) / (1 + gamma_p * gl)
-        self.pf_res_long = rh[-(143 + SF):]
-        # short-term 1/A(z/gd)
-        y = np.empty(SF)
-        buf = np.concatenate([self.pf_syn_hist, np.zeros(SF)])
-        for n in range(SF):
-            v = resf[n] - float(np.dot(ad, buf[n:10 + n][::-1]))
-            buf[10 + n] = v
-            y[n] = v
-        self.pf_syn_hist = buf[-10:]
-        # tilt compensation
-        k1 = float(np.dot(y[1:], y[:-1]) / max(float(np.dot(y, y)), 1e-9))
-        mu = 0.2 * max(k1, 0.0)
-        yt = y - mu * np.concatenate([[self.pf_tilt_mem], y[:-1]])
-        self.pf_tilt_mem = y[-1]
-        # AGC vs input speech energy
-        ein = float(speech.astype(np.float64) @ speech.astype(np.float64))
-        eout = float(yt @ yt)
-        g_tgt = np.sqrt(ein / eout) if eout > 0 else 1.0
-        out = np.empty(SF)
-        g = self.pf_agc
-        for n in range(SF):
-            g = 0.9875 * g + 0.0125 * g_tgt
-            out[n] = yt[n] * g
-        self.pf_agc = g
-        return np.asarray(np.clip(np.rint(out), -32768, 32767), np.int64)
-
     def hpf(self, x):
         """ff_acelp_high_pass_filter exact (acelp_filters.o asm)."""
         out = np.empty(len(x), np.int64)
@@ -328,13 +285,19 @@ class G729Decoder:
         lps = [self.lsp2lp(lsp1), self.lsp2lp(lsp)]
         self.lsp_old = lsp
         self.exc[:self.eoff] = self.exc[2 * SF:self.eoff + 2 * SF]
-        out = np.zeros(2 * SF, np.int64)
+        out = np.zeros(2 * SF, np.int64)      # RAW synthesis (lavc keeps
+        final = np.zeros(2 * SF, np.int64)    # it for filter memories)
+        self.x_voicing = 0                    # per-frame reset (asm 0x19d)
         for sf in range(2):
             if sf == 0:
                 d3 = self.dec_pitch_abs(f["P1"])
             else:
                 d3 = self.dec_pitch_rel(f["P2"], self.pitch_prev)
             pitch_int = self.adaptive(d3, sf * SF)
+            if sf == 0:
+                pf_pitch = (d3 + 1) // 3   # postfilter uses the FIRST
+                # subframe's rounded int pitch for BOTH subframes
+                # (fit against ctx pfd/ht_prev introspection at f6-sf2)
             # rounded int: tracking prev AND sharpening/postfilter
             # (the earlier truncation finding was an artifact of the
             # +59-vs-+58 abs-law bug; echo probes P1=81/82/140)
@@ -351,22 +314,51 @@ class G729Decoder:
             # synthesis (ff_celp_lp_synthesis_filter, Q12 lp,
             # rounding 0x800, saturating)
             a = lps[sf]
-            for n in range(SF):
-                v = self.exc[e0 + n] << 12
-                for k in range(1, 11):
-                    past = (out[sf * SF + n - k] if n - k + sf * SF >= 0
-                            else self.synth_mem[10 + n - k]
-                            if sf == 0 else out[SF + n - k])
-                    v -= a[k] * past
-                out[sf * SF + n] = int(sat16((v + 0x800) >> 12))
+
+            def synth(detect):
+                """One ff_celp_lp_synthesis_filter pass; returns True on
+                int16 overflow when detect (the decode_frame TRIAL call,
+                stop_on_overflow=1, asm ba8)."""
+                for n in range(SF):
+                    v = 0x800
+                    for k in range(1, 11):
+                        past = (out[sf * SF + n - k]
+                                if n - k + sf * SF >= 0
+                                else self.synth_mem[10 + n - k]
+                                if sf == 0 else out[SF + n - k])
+                        v -= a[k] * past
+                    # int32-wrapping accumulator; in[n] added after >> 12
+                    # (ff_celp_lp_synthesis_filter asm 5c8-62e)
+                    s = (pe.wrap32(v) >> 12) + int(self.exc[e0 + n])
+                    if detect and not (-32768 <= s <= 32767):
+                        return True
+                    out[sf * SF + n] = int(sat16(s))
+                return False
+
+            if synth(detect=True):
+                # overflow in the trial synthesis: the ENTIRE exc_base
+                # (154 history + 80 current) is >>2'd in place and the
+                # subframe is re-synthesized (decode_frame asm 1272-128d)
+                self.exc >>= 2
+                synth(detect=False)
             if sf == 1:
                 self.synth_mem = out[-10:].copy()
             sp = out[sf * SF:(sf + 1) * SF]
-            pf = self.postfilter(sp, a, (d3 + 1) // 3, sf)
-            out[sf * SF:(sf + 1) * SF] = self.hpf(pf)
+            # exact output chain: ff_g729_postfilter -> AGC -> HPF
+            # (fuzz-validated vs the real object code; see pf_exact.py)
+            spl = [int(v) for v in sp]
+            gain_before = sum(pe.abs16u(v) for v in spl)
+            self.x_voicing, self.x_ht_prev = pe.postfilter(
+                pf_pitch, self.x_voicing, self.x_ht_prev, a,
+                self.x_residual, self.x_rfd, self.x_pfd, spl)
+            gain_after = sum(pe.abs16u(v) for v in spl)
+            self.x_agc = pe.adaptive_gain_control(
+                gain_before, gain_after, spl, self.x_agc)
+            final[sf * SF:(sf + 1) * SF] = self.hpf(
+                np.asarray(spl, np.int64))
         if trace is not None:
             trace["exc"] = self.exc[self.eoff:self.eoff + 80].copy()
-        return out
+        return final
 
 
 def lavc_ctx_decode(frames):
