@@ -58,13 +58,16 @@ HP_ZEROS = np.array([-2.0, 1.0], F)
 HP_POLES = np.frombuffer(T["highpass_poles"].tobytes(), np.float32)[:2]
 HP_GAIN_SCALED = F(5.736202e-05)          # highpass_gain * 2/32768 (cst4)
 LSP_SUB4_INIT = np.frombuffer(T["lsp_sub4_init"].tobytes(),
-                              np.int16)[:10]
+                              np.int8)[:10]
 LSP_AVG_INIT = np.frombuffer(T["lsp_avg_init"].tobytes(), np.int16)[:10]
 SHARP_MAX = F(0.7944946)
 
 LP = 10
 SF = 40
-EXC_OFF = 143 + LP + 1     # excitation index in excitation_buf (= 154)
+EXC_OFF = 143 + LP + 1     # excitation index in excitation_buf (= 154,
+                           # lavc: excitation_buf[PIT_MAX+LP+1+40] with
+                           # p->excitation = buf+154; confirmed by the
+                           # ctx scan at priv byte 912)
 
 
 def exp2d(x):
@@ -179,15 +182,22 @@ def interpolatef(in_arr, base, frac, filt_len=10, length=40):
 class NBExact:
     def __init__(self):
         self.prev_lsf_r = np.zeros(10, np.int64)
+        # lsp_sub4_init is an int8 table [30,26,21,15,8,0,-8,-15,-21,-26]
+        # scaled by 1000/2^15 (pinned by inverting frame-0 sub-0 LPC from
+        # the nb_hook speech-energy capture: implied cos values match
+        # v*1000/32768 to the lstsq noise floor).
         self.prev_lsp_sub4 = np.array(
-            [D(int(v)) * D(3.0517578125e-05) for v in LSP_SUB4_INIT], D)
+            [D(int(v)) * D(1000.0) * D(3.0517578125e-05)
+             for v in LSP_SUB4_INIT], D)
         self.lsf_avg = np.array(
             [F(D(int(v)) * D(3.0517578125e-05)) for v in LSP_AVG_INIT], F)
         self.lsf_q = np.zeros((4, 10), F)
         self.excitation_buf = np.zeros(EXC_OFF + SF, F)
         self.pitch_gain = np.zeros(5, F)
         self.fixed_gain = np.zeros(5, F)
-        self.prediction_error = np.zeros(4, F)   # init 0? (fit) MIN_ENERGY?
+        # MIN_ENERGY = -14 dB: pinned by the nb_hook.c capture (the
+        # len-4 pred dots of frame 0 read [-14,-14,-14,-14]).
+        self.prediction_error = np.full(4, F(-14.0), F)
         self.pitch_lag_int = 0
         self.samples_in = np.zeros(LP + SF, F)
         self.postfilter_mem = np.zeros(10, F)
@@ -462,14 +472,16 @@ class NBExact:
         rh0 = dotf(hf, hf, 22)
         rh1 = dotf(hf, hf[1:], 21)
         tilt = F(F(rh1 / rh0) * F(0.8)) if rh1 >= 0.0 else F(0.0)
-        po = pole_out.copy()
-        ntm = po[SF - 1]
-        for i in range(SF - 1, 0, -1):
-            po[i] = F(po[i] - F(tilt * po[i - 1]))
-        po[0] = F(po[0] - F(tilt * self.tilt_mem))
-        self.tilt_mem = ntm
-        buf = zero_synth_f(lpc_n, self.postfilter_mem, po)
+        # Order pinned by the nb_hook AGC-input capture: pole filter ->
+        # zero filter -> ff_tilt_compensation ON buf_out -> AGC (the
+        # earlier tilt-on-pole_out order exploded from subframe 2 on).
+        buf = zero_synth_f(lpc_n, self.postfilter_mem, pole_out)
         self.postfilter_mem = new_mem
+        ntm = buf[SF - 1]
+        for i in range(SF - 1, 0, -1):
+            buf[i] = F(buf[i] - F(tilt * buf[i - 1]))
+        buf[0] = F(buf[0] - F(tilt * self.tilt_mem))
+        self.tilt_mem = ntm
         pe = dotf(buf, buf)
         gsf = F(1.0)
         if pe != 0:
