@@ -61,6 +61,23 @@ LSP_SUB4_INIT = np.frombuffer(T["lsp_sub4_init"].tobytes(),
                               np.int8)[:10]
 LSP_AVG_INIT = np.frombuffer(T["lsp_avg_init"].tobytes(), np.int16)[:10]
 SHARP_MAX = F(0.7944946)
+# lavc formant-postfilter gamma tables (acelp_vectors.o .rodata: decimal
+# LITERALS, e.g. 0.75^4 is stored as float(0.316406) not 0.31640625 —
+# iterative products do NOT reproduce them).
+POW_0_7 = np.array([0.699999988079071, 0.49000000953674316,
+                    0.34299999475479126, 0.24009999632835388,
+                    0.1680700033903122, 0.11764899641275406,
+                    0.08235400170087814, 0.05764799937605858,
+                    0.04035399854183197, 0.028248000890016556], F)
+POW_0_75 = np.array([0.75, 0.5625, 0.421875, 0.3164060115814209,
+                     0.23730500042438507, 0.1779790073633194,
+                     0.13348400592803955, 0.10011299699544907,
+                     0.07508499920368195, 0.056313998997211456], F)
+POW_0_55 = np.array([0.550000011920929, 0.30250000953674316,
+                     0.16637499630451202, 0.0915059968829155,
+                     0.050328001379966736, 0.027681000530719757,
+                     0.015224000439047813, 0.008372999727725983,
+                     0.004604999907314777, 0.002532999962568283], F)
 
 LP = 10
 SF = 40
@@ -291,16 +308,25 @@ class NBExact:
         lag_int, lag_frac = self._dec_lag6(lag_index, self.pitch_lag_int,
                                            subframe)
         self.pitch_lag_int = lag_int
-        if lag_frac > 0:
-            lag_int += 1
-            lag_frac -= 6
-        # ff_acelp_interpolatef(excitation, excitation + 1 - lag_int,
-        #                       ff_b60_sinc, 6, -lag_frac, 10, 40)
+        # lavc decode_pitch_vector: lag_int += frac>0 and frac_pos =
+        # frac + 6 - 6*(frac>0) passed to ff_acelp_interpolatef
+        # IN-PLACE on the excitation head: for lags < ~49 the forward
+        # taps read freshly written outputs (recursive interpolation).
+        fp = lag_frac + 6 - 6 * (lag_frac > 0)
+        lag_int += lag_frac > 0
         exc = self.excitation_buf
-        base = EXC_OFF + 1 - lag_int - 1   # in + n - i indexing offset
-        pv = interpolatef(exc, base + 1, -lag_frac, 10, SF)
-        exc[EXC_OFF:EXC_OFF + SF] = pv
-        return pv
+        base = EXC_OFF + 1 - lag_int
+        for n in range(SF):
+            v = F(0.0)
+            idx = 0
+            i = 0
+            while i < 10:
+                v = F(v + F(exc[base + n + i] * B60[idx + fp]))
+                idx += 6
+                i += 1
+                v = F(v + F(exc[base + n - i] * B60[idx - fp]))
+            exc[EXC_OFF + n] = v
+        return exc[EXC_OFF:EXC_OFF + SF].copy()
 
     # ---- fixed vector ----------------------------------------------
     def _pulses(self, bits, k):
@@ -455,13 +481,9 @@ class NBExact:
         speech_gain = dotf(samples, samples)
         lpc_n = np.empty(10, F)
         lpc_d = np.empty(10, F)
-        gn = F(1.0)
-        gd = F(1.0)
         for i in range(10):
-            gn = F(gn * F(0.7))
-            gd = F(gd * F(0.75))
-            lpc_n[i] = F(lpc[i] * gn)
-            lpc_d[i] = F(lpc[i] * gd)
+            lpc_n[i] = F(lpc[i] * POW_0_7[i])
+            lpc_d[i] = F(lpc[i] * POW_0_75[i])
         pole_out = synth_f(lpc_d, samples, self.postfilter_mem)
         new_mem = pole_out[-10:].copy()
         # tilt factor
@@ -471,7 +493,8 @@ class NBExact:
         hf = synth_f(lpc_d, hf_in, np.zeros(10, F))
         rh0 = dotf(hf, hf, 22)
         rh1 = dotf(hf, hf[1:], 21)
-        tilt = F(F(rh1 / rh0) * F(0.8)) if rh1 >= 0.0 else F(0.0)
+        tilt = (F(D(F(rh1 / rh0)) * D(0.8))   # x0.8 in DOUBLE (asm 1a8d)
+                if rh1 >= 0.0 else F(0.0))
         # Order pinned by the nb_hook AGC-input capture: pole filter ->
         # zero filter -> ff_tilt_compensation ON buf_out -> AGC (the
         # earlier tilt-on-pole_out order exploded from subframe 2 on).
