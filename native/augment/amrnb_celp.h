@@ -150,6 +150,9 @@ inline double k1_truncated(const double* a, double gn, double gd) {
   double r0 = 0, r1 = 0;
   for (int n = 0; n < 22; n++) r0 += h[n] * h[n];
   for (int n = 0; n < 21; n++) r1 += h[n] * h[n + 1];
+  /* lavc clamps the tilt to 0 when rh1 < 0 (pinned bit-exactly by
+   * tools/amr_tables/nbexact.py, FACTS.md round-5b law 3). */
+  if (r1 < 0) return 0.0;
   return r0 > 0 ? r1 / r0 : 0.0;
 }
 
